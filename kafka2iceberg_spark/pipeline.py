@@ -1,0 +1,132 @@
+"""End-to-end streaming job wiring (reference Kafka2IcebergApp.main analogue,
+Kafka2IcebergApp.java:39-118 — re-expressed as Structured Streaming).
+
+Source → parse → sink, plus the [NORTH] windowed/stateful branches:
+
+  source   Kafka when a broker is configured AND the connector jar is on the
+           classpath; otherwise a simulated broker: a file stream of
+           Canal-JSON envelope lines carrying _offset/_partition metadata
+           (gen.py). Both yield the same (value, offset, partition) shape.
+  parse    ingest.parse — P1-P15, shared batch/streaming.
+  sink     foreachBatch → IcebergLite.commit_upsert (exactly-once: Spark
+           checkpoint WAL for offsets + batch-id idempotence in the table's
+           snapshot log; a replayed micro-batch after crash-recovery is
+           detected and skipped — K2/K3).
+  windows  session/tumbling branches with watermarks (windows.py).
+  state    paired-turns stateful join branch (state.py).
+
+Checkpoint recovery (north_rule): restart with the same checkpointLocation →
+Structured Streaming replays the last uncommitted micro-batch; the sink's
+batch-id guard makes the replay a no-op if it had already committed —
+zero duplicate rows (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import ingest
+from .config import TaskSpec
+from .sink import IcebergLite
+
+ENVELOPE_LINE_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def file_broker_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Simulated Kafka: JSON-line envelope files as a rate-limited stream.
+
+    text format keeps the envelope opaque (exactly Kafka's value bytes);
+    maxFilesPerTrigger bounds micro-batch size like maxOffsetsPerTrigger.
+    """
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(dir_path)
+        .select(F.col("value"))
+    )
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest"
+) -> DataFrame:
+    """Real Kafka source (S1) — requires spark-sql-kafka on the classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting)
+        .load()
+        .select("value", "offset", "partition")
+    )
+
+
+def parsed_stream(raw: DataFrame, spec: TaskSpec, from_kafka: bool = False) -> DataFrame:
+    if from_kafka:
+        return ingest.parse(
+            raw, spec, offset_col="offset", partition_col="partition"
+        )
+    return ingest.parse(raw, spec)
+
+
+def start_upsert_sink(
+    parsed: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """K2 exactly-once upsert sink as a streaming query."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_upsert(batch_df, str(batch_id))
+
+    writer = (
+        parsed.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def start_append_sink(
+    parsed: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """K1 append sink (no PK configured — reference append path)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        parsed.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def run_ingest_once(
+    spark: SparkSession,
+    stream_dir: str,
+    spec: TaskSpec,
+    table: IcebergLite,
+    checkpoint: str,
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Process everything currently in the broker dir, then stop (used by
+    tests and the bench; availableNow gives deterministic micro-batching)."""
+    raw = file_broker_stream(spark, stream_dir, max_files_per_trigger)
+    parsed = parsed_stream(raw, spec)
+    q = start_upsert_sink(
+        parsed, table, checkpoint, trigger={"availableNow": True}
+    )
+    q.awaitTermination()

@@ -1,0 +1,277 @@
+"""Stateful stream-stream join of user turns to assistant/tool replies (J1/J2).
+
+north_star: "maintains a stateful stream-stream join of user turns to
+assistant/tool replies via flatMapGroupsWithState-style pandas UDFs over
+Arrow batches"; "turn ordering within each conv_id is enforced by a
+(conv_id, turn_idx) sort inside mapInPandas so per-turn text equality holds
+under replay".
+
+Two implementations with identical final-output semantics:
+
+  * ``paired_turns_batch`` — the declarative batch/parity form: lead() over
+    (conv_id, turn_idx). One shuffle, no state; used by the oracle gate and
+    batch backfills.
+  * ``paired_turns_stream`` — the streaming form: ``applyInPandasWithState``
+    keyed by conv_id. State buffers turns that cannot yet emit; each incoming
+    Arrow batch group is sorted by turn_idx (J2) before matching; a
+    processing-time timeout flushes conversations idle past the session gap.
+    All pandas ops are columnar — no per-row Python in the hot loop.
+
+Shared pairing contract (turn_idx is dense per conv_id, FIXTURES.md §1):
+user turn i pairs with turn i+1 when i+1 is assistant/tool; if i+1 is another
+user turn, turn i emits unpaired (NULL reply columns); a trailing user turn
+emits unpaired at state expiry (stream) / end of input (batch). Requiring
+exact i+1 contiguity makes the streaming result independent of arrival order
+— an out-of-order hole defers emission instead of mis-pairing across it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+from pyspark.sql.window import Window
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("user_turn_idx", IntegerType(), False),
+        StructField("user_text", StringType(), True),
+        StructField("user_ts", TimestampType(), True),
+        StructField("reply_turn_idx", IntegerType(), True),
+        StructField("reply_role", StringType(), True),
+        StructField("reply_text", StringType(), True),
+        StructField("reply_ts", TimestampType(), True),
+        StructField("latency_us", LongType(), True),
+    ]
+)
+
+# buffered unemitted turns, columnar-packed into strings (cheap Arrow state)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idx", StringType(), True),  # csv ints
+        StructField("role", StringType(), True),  # csv
+        StructField("text", StringType(), True),  # \x1f-joined
+        StructField("ts_us", StringType(), True),  # csv int64 micros
+    ]
+)
+
+_US = "\x1f"
+_PAIR_COLS = [f.name for f in PAIR_SCHEMA.fields]
+
+
+def paired_turns_batch(turns: DataFrame) -> DataFrame:
+    """Declarative batch form — the parity oracle's shape."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "ts",
+        F.lead("turn_idx").over(w).alias("n_idx"),
+        F.lead("role").over(w).alias("n_role"),
+        F.lead("text").over(w).alias("n_text"),
+        F.lead("ts").over(w).alias("n_ts"),
+    ).filter(F.col("role") == "user")
+    replied = F.col("n_role").isNotNull() & (F.col("n_role") != "user")
+    return nxt.select(
+        "conv_id",
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("text").alias("user_text"),
+        F.col("ts").alias("user_ts"),
+        F.when(replied, F.col("n_idx")).alias("reply_turn_idx"),
+        F.when(replied, F.col("n_role")).alias("reply_role"),
+        F.when(replied, F.col("n_text")).alias("reply_text"),
+        F.when(replied, F.col("n_ts")).alias("reply_ts"),
+        F.when(
+            replied, F.unix_micros(F.col("n_ts")) - F.unix_micros(F.col("ts"))
+        ).alias("latency_us"),
+    )
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(columns=_PAIR_COLS)
+
+
+def _pair_rows(buf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Vectorized pairing over one conversation's buffered turns.
+
+    Returns (pairs, leftover). Only emits where turn i+1 is present
+    (contiguity); everything not consumed stays in ``leftover``.
+    """
+    df = (
+        buf.sort_values("turn_idx", kind="mergesort")
+        .drop_duplicates(subset=["turn_idx"], keep="first")
+        .reset_index(drop=True)
+    )
+    idx = df["turn_idx"].astype("int64")
+    roles = df["role"]
+    contig = idx.shift(-1) == idx + 1
+    nxt_role = roles.shift(-1)
+    is_user = roles == "user"
+    paired = (is_user & contig & (nxt_role != "user")).fillna(False)
+    closed = (is_user & contig & (nxt_role == "user")).fillna(False)
+    emit = df.index[paired | closed]
+    if not len(emit):
+        return _empty_pairs(), df
+
+    rep = df.shift(-1).loc[emit].reset_index(drop=True)
+    m = paired.loc[emit].reset_index(drop=True).to_numpy()
+    out = pd.DataFrame(
+        {
+            "conv_id": df.loc[emit, "conv_id"].to_numpy(),
+            "user_turn_idx": df.loc[emit, "turn_idx"].astype("int32").to_numpy(),
+            "user_text": df.loc[emit, "text"].to_numpy(),
+            "user_ts": df.loc[emit, "ts"].to_numpy(),
+            "reply_turn_idx": pd.Series(
+                rep["turn_idx"].astype("int64"), dtype="Int64"
+            ).where(m),
+            "reply_role": rep["role"].where(m),
+            "reply_text": rep["text"].where(m),
+            "reply_ts": pd.to_datetime(rep["ts"]).where(m),
+        }
+    )
+    u_us = pd.to_datetime(out["user_ts"]).astype("int64") // 1000  # ns→us
+    r_us = pd.to_datetime(out["reply_ts"]).astype("int64") // 1000
+    out["latency_us"] = pd.Series(r_us - u_us, dtype="Int64").where(m)
+    consumed = set(idx.loc[emit]) | set(
+        idx.loc[e + 1] for e, p in zip(emit, paired.loc[emit]) if p
+    )
+    leftover = df[~df["turn_idx"].isin(consumed)]
+    return out, leftover
+
+
+def _flush_unpaired(leftover: pd.DataFrame) -> pd.DataFrame:
+    users = leftover[leftover["role"] == "user"]
+    n = len(users)
+    return pd.DataFrame(
+        {
+            "conv_id": users["conv_id"].to_numpy(),
+            "user_turn_idx": users["turn_idx"].astype("int32").to_numpy(),
+            "user_text": users["text"].to_numpy(),
+            "user_ts": users["ts"].to_numpy(),
+            "reply_turn_idx": pd.array([None] * n, dtype="Int64"),
+            "reply_role": pd.array([None] * n, dtype=object),
+            "reply_text": pd.array([None] * n, dtype=object),
+            "reply_ts": pd.to_datetime(pd.array([None] * n)),
+            "latency_us": pd.array([None] * n, dtype="Int64"),
+        }
+    )
+
+
+def _unpack_state(state, conv_id: str) -> pd.DataFrame:
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    if not state.exists:
+        return pd.DataFrame(columns=cols)
+    idx_s, role_s, text_s, ts_s = state.get
+    if not idx_s:
+        return pd.DataFrame(columns=cols)
+    idx = [int(x) for x in idx_s.split(",")]
+    return pd.DataFrame(
+        {
+            "conv_id": [conv_id] * len(idx),
+            "turn_idx": idx,
+            "role": role_s.split(","),
+            "text": text_s.split(_US),
+            "ts": pd.to_datetime(
+                pd.array([int(x) for x in ts_s.split(",")], dtype="int64")
+                * 1000  # us → ns
+            ),
+        }
+    )
+
+
+def _pack_state(state, leftover: pd.DataFrame) -> None:
+    if not len(leftover):
+        if state.exists:
+            state.remove()
+        return
+    ts_us = pd.to_datetime(leftover["ts"]).astype("int64") // 1000
+    state.update(
+        (
+            ",".join(str(int(x)) for x in leftover["turn_idx"]),
+            ",".join(leftover["role"].astype(str)),
+            _US.join(leftover["text"].astype(str)),
+            ",".join(str(int(x)) for x in ts_us),
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    return int(n) * {"second": 1000, "minute": 60_000, "hour": 3_600_000}[
+        unit.rstrip("s")
+    ]
+
+
+def _concat_nonempty(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    nonempty = [f for f in frames if len(f)]
+    if not nonempty:
+        return frames[0]
+    return pd.concat(nonempty, ignore_index=True)
+
+
+def paired_turns_stream(
+    turns: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """J1 streaming form: applyInPandasWithState keyed by conv_id.
+
+    Event-time timeouts (not processing-time): a conversation's buffered
+    state expires when the watermark passes last-turn-ts + gap — the same
+    boundary the session windows use, and fully replay-deterministic. At
+    expiry the trailing unpaired user turns flush with NULL reply columns.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .windows import with_watermark
+
+    gap_ms = _duration_ms(gap)
+    turns = with_watermark(turns, "ts", watermark_delay)
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            buf = _unpack_state(state, key[0])
+            state.remove()
+            if len(buf):
+                pairs, leftover = _pair_rows(buf)
+                out = _concat_nonempty([pairs, _flush_unpaired(leftover)])
+                if len(out):
+                    yield out
+            return
+        new = _concat_nonempty(list(pdfs))[
+            ["conv_id", "turn_idx", "role", "text", "ts"]
+        ]
+        buf = _concat_nonempty([_unpack_state(state, key[0]), new])
+        pairs, leftover = _pair_rows(buf)
+        _pack_state(state, leftover)
+        if len(leftover):
+            last_ms = int(
+                pd.to_datetime(leftover["ts"]).astype("int64").max() // 1_000_000
+            )
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if len(pairs):
+            yield pairs
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

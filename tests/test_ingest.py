@@ -1,0 +1,143 @@
+"""Golden-envelope ingest tests — transcript analogue of the reference's
+DeserializedSchemaTest (DeserializedSchemaTest.java:39, :64-146): one
+captured Canal-JSON INSERT envelope deserialized into a fully-typed row,
+asserting every field, NULL handling, and the derived
+is_cdc_delete/offset/partition_idx columns.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import gen, ingest
+from kafka2iceberg_spark.schema import transcript_task
+
+SPEC = transcript_task()
+
+GOLDEN = {
+    "data": [
+        {
+            "conv_id": "c00042",
+            "turn_idx": "7",
+            "role": "assistant",
+            "text": "the plan shuffles once",
+            "tool": "null",
+            "ts": "2024-09-16 11:05:34",
+        }
+    ],
+    "database": "chat",
+    "table": "transcripts",
+    "type": "INSERT",
+    "isDdl": False,
+    "ts": 1726484734000,
+    "es": 1726484733500,
+    "old": None,
+    "pkNames": ["conv_id", "turn_idx"],
+    "sql": "",
+    "_offset": 135189,
+    "_partition": 3,
+}
+
+
+def _raw(spark, envelopes):
+    return spark.createDataFrame(
+        [(json.dumps(e),) for e in envelopes], "value string"
+    )
+
+
+def test_golden_insert_envelope(spark):
+    row = ingest.parse(_raw(spark, [GOLDEN]), SPEC).collect()[0]
+    assert row.conv_id == "c00042"
+    assert row.turn_idx == 7 and isinstance(row.turn_idx, int)
+    assert row.role == "assistant"
+    assert row.text == "the plan shuffles once"
+    assert row.tool is None  # textual "null" → SQL NULL (P8)
+    assert row.ts == datetime.datetime(2024, 9, 16, 11, 5, 34)
+    assert row.offset == 135189  # P12
+    assert row.partition_idx == 3  # P13
+    assert row.is_cdc_delete is False  # P11
+
+
+def test_delete_flag_case_insensitive(spark):
+    e = dict(GOLDEN, type="delete")
+    row = ingest.parse(_raw(spark, [e]), SPEC).collect()[0]
+    assert row.is_cdc_delete is True
+
+
+def test_routing_filter_drops_foreign_tables(spark):
+    # P3: database/table equi-predicate (DeserializedSchema.java:100-107)
+    wrong_db = dict(GOLDEN, database="other")
+    wrong_tbl = dict(GOLDEN, table="other")
+    out = ingest.parse(_raw(spark, [GOLDEN, wrong_db, wrong_tbl]), SPEC)
+    assert out.count() == 1
+
+
+def test_query_type_dropped(spark):
+    # P4: 'query' events dropped, case-insensitive + trimmed
+    q = dict(GOLDEN, type="  Query ")
+    out = ingest.parse(_raw(spark, [GOLDEN, q]), SPEC)
+    assert out.count() == 1
+
+
+def test_tombstone_dropped(spark):
+    # P1: null payloads (Kafka tombstones)
+    df = spark.createDataFrame([(json.dumps(GOLDEN),), (None,)], "value string")
+    assert ingest.parse(df, SPEC).count() == 1
+
+
+def test_multi_row_batch_flattens(spark):
+    # P6: one output row per data[] element (Canal batches rows)
+    e = dict(GOLDEN)
+    e["data"] = [
+        dict(GOLDEN["data"][0], turn_idx=str(i), text=f"t{i}") for i in range(5)
+    ]
+    out = ingest.parse(_raw(spark, [e]), SPEC)
+    assert out.count() == 5
+    assert {r.turn_idx for r in out.collect()} == set(range(5))
+
+
+def test_not_null_enforcement_raises(spark):
+    # P8: not-null violation must fail the task like the reference's
+    # IllegalArgumentException (DeserializedSchema.java:153-156)
+    e = dict(GOLDEN)
+    e["data"] = [dict(GOLDEN["data"][0], conv_id="null")]
+    with pytest.raises(Exception, match="cannot be null"):
+        ingest.parse(_raw(spark, [e]), SPEC).collect()
+
+
+def test_violations_dead_letter_routing(spark):
+    e = dict(GOLDEN)
+    e["data"] = [dict(GOLDEN["data"][0], conv_id="null")]
+    parsed = ingest.parse(_raw(spark, [GOLDEN, e]), SPEC, enforce_not_null=False)
+    assert ingest.violations(parsed, SPEC).count() == 1
+
+
+def test_generator_roundtrip(spark):
+    # every generated envelope parses; per-turn text equality holds for the
+    # deduped INSERT set vs the ground-truth turns (the parity invariant)
+    cfg = gen.GenConfig(n_convs=5, turns_per_conv=6, mega_convs=0, seed=7)
+    envs = gen.envelopes(cfg)
+    parsed = ingest.parse(_raw(spark, envs), SPEC)
+    truth = {(t["conv_id"], t["turn_idx"]): t["text"] for t in gen.turns(cfg)}
+    got = (
+        parsed.filter(~F.col("is_cdc_delete"))
+        .select("conv_id", "turn_idx", "text")
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .collect()
+    )
+    assert len(got) == len(truth)
+    for r in got:
+        assert truth[(r.conv_id, r.turn_idx)] == r.text
+
+
+def test_timestamp_second_precision(spark):
+    # reference parses yyyy-MM-dd HH:mm:ss (DateTimeUtils.java:15-20);
+    # envelope ts strings are second-precision by construction
+    cfg = gen.GenConfig(n_convs=2, turns_per_conv=3, mega_convs=0)
+    parsed = ingest.parse(_raw(spark, gen.envelopes(cfg)), SPEC)
+    r = parsed.select("ts").first()
+    assert r.ts.microsecond == 0

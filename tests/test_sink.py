@@ -1,0 +1,135 @@
+"""Sink semantics tests: K1 append, K2 equality-upsert (last-writer-wins,
+DELETE removal), K3 idempotent replay (batch-id guard), atomic snapshot
+visibility, per-partition lineage — the reference's FlinkSink contract
+(Kafka2IcebergApp.java:86-113) re-expressed over IcebergLite.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark.sink import IcebergLite, dedup_batch
+
+PK = ["conv_id", "turn_idx"]
+TS = datetime.datetime(2024, 9, 1, 12, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, ts timestamp,"
+        " offset long, partition_idx int, is_cdc_delete boolean",
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=PK)
+    yield t
+    t.drop()
+
+
+def test_append_and_read(spark, table):
+    b = _batch(spark, [("c1", 0, "hello", TS, 0, 0, False)])
+    assert table.commit_append(b, "0") is True
+    assert table.read(spark).count() == 1
+
+
+def test_append_replay_is_noop(spark, table):
+    b = _batch(spark, [("c1", 0, "hello", TS, 0, 0, False)])
+    assert table.commit_append(b, "0")
+    assert table.commit_append(b, "0") is False  # K3 batch-id guard
+    assert table.read(spark).count() == 1
+
+
+def test_upsert_last_writer_wins(spark, table):
+    b1 = _batch(spark, [("c1", 0, "v1", TS, 0, 0, False)])
+    table.commit_upsert(b1, "0")
+    b2 = _batch(spark, [("c1", 0, "v2", TS, 1, 0, False)])
+    table.commit_upsert(b2, "1")
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].text == "v2"
+
+
+def test_upsert_in_batch_dedup(spark, table):
+    # same PK twice within one batch: higher offset wins (arrival order)
+    b = _batch(
+        spark,
+        [("c1", 0, "old", TS, 0, 0, False), ("c1", 0, "new", TS, 5, 0, False)],
+    )
+    table.commit_upsert(b, "0")
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].text == "new"
+
+
+def test_upsert_delete_removes_key(spark, table):
+    table.commit_upsert(
+        _batch(spark, [("c1", 0, "v", TS, 0, 0, False), ("c1", 1, "w", TS, 1, 0, False)]),
+        "0",
+    )
+    table.commit_upsert(_batch(spark, [("c1", 0, "v", TS, 2, 0, True)]), "1")
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0].turn_idx == 1
+
+
+def test_upsert_replay_idempotent(spark, table):
+    b = _batch(spark, [("c1", 0, "v", TS, 0, 0, False)])
+    assert table.commit_upsert(b, "7")
+    assert table.commit_upsert(b, "7") is False
+    assert table.read(spark).count() == 1
+
+
+def test_partition_pruned_rewrite(spark, table):
+    # CoW MERGE must rewrite only affected date partitions: day-1 files
+    # carry forward by reference when a day-2 batch commits
+    d1 = _batch(spark, [("c1", 0, "a", TS, 0, 0, False)])
+    table.commit_upsert(d1, "0")
+    files_before = {
+        f["path"] for f in table.current_snapshot()["manifests"]["2024-09-01"]
+    }
+    d2 = _batch(
+        spark, [("c2", 0, "b", TS + datetime.timedelta(days=1), 1, 0, False)]
+    )
+    table.commit_upsert(d2, "1")
+    snap = table.current_snapshot()
+    assert set(snap["manifests"].keys()) == {"2024-09-01", "2024-09-02"}
+    assert {f["path"] for f in snap["manifests"]["2024-09-01"]} == files_before
+
+
+def test_lineage_offsets(spark, table):
+    b = _batch(
+        spark,
+        [
+            ("c1", 0, "a", TS, 10, 0, False),
+            ("c1", 1, "b", TS, 11, 0, False),
+            ("c2", 0, "c", TS, 3, 1, False),
+        ],
+    )
+    table.commit_upsert(b, "0")
+    lin = table.lineage()
+    assert len(lin) == 1
+    assert lin[0]["offsets"]["0"] == [10, 11]
+    assert lin[0]["offsets"]["1"] == [3, 3]
+    assert lin[0]["rows"] == 3
+
+
+def test_dedup_batch_offset_replay(spark):
+    # duplicate (partition_idx, offset) = replayed record → dropped
+    b = _batch(
+        spark,
+        [("c1", 0, "x", TS, 0, 0, False), ("c1", 0, "x", TS, 0, 0, False)],
+    )
+    assert dedup_batch(b, PK).count() == 1
+
+
+def test_snapshot_chain(spark, table):
+    for i in range(3):
+        table.commit_append(
+            _batch(spark, [(f"c{i}", 0, "t", TS, i, 0, False)]), str(i)
+        )
+    assert table.current_version() == 3  # v0 empty + 3 commits
+    assert table.committed_batches() == {"0", "1", "2"}
+    assert table.read(spark).count() == 3

@@ -1,0 +1,133 @@
+"""Windowing semantics tests (W1-W5, X1) on deterministic generated turns."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import gen, windows
+
+CFG = gen.GenConfig(
+    n_convs=6, turns_per_conv=12, mega_convs=1, mega_turns=60, seed=11,
+    ooo_fraction=0.0, late_fraction=0.0, dup_fraction=0.0, delete_fraction=0.0,
+)
+
+
+def _turns_df(spark, cfg=CFG):
+    return spark.createDataFrame(
+        [
+            (t["conv_id"], t["turn_idx"], t["role"], t["text"], t["tool"], t["ts"].replace(tzinfo=None))
+            for t in gen.turns(cfg)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_tumbling_counts_total(spark):
+    df = _turns_df(spark)
+    out = windows.tumbling(df, "5 minutes", [], [F.count(F.lit(1)).alias("n")])
+    rows = out.collect()
+    assert sum(r.n for r in rows) == df.count()
+    # bounds aligned to the window size
+    for r in rows:
+        assert r.window_start_us % (5 * 60 * 1_000_000) == 0
+        assert r.window_end_us - r.window_start_us == 5 * 60 * 1_000_000
+
+
+def test_sliding_double_assignment(spark):
+    df = _turns_df(spark)
+    out = windows.sliding(
+        df, "10 minutes", "5 minutes", [], [F.count(F.lit(1)).alias("n")]
+    )
+    # every row lands in exactly size/slide = 2 windows
+    assert sum(r.n for r in out.collect()) == 2 * df.count()
+
+
+def test_session_gap_semantics(spark):
+    # generator breaks sessions every 8 turns with a 1h jump; gap=30min must
+    # recover exactly ceil(turns/8) sessions per conversation
+    df = _turns_df(spark)
+    out = windows.sessionize(df, "30 minutes", ["conv_id"])
+    per_conv = {
+        r.conv_id: r.ns
+        for r in out.groupBy("conv_id").agg(F.count(F.lit(1)).alias("ns")).collect()
+    }
+    for conv, n_turns in [(f"c{i:05d}", 12) for i in range(6)] + [("c00006", 60)]:
+        expected = -(-n_turns // CFG.session_break_every)  # ceil
+        assert per_conv[conv] == expected, conv
+    # session_end = last ts + gap; n_turns sums to total
+    assert out.agg(F.sum("n_turns")).first()[0] == df.count()
+
+
+def test_session_bounds(spark):
+    df = _turns_df(spark)
+    out = windows.sessionize(
+        df,
+        "30 minutes",
+        ["conv_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        ],
+    )
+    for r in out.collect():
+        assert r.session_end_us == r.last_us + 30 * 60 * 1_000_000
+        assert r.session_start_us <= r.last_us
+
+
+def test_late_rows_batch_policy(spark):
+    # arrival order: t=0m, 20m, then a straggler at event-time 5m (15m older
+    # than max seen) → late for delay=10m, on-time for delay=30m
+    base = datetime.datetime(2024, 9, 1)
+    rows = [
+        (1, base),
+        (2, base + datetime.timedelta(minutes=20)),
+        (3, base + datetime.timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(rows, "arrival_seq int, ts timestamp")
+    late10 = {r.arrival_seq: r.is_late for r in windows.late_rows_batch(df, 600).collect()}
+    assert late10 == {1: False, 2: False, 3: True}
+    late30 = {r.arrival_seq: r.is_late for r in windows.late_rows_batch(df, 1800).collect()}
+    assert late30 == {1: False, 2: False, 3: False}
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _turns_df(spark)
+    plain = {
+        r.conv_id: r.n
+        for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {r.conv_id: r.n for r in windows.salted_agg(df, "conv_id", 8).collect()}
+    assert salted == plain
+
+
+def test_streaming_watermark_applied(spark, tmp_path):
+    # W1 wiring: watermark attaches on a streaming frame without error and
+    # session aggregation runs in append mode
+    src = str(tmp_path / "src")
+    import json, os
+
+    os.makedirs(src)
+    cfg = gen.GenConfig(n_convs=3, turns_per_conv=6, mega_convs=0)
+    gen.write_stream_files(cfg, src, files=2)
+    from kafka2iceberg_spark import ingest, pipeline
+    from kafka2iceberg_spark.schema import transcript_task
+
+    raw = pipeline.file_broker_stream(spark, src, max_files_per_trigger=10)
+    parsed = ingest.parse(raw, transcript_task())
+    sess = windows.sessionize(
+        windows.with_watermark(parsed, "ts", "10 minutes"),
+        "30 minutes",
+        ["conv_id"],
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) c from sess_test").first().c
+    assert n > 0
