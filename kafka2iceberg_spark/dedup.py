@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+The reference deduplicates only on (kafka partition, offset) + PK upsert
+(task.json:71-82; SURVEY.md §2.1 K3 — handled in sink.py). A training-data
+pipeline additionally needs *content* dedup at corpus scale; these operators
+provide it Spark-first:
+
+  * exact        — fingerprint (md5 of normalized text) → hash groupBy; one
+                   shuffle on a 16-char key, min(doc_id) keeper per group.
+  * ngram Jaccard— char-3-gram shingle sets, exact pairwise Jaccard via a
+                   shingle-inverted-index self-join. Exact but quadratic in
+                   colliding docs — the small-scale oracle baseline.
+  * MinHash+LSH  — 16 permutations min-hash signature, 4 bands × 4 rows;
+                   candidate pairs share ≥1 band bucket. The 100 TB path:
+                   cost is O(docs × shingles) + a band-bucket shuffle; no
+                   quadratic blowup. Estimated Jaccard = matching-signature
+                   fraction.
+  * SimHash      — 60-bit sign-of-weighted-bit-sums over tokens; hamming
+                   proximity ⇒ near-dup. Signature computation here; banding
+                   for pair search mirrors the MinHash approach.
+  * embedding    — cosine near-dup blocked by a coarse key (label bucket =
+                   IVF-cell analogue) so the pairwise join never goes global.
+
+Parity: every hash derives from md5 hex prefixes (portable), all modular
+arithmetic stays below 2^63, and each operator has a line-for-line ANSI-SQL
+mirror in ``__spark_entry__.oracle_sql`` verified by the driver at sf0.01.
+
+Scale notes: all joins here key on short digests; the LSH band join
+broadcasts nothing and relies on AQE to coalesce skewed buckets (a stopword
+shingle bucket can be huge — the band hash of 4 minhashes spreads it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import fingerprint, hash32, hash64, norm_text
+
+# fixed MinHash permutations (seeded once, inlined for engine portability)
+MINHASH_P = 2147483647
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (695425565, 2035525362), (323946140, 847876999),
+    (1397871145, 103694312), (155555738, 1763673106),
+    (1150797846, 202142728), (785310973, 1251527726),
+    (124551739, 1953574602), (1089709947, 461060838),
+    (80521325, 184570285), (931247022, 898017869),
+    (150013384, 516819858), (194804717, 1183364967),
+    (911648020, 126938843), (1775651416, 1214302567),
+    (265862674, 2034632750), (479402029, 1354258844),
+]
+N_PERMS = len(MINHASH_PERMS)
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+SIMHASH_BITS = 60
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content dedup: (doc_id, fingerprint, keeper_id, group_size).
+
+    keeper_id = min doc_id sharing the fingerprint. One hash shuffle on the
+    digest; map-side combine makes the agg cheap even with 10^12 rows.
+    """
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(id_col, "fp", "keeper_id", "group_size")
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct char-n-gram shingles of the normalized text, exploded.
+
+    Stays declarative: sequence+transform+explode inside codegen; the
+    array_distinct bounds the per-doc row count by unique shingles.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_norm) - {n - 1}, 0)),"
+                    f" i -> substring(_norm, i, {n}))"
+                )
+            )
+        ).alias("g"),
+    ).where(F.length("g") == n)
+
+
+def _with_norm(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.withColumn("_norm", norm_text(F.col(text_col)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard).
+
+    Inverted-index self-join on shingles; |A∩B| from the join, sizes from a
+    pre-agg. Quadratic in docs per shared shingle — use MinHash at scale.
+    """
+    sh = shingles(_with_norm(docs, text_col), id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_base_hash() -> Column:
+    return hash32(F.col("g")) % MINHASH_P
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: one column ``mh{i}`` per permutation.
+
+    groupBy(doc) with N_PERMS min() aggregates — a single shuffle with full
+    map-side partial aggregation (each mapper emits one row per doc).
+    """
+    sh = shingles(_with_norm(docs, text_col), id_col=id_col).withColumn(
+        "h", _shingle_base_hash()
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs (doc_a, doc_b, est_jaccard).
+
+    Bands of ROWS_PER_BAND signature rows are digested; docs sharing any
+    band digest become candidates; est_jaccard = fraction of matching
+    signature components. The band join keys on (band_idx, digest) — short
+    keys, shuffle-balanced, no cartesian anywhere.
+    """
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    mh_cols = [f"mh{i}" for i in range(N_PERMS)]
+    bands = sig.select(
+        F.col(id_col),
+        *mh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"mh{bi * ROWS_PER_BAND + r}"
+                                    ).cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), *mh_cols, "bb.band", "bb.bh")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[
+                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
+                for i in range(N_PERMS)
+            ],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = sum(F.col(f"eq{i}") for i in range(N_PERMS)) / F.lit(float(N_PERMS))
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc over distinct normalized tokens.
+
+    explode(tokens) × explode(bit index) → two-level hash-agg; both aggs get
+    map-side combine, so the shuffled volume is docs × 60 rows max.
+    """
+    toks = (
+        _with_norm(docs, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.col("_norm"), " "))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .withColumn("h", hash64(F.col("t")))
+    )
+    bits = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        "w",
+        F.when(
+            F.expr("shiftright(h, CAST(j AS INT))").bitwiseAND(F.lit(1)) == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    per_bit = bits.groupBy(id_col, "j").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by a coarse bucket.
+
+    The block key (cluster label / IVF cell) keeps the pairwise join within
+    buckets — at 10^9 vectors the cross product never goes global. Dot
+    products are ordered left-fold double sums (engine-portable bit-exact).
+    """
+    d = emb.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a, b = d.alias("a"), d.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

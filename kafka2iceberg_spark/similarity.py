@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, same output contract (query_id, neighbor_id, rank, cosine):
+
+  * ``brute_topk``   — exact: broadcast the (small) query set against the
+                       corpus, ordered-fold dot products in codegen, window
+                       rank per query. The correctness baseline; cost is
+                       O(|queries| × |corpus|) but fully scan-parallel —
+                       viable whenever |queries| is broadcast-sized.
+  * ``lsh_topk``     — approximate scale path: sign-of-projection bucketing
+                       on fixed hyperplanes (random-hyperplane LSH). Corpus
+                       and queries hash to buckets; candidates share a
+                       bucket in any of several hash tables; exact rerank
+                       only within candidates. At 10^9 vectors the pairwise
+                       work drops by the bucket selectivity (~2^-bits per
+                       table) while recall stays high for near neighbors.
+
+Hyperplanes are seeded literals (no RNG at plan time) derived from md5 of
+(table, plane, dim) — deterministic across runs/engines, no stored model.
+
+Dot products cast float→double then left-fold — bit-exact against the
+DuckDB oracle (verified empirically; see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast — no shuffle of the corpus; ranking is one
+    window per query id. Ties break on neighbor_id (deterministic).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    out: list[float] = []
+    for d in range(dim):
+        h = hashlib.md5(f"lsh:{table}:{plane}:{d}".encode()).digest()
+        v = int.from_bytes(h[:4], "big")
+        out.append((v / 2**31) - 1.0)  # [-1, 1)
+    return out
+
+
+def lsh_bucket(
+    vec: Column, dim: int, table: int, n_planes: int = 8
+) -> Column:
+    """Bucket id = sign-bit string of projections onto n_planes hyperplanes."""
+    bits = []
+    for pl in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(table, pl, dim)])
+        proj = _dot(_as_double(vec), plane)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH + exact rerank.
+
+    Each side is hashed into n_tables buckets; the candidate join keys on
+    (table, bucket) — a normal hash shuffle whose fan-in AQE balances. The
+    rerank is exact cosine over candidates only.
+    """
+    def hashed(df: DataFrame, role: str) -> DataFrame:
+        e = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            _as_double(F.col(vec_col)).alias(f"{role}_e"),
+        )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(f"{role}_e"), dim, t, n_planes).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return e.select(
+            f"{role}_id", f"{role}_e", F.explode(tables).alias("tb")
+        ).select(f"{role}_id", f"{role}_e", "tb.t", "tb.b")
+
+    c = hashed(corpus, "neighbor")
+    q = hashed(queries, "query")
+    cand = (
+        c.join(q, ["t", "b"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_e"), F.col("neighbor_e")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Beyond the reference's ingest semantics (it has no text functions at all —
+its only 'functions' are scalar casts, DeserializedSchema.java:157-171), a
+100 TB transcript/document engine needs language-ID, quality scoring, token
+counting and fingerprinting. Everything here is a pure ``pyspark.sql.functions``
+column expression — JVM-side, whole-stage-codegen'd, zero Python in the hot
+path — and each has a DuckDB-runnable ANSI-SQL mirror in ``__spark_entry__``
+so the driver's oracle gate can verify it value-for-value.
+
+Determinism notes (parity-critical):
+  * normalization uses explicit char classes ``[^a-z0-9 ]`` / ``" +"`` — no
+    \\s shorthand, so Java-regex (Spark) and RE2 (DuckDB) agree byte-for-byte;
+  * hashes derive from md5 hex prefixes (identical in every engine) rather
+    than engine-native hash();
+  * ratios are rounded to fixed decimals before they leave the operator.
+
+At scale: all ops are embarrassingly parallel (no shuffle); the only scan
+cost is the text column itself, so column pruning keeps everything else out
+of the read path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker heuristic language ID.
+# Tie-break order is the list order (first wins).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "to", "and", "is", "in", "that"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"]),
+    ("fr", ["le", "la", "les", "et", "est", "un", "une", "que"]),
+    ("es", ["el", "los", "las", "es", "un", "una", "que", "y"]),
+    ("zh", ["de", "shi", "le", "wo", "ni", "ta", "zai", "bu"]),
+]
+
+STOPWORDS = ["the", "a", "of", "to", "and", "is", "in", "on", "for", "with"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum-non-space
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def norm_text(c: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse runs of spaces, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def hash64(c: Column) -> Column:
+    """Engine-portable 60-bit hash: int(md5(s)[0:15], 16). Matches
+    DuckDB ``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash32(c: Column) -> Column:
+    """Engine-portable 32-bit hash: int(md5(s)[0:8], 16)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    n = norm_text(c)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def n_tokens(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish subword count: regex pre-tokenization over the lowered text."""
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+    ).cast("long")
+
+
+def stopword_ratio(c: Column) -> Column:
+    t = tokens(c)
+    sw = F.size(
+        F.filter(t, lambda x: x.isin(*STOPWORDS))
+    )
+    return F.round(
+        F.when(F.size(t) > 0, sw / F.size(t)).otherwise(F.lit(0.0)), 4
+    )
+
+
+def alpha_ratio(c: Column) -> Column:
+    """Fraction of raw characters that are ascii letters."""
+    letters = F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    return F.round(
+        F.when(F.length(c) > 0, letters / F.length(c)).otherwise(F.lit(0.0)),
+        4,
+    )
+
+
+def avg_word_len(c: Column) -> Column:
+    """Mean token length; norm text has single spaces, so total token chars
+    = len(norm) - (n_tokens - 1) — exact, no per-token aggregation."""
+    n = norm_text(c)
+    k = F.size(tokens(c))
+    return F.round(
+        F.when(k > 0, (F.length(n) - (k - F.lit(1))) / k).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on longs without F.expr: (a - a mod b) / b.
+
+    The subtraction makes the numerator an exact multiple, so the double
+    division is exact (results stay far below 2^53). Returns 0 when b <= 0.
+    Engine-portable equivalent of DuckDB's ``//`` for non-negative inputs.
+    """
+    return (
+        F.when(b > 0, (a - F.pmod(a, b)) / b).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def stopword_ppm(c: Column) -> Column:
+    """Stopword ratio in exact parts-per-million (integer, portable)."""
+    t = tokens(c)
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+    return _idiv(sw * 1_000_000, F.size(t).cast("long"))
+
+
+def alpha_ppm(c: Column) -> Column:
+    letters = (
+        F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    ).cast("long")
+    return _idiv(letters * 1_000_000, F.length(c).cast("long"))
+
+
+def avg_word_len_ppm(c: Column) -> Column:
+    n = norm_text(c)
+    k = F.size(tokens(c)).cast("long")
+    return _idiv((F.length(n) - (k - F.lit(1))) * 1_000_000, k)
+
+
+def quality_ppm(c: Column) -> Column:
+    """Composite quality in ppm: 0.4·len-score + 0.3·stopword + 0.3·alpha,
+    all in exact integer arithmetic (mirrors the oracle bit-for-bit)."""
+    t = tokens(c)
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+    letters = (
+        F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    ).cast("long")
+    len_part = F.lit(800) * F.least(F.length(c).cast("long"), F.lit(500))
+    return (
+        len_part
+        + _idiv(sw * 300_000, F.size(t).cast("long"))
+        + _idiv(letters * 300_000, F.length(c).cast("long"))
+    ).cast("long")
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic (length, stopwords, alpha purity).
+
+    Deterministic arithmetic only; mirrored verbatim in the oracle SQL.
+    """
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * stopword_ratio(c)
+        + F.lit(0.3) * alpha_ratio(c),
+        4,
+    )
+
+
+def lang_scores(c: Column) -> list[Column]:
+    """Marker-hit count per language, in LANG_MARKERS order."""
+    t = tokens(c)
+    return [
+        F.size(F.filter(t, lambda x: x.isin(*markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS
+    ]
+
+
+def lang_id(c: Column) -> Column:
+    """Predicted language = argmax marker count, first-listed wins ties."""
+    scores = lang_scores(c)
+    best = F.greatest(*scores)
+    out: Column = F.lit("und")
+    # build the CASE from last to first so earlier languages win ties
+    for (lang, _), s in reversed(list(zip(LANG_MARKERS, scores))):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(c: Column) -> Column:
+    """64-bit content fingerprint: md5 prefix of the normalized text.
+
+    Exact-dedup key: two documents with the same normalized content collide
+    with ~2^-64 false-positive probability; grouping on it is one shuffle.
+    """
+    return F.substring(F.md5(norm_text(c)), 1, 16)
