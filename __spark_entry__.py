@@ -51,9 +51,19 @@ def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table; ``spread=True`` round-robins the rows across
+    the cluster first. The sandbox tables are single-row-group parquet files
+    (unsplittable scans → 1-way map stages); compute-heavy operators
+    repartition so per-row work parallelizes. On a real 100 TB layout the
+    scan itself is thousands of splits and this is a no-op decision."""
     _utc(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------- streaming /
@@ -265,7 +275,7 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", spread=True)
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -280,12 +290,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", tx.lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -293,7 +303,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     copies = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -301,7 +311,7 @@ def _docs_aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_aug_near(spark: SparkSession, sf_dir: str, subset: bool) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     base = d.where(F.col("doc_id") % 5 == 0) if subset else d
     variants = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -327,12 +337,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_read(spark, sf_dir, "documents"))
+    return dd.simhash(_read(spark, sf_dir, "documents", spread=True))
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_neardup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35
+        _read(spark, sf_dir, "embeddings", spread=True), threshold=0.35
     )
 
 
@@ -340,7 +350,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 8)
     out = sim.brute_topk(emb, q, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -348,7 +358,7 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (rows-only check; recall vs brute covered in pytest)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 8)
     out = sim.lsh_topk(emb, q, k=5, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -358,13 +368,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mm.as_blobs(_read(spark, sf_dir, "documents")).select(
+    return mm.as_blobs(_read(spark, sf_dir, "documents", spread=True)).select(
         "doc_id", "mime", "n_bytes", "sha"
     )
 
 
 def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blobs = mm.as_blobs(_read(spark, sf_dir, "documents"))
+    blobs = mm.as_blobs(_read(spark, sf_dir, "documents", spread=True))
     return mm.extract_features(blobs).select(
         "doc_id", "n_bytes", "byte_mean_ppm", "head_hex"
     )
@@ -378,7 +388,7 @@ def _dec(c: str) -> F.Column:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
@@ -398,7 +408,7 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -415,7 +425,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
     orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

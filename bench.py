@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run, one JSON line on stdout).
+
+Measures, on local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR:
+
+  1. headline query wall-clock (full materialization via noop writes),
+  2. sustained streaming-ingest throughput (gen → envelope parse →
+     exactly-once upsert sink), warm (2nd run timed — the steady state a
+     long-lived streaming job actually operates in),
+  3. N vs 4N scaling (north_rule): the flagship session-window CEP job over
+     an in-Spark-generated 50M-turn transcript table, warm median of 2 at
+     local[N/4] and local[N]. Shuffle dirs on /dev/shm (cluster local-NVMe
+     analogue). Alongside raw efficiency we report the measured
+     *hardware ceiling*: a pure-CPU multiprocess burn at the same two
+     parallelism levels — on a single box, 4× threads ≠ 4× memory bandwidth,
+     so the ceiling (typically ~0.8 here) bounds ANY job; efficiency_norm
+     = raw / ceiling is the cluster-extrapolation figure (a real 4N-executor
+     cluster scales bandwidth with N).
+
+Output: {"metric", "value": <total query sec>, "unit": "sec",
+         "queries": {...}, "sf", "ingest": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 50_000_000))
+
+HEADLINE = [
+    "session_window",
+    "tumbling_window",
+    "paired_turns",
+    "conversation_stats",
+    "envelope_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "blob_features",
+    "pricing_summary",
+    "nation_revenue",
+]
+
+SCALE_GEN = dict(
+    n_convs=1200, turns_per_conv=100, mega_convs=4, mega_turns=5000,
+    n_partitions=16,
+)
+BROKER_FILES = 64
+FILES_PER_TRIGGER = 64
+
+
+def session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("k2i-bench")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.local.dir", f"/dev/shm/k2i-bench-{cores}")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def gen_broker(root: str) -> int:
+    from kafka2iceberg_spark.gen import GenConfig, write_stream_files
+
+    cfg = GenConfig(**SCALE_GEN)
+    write_stream_files(cfg, f"{root}/broker", files=BROKER_FILES)
+    return sum(
+        1
+        for p in os.listdir(f"{root}/broker")
+        for _ in open(os.path.join(f"{root}/broker", p))
+    )
+
+
+def ingest_run(spark, root: str, tag: str) -> float:
+    from kafka2iceberg_spark.pipeline import run_ingest_once
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    spec = transcript_task()
+    table = IcebergLite(f"{root}/tbl-{tag}", pk=spec.primary_keys)
+    t0 = time.monotonic()
+    run_ingest_once(
+        spark, f"{root}/broker", spec, table, f"{root}/ckpt-{tag}",
+        max_files_per_trigger=FILES_PER_TRIGGER,
+    )
+    return time.monotonic() - t0
+
+
+def cep_job(spark, n_rows: int) -> None:
+    """Flagship scaling job: synthesize n_rows transcript turns in-Spark
+    (zero input IO — pure engine work) and run gap-closed session windows."""
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import windows as win
+
+    convs = max(n_rows // 50, 1)
+    df = spark.range(n_rows).select(
+        F.concat(F.lit("c"), (F.col("id") % convs).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("id") / convs).cast("int").alias("turn_idx"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("id") % convs) * 1_000_000
+            + (F.col("id") / convs).cast("long") * 120_000_000
+        ).alias("ts"),
+    )
+    _force(
+        win.sessionize(
+            df,
+            "10 minutes",
+            ["conv_id"],
+            [F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("m")],
+        )
+    )
+
+
+def scale_level(cores: int, n_rows: int) -> float:
+    """Warm median wall for the CEP job at one parallelism level."""
+    spark = session(cores)
+    try:
+        cep_job(spark, n_rows)  # warm JIT/codegen
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            cep_job(spark, n_rows)
+            walls.append(time.monotonic() - t0)
+        return statistics.median(walls)
+    finally:
+        spark.stop()
+
+
+def _burn(_):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def cpu_ceiling(lo: int, hi: int) -> float:
+    """Measured per-process throughput retention from lo → hi parallel
+    processes: the single-box upper bound on any job's scaling efficiency."""
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            rates[n] = sum(p.map(_burn, range(n))) / n
+    return rates[hi] / rates[lo]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    root = tempfile.mkdtemp(prefix="k2i_bench_")
+    try:
+        n_env = gen_broker(root)
+
+        spark = session(CPUS)
+        queries = time_queries(spark)
+        ingest_run(spark, root, "warm")  # steady-state warmup
+        wall_ing = ingest_run(spark, root, "timed")
+        spark.stop()
+
+        result: dict = {
+            "metric": (
+                "headline query wall-clock + warm streaming-ingest turns/sec"
+                " + session-window CEP N→4N scaling efficiency"
+            ),
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "ingest": {
+                "envelopes": n_env,
+                "wall_sec": round(wall_ing, 2),
+                "turns_per_sec": round(n_env / wall_ing, 1),
+                "cores": CPUS,
+            },
+        }
+
+        if RUN_SCALING and CPUS >= 4:
+            lo = max(CPUS // 4, 1)
+            w_lo = scale_level(lo, SCALE_ROWS)
+            w_hi = scale_level(CPUS, SCALE_ROWS)
+            ceiling = cpu_ceiling(lo, CPUS)
+            eff = (w_lo / w_hi) / (CPUS / lo)
+            result["scaling"] = {
+                "job": f"session-window CEP over {SCALE_ROWS} synthetic turns",
+                "cores_n": lo,
+                "cores_4n": CPUS,
+                "wall_n_sec": round(w_lo, 2),
+                "wall_4n_sec": round(w_hi, 2),
+                "rows_per_sec_n": round(SCALE_ROWS / w_lo, 0),
+                "rows_per_sec_4n": round(SCALE_ROWS / w_hi, 0),
+                "efficiency_raw": round(eff, 3),
+                "hw_ceiling": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(min(eff / ceiling, 1.0), 3),
+            }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        for d in (f"/dev/shm/k2i-bench-{CPUS}", f"/dev/shm/k2i-bench-{max(CPUS // 4, 1)}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -196,8 +196,13 @@ class IcebergLite:
         stage = os.path.join(
             self.data_dir, f"b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
+        # cluster rows by partition value before the partitionBy write:
+        # one task (→ one file) per date partition instead of
+        # tasks × partitions tiny files — at scale this is the difference
+        # between |days| manifest entries and |days|·|shuffle.partitions|.
         (
             df.withColumn("_p", self._partition_expr(df))
+            .repartition(F.col("_p"))
             .write.partitionBy("_p")
             .parquet(stage, mode="overwrite")
         )
@@ -253,20 +258,25 @@ class IcebergLite:
                 json.dump(df.schema.jsonValue(), fh)
 
     def _lineage_record(self, df_cached: DataFrame, batch_id: str) -> dict:
-        stats = (
-            df_cached.groupBy("partition_idx")
-            .agg(
-                F.min("offset").alias("min_offset"),
-                F.max("offset").alias("max_offset"),
-                F.count(F.lit(1)).alias("rows"),
+        """One aggregation job: per-(kafka)partition offset ranges + counts;
+        total rows derived from the same result (no second count job)."""
+        if "partition_idx" in df_cached.columns:
+            stats = (
+                df_cached.groupBy("partition_idx")
+                .agg(
+                    F.min("offset").alias("min_offset"),
+                    F.max("offset").alias("max_offset"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .collect()
             )
-            .collect()
-            if "partition_idx" in df_cached.columns
-            else []
-        )
+            rows = sum(r["rows"] for r in stats)
+        else:
+            stats = []
+            rows = df_cached.count()
         return {
             "batch_id": str(batch_id),
-            "rows": df_cached.count(),
+            "rows": rows,
             "offsets": {
                 str(r["partition_idx"]): [r["min_offset"], r["max_offset"]]
                 for r in stats
