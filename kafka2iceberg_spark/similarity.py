@@ -107,8 +107,8 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_tables: int = 4,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -117,6 +117,12 @@ def lsh_topk(
     Each side is hashed into n_tables buckets; the candidate join keys on
     (table, bucket) — a normal hash shuffle whose fan-in AQE balances. The
     rerank is exact cosine over candidates only.
+
+    Tuning: candidate fraction ≈ n_tables · 2^-n_planes; recall rises with
+    n_tables and falls with n_planes. Defaults (8×4 bits) give ~0.7+ recall
+    even on near-uniform random vectors (the hardest case — no locality to
+    exploit); clustered real-world embeddings both prune harder and recall
+    higher, so raise n_planes there.
     """
     def hashed(df: DataFrame, role: str) -> DataFrame:
         e = df.select(

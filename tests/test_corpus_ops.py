@@ -1,0 +1,197 @@
+"""Tests for the training-data corpus operators (textops / dedup /
+similarity / multimodal) — semantics the oracle gate can't cover: recall of
+the approximate paths vs the exact baselines, stub gating, entropy features.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import dedup as dd
+from kafka2iceberg_spark import multimodal as mm
+from kafka2iceberg_spark import similarity as sim
+from kafka2iceberg_spark import textops as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "Der Hund ist nicht der gleiche wie die Katze und das Pferd"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ----------------------------------------------------------------- textops
+
+
+def test_norm_and_tokens(spark, docs):
+    out = docs.select(
+        "doc_id", tx.n_tokens(F.col("text")).alias("k")
+    ).collect()
+    k = {r["doc_id"]: r["k"] for r in out}
+    assert k[1] == 9
+    assert k[6] == 0  # empty text → zero tokens, no crash
+
+
+def test_quality_ppm_bounds(spark, docs):
+    out = docs.select(tx.quality_ppm(F.col("text")).alias("q")).collect()
+    for r in out:
+        assert 0 <= r["q"] <= 1_000_000
+
+
+def test_lang_id_markers(spark, docs):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", tx.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "und"  # no markers at all
+
+
+def test_fingerprint_ignores_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2] != fps[3]
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = dd.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["keeper_id"] == 1 and by_id[2]["keeper_id"] == 1
+    assert by_id[1]["group_size"] == 2
+    assert by_id[3]["group_size"] == 1  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs.where("doc_id < 5"), threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got  # near dup
+    assert (1, 4) not in got
+
+
+def test_minhash_est_tracks_true_jaccard(spark, docs):
+    d = docs.where("doc_id IN (1, 2, 3, 4)")
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(d, threshold=0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical signatures
+    if (1, 3) in est:
+        assert est[(1, 3)] > 0.5
+    assert (1, 4) not in est or est[(1, 4)] < 0.5
+
+
+def test_simhash_near_dup_close_hamming(spark, docs):
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash(docs.where("doc_id IN (1, 3, 4)")).collect()
+    }
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_neardup_blocked_by_label(spark, emb):
+    pairs = dd.embedding_neardup_pairs(emb, threshold=-1.0)
+    labels = emb.select("vec_id", "label").collect()
+    lab = {r["vec_id"]: r["label"] for r in labels}
+    for r in pairs.limit(50).collect():
+        assert lab[r["vec_a"]] == lab[r["vec_b"]]
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_lsh_recall_vs_brute(spark, emb):
+    """The approximate path must recover most exact top-5 neighbors."""
+    q = emb.where(F.col("vec_id") < 8)
+    exact = sim.brute_topk(emb, q, k=5)
+    approx = sim.lsh_topk(emb, q, k=5, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_brute_topk_rank_contract(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = sim.brute_topk(emb, q, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_blob_roundtrip_meta(spark, docs):
+    blobs = mm.as_blobs(docs.where("doc_id = 1"))
+    r = blobs.collect()[0]
+    assert bytes(r["payload"]).decode() == (
+        "the quick brown fox jumps over the lazy dog"
+    )
+    assert r["n_bytes"] == 43
+    assert len(r["sha"]) == 64
+
+
+def test_extract_features_deterministic(spark, docs):
+    blobs = mm.as_blobs(docs)
+    a = sorted(map(tuple, mm.extract_features(blobs).collect()))
+    b = sorted(map(tuple, mm.extract_features(blobs).collect()))
+    assert a == b
+    row = dict(
+        zip(
+            [f.name for f in mm.FEATURE_SCHEMA.fields],
+            [t for t in a if t[0] == 1][0],
+        )
+    )
+    assert row["n_bytes"] == 43
+    assert row["head_hex"] == "the quic".encode().hex()
+    assert row["byte_entropy_q"] > 0
+
+
+def test_decode_stub_gated(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF...")
+
+
+def test_frame_sample_plan_shape(spark, docs):
+    blobs = mm.as_blobs(docs.where("doc_id = 1"))
+    frames = mm.frame_sample_plan(blobs, every_n=10).collect()
+    assert all(r["frame_idx"] % 10 == 0 for r in frames)
+    assert len(frames) >= 1
