@@ -186,6 +186,92 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.salted_agg(_tx(spark, sf_dir), "conv_id", 8)
 
 
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style pattern match: user → tool → assistant turn triples within
+    a conversation (contiguous turn_idx), the declarative analogue of the
+    reference's declared-but-unused flink-cep dependency (pom.xml:276-281)."""
+    t = _tx(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lead("role", 1).over(w).alias("r1"),
+        F.lead("role", 2).over(w).alias("r2"),
+        F.lead("turn_idx", 2).over(w).alias("i2"),
+        F.unix_micros("ts").alias("start_us"),
+        F.unix_micros(F.lead("ts", 2).over(w)).alias("end_us"),
+    )
+    return seq.where(
+        (F.col("role") == "user")
+        & (F.col("r1") == "tool")
+        & (F.col("r2") == "user")
+        & (F.col("i2") == F.col("turn_idx") + 2)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("start_turn"),
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("span_us"),
+    )
+
+
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 late-data policy in batch: a row is late iff its event time is
+    older than (running-max event time at its arrival) - delay. Arrival
+    order is derived deterministically (md5 of the PK) so the oracle can
+    reproduce it; the streaming path gets this from real arrival order."""
+    t = _tx(spark, sf_dir).withColumn(
+        "arrival_seq",
+        F.row_number().over(
+            Window.orderBy(F.md5(F.concat_ws(":", "conv_id", "turn_idx")))
+        ),
+    )
+    out = win.late_rows_batch(t, delay_seconds=600)
+    return out.select("conv_id", "turn_idx", "is_late")
+
+
+def q_topk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest turns per conversation (rank window, deterministic
+    tie-break on turn_idx)."""
+    t = _tx(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.length("text").desc(), F.col("turn_idx")
+    )
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.length("text").cast("long").alias("text_len"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation over (role, tool) with grouping-level markers."""
+    t = _tx(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(
+            F.grouping("role").cast("long").alias("g_role"),
+            F.grouping("tool").cast("long").alias("g_tool"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.coalesce(F.col("role"), F.lit("<all>")).alias("role_g"),
+            F.coalesce(F.col("tool"), F.lit("<all>")).alias("tool_g"),
+            "g_role",
+            "g_tool",
+            "n",
+            "n_convs",
+        )
+    )
+
+
 def q_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming path: gen → file broker → parse → exactly-once sink →
     read-back. Non-SQL-expressible (stateful streaming); rows-only check."""
@@ -456,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
         "salted_conv_counts": q_salted_counts,
+        "cep_pattern": q_cep_pattern,
+        "late_data_flags": q_late_data,
+        "topk_turns": q_topk_turns,
+        "role_rollup": q_role_rollup,
         "streaming_ingest_e2e": q_streaming_e2e,
         "envelope_roundtrip": q_envelope_roundtrip,
         "text_quality": q_text_quality,
@@ -649,6 +739,62 @@ SELECT conv_id, turn_idx, text, off AS offset FROM w WHERE rn = 1 AND NOT del
         "salted_conv_counts": f"""
 WITH {_TX}
 SELECT conv_id, count(*) AS n FROM transcripts GROUP BY conv_id
+""",
+        "cep_pattern": f"""
+WITH {_TX},
+l AS (
+  SELECT conv_id, turn_idx, role,
+         lead(role, 1) OVER w AS r1,
+         lead(role, 2) OVER w AS r2,
+         lead(turn_idx, 2) OVER w AS i2,
+         epoch_us(ts) AS start_us,
+         lead(epoch_us(ts), 2) OVER w AS end_us
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS start_turn, start_us, end_us,
+       end_us - start_us AS span_us
+FROM l
+WHERE role = 'user' AND r1 = 'tool' AND r2 = 'user'
+  AND i2 = turn_idx + 2
+""",
+        "late_data_flags": f"""
+WITH {_TX},
+a AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS eu,
+         row_number() OVER (ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR))) AS arrival_seq
+  FROM transcripts
+),
+r AS (
+  SELECT *, max(eu) OVER (ORDER BY arrival_seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM a
+)
+SELECT conv_id, turn_idx,
+       coalesce(eu < run_max - 600000000, false) AS is_late
+FROM r
+""",
+        "topk_turns": f"""
+WITH {_TX},
+r AS (
+  SELECT conv_id, turn_idx, CAST(length(text) AS BIGINT) AS text_len,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY length(text) DESC, turn_idx) AS rk
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, text_len, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+        "role_rollup": f"""
+WITH {_TX}
+SELECT coalesce(role, '<all>') AS role_g,
+       coalesce(tool, '<all>') AS tool_g,
+       CAST(GROUPING(role) AS BIGINT) AS g_role,
+       CAST(GROUPING(tool) AS BIGINT) AS g_tool,
+       count(*) AS n,
+       count(DISTINCT conv_id) AS n_convs
+FROM transcripts
+GROUP BY ROLLUP (role, tool)
 """,
         "envelope_roundtrip": f"""
 WITH {_TX}
