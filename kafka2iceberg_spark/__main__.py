@@ -1,0 +1,117 @@
+"""spark-submit entry point (reference Kafka2IcebergApp.main analogue).
+
+Run on a cluster:
+
+    zip -r k2i.zip kafka2iceberg_spark
+    spark-submit --py-files k2i.zip -m kafka2iceberg_spark ...   # or:
+    spark-submit --py-files k2i.zip job.py k=v k=v ...
+
+where job.py does ``from kafka2iceberg_spark.__main__ import main; main()``.
+Accepts the reference's ``k=v`` argument style (ParamUtils.java:56-81):
+
+    source-database=chat source-table=transcripts \
+    broker.dir=/data/broker            # or kafka.bootstrap-server=...
+    table.location=/warehouse/chat/transcripts \
+    checkpoint.location=/ckpt/transcripts \
+    local=true local.cores=8           # local run (T1, StreamUtils analogue)
+    mode=availableNow|continuous       # availableNow drains then stops
+
+Environment selection mirrors StreamUtils.getStreamEnv (local vs cluster,
+StreamUtils.java:16-29): with ``local=true`` a local[#cores] master is set;
+otherwise the master comes from spark-submit (cluster mode).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+from .config import (
+    KAFKA_BOOTSTRAP,
+    KAFKA_TOPICS,
+    enhance_config,
+    parse_args,
+    task_from_params,
+)
+from .pipeline import (
+    file_broker_stream,
+    kafka_stream,
+    parsed_stream,
+    start_append_sink,
+    start_upsert_sink,
+)
+from .schema import transcript_task
+from .sink import IcebergLite
+
+_TRUE = {"true", "1", "yes"}
+
+
+def build_session(params: dict[str, str]) -> SparkSession:
+    b = SparkSession.builder.appName(
+        params.get("app.name", "kafka2iceberg_spark")
+    )
+    if params.get("local", "").lower() in _TRUE:
+        b = b.master(f"local[{params.get('local.cores', '*')}]")
+    b = (
+        b.config(
+            "spark.sql.shuffle.partitions",
+            params.get("shuffle.partitions", "64"),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if params.get("state.rocksdb", "true").lower() in _TRUE:
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> None:
+    params = enhance_config(parse_args(argv if argv is not None else sys.argv[1:]))
+    spec = task_from_params(params) if any(
+        k.startswith("fields.") for k in params
+    ) else transcript_task(
+        params.get("source-database", "chat"),
+        params.get("source-table", "transcripts"),
+    )
+    spark = build_session(params)
+
+    if KAFKA_BOOTSTRAP in params:
+        raw = kafka_stream(
+            spark,
+            params[KAFKA_BOOTSTRAP],
+            params.get(KAFKA_TOPICS, spec.source_table),
+            params.get("kafka.starting-offsets", "earliest"),
+        )
+        parsed = parsed_stream(raw, spec, from_kafka=True)
+    else:
+        raw = file_broker_stream(
+            spark,
+            params["broker.dir"],
+            int(params.get("broker.max-files-per-trigger", "8")),
+        )
+        parsed = parsed_stream(raw, spec)
+
+    table = IcebergLite(
+        params["table.location"],
+        pk=spec.primary_keys,
+        partition_field="ts" if "ts" in [f.name for f in spec.fields] else None,
+    )
+    checkpoint = params["checkpoint.location"]
+    trigger = (
+        {"availableNow": True}
+        if params.get("mode", "availableNow") == "availableNow"
+        else {"processingTime": params.get("trigger.interval", "10 seconds")}
+    )
+    start = start_upsert_sink if spec.primary_keys else start_append_sink
+    q = start(parsed, table, checkpoint, trigger=trigger)
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
