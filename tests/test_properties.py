@@ -1,0 +1,161 @@
+"""Property-based tests: engine operators vs brute-force Python references
+on randomized inputs (hypothesis). Complements the fixed-fixture suite and
+the DuckDB oracle gate with adversarial small cases (ties, empty groups,
+single-turn conversations, duplicate timestamps).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import windows as win
+from kafka2iceberg_spark.sink import dedup_batch
+from kafka2iceberg_spark.state import paired_turns_batch
+
+EPOCH = datetime(2024, 9, 1, tzinfo=timezone.utc)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# up to 3 conversations, each a list of inter-turn gaps (seconds)
+conv_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=12),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _turn_rows(convs):
+    rows = []
+    for ci, gaps in enumerate(convs):
+        t = 0
+        for idx, gap in enumerate(gaps):
+            t += gap
+            rows.append(
+                (f"c{ci}", idx, datetime.fromtimestamp(
+                    EPOCH.timestamp() + t, tz=timezone.utc
+                ).replace(tzinfo=None))
+            )
+    return rows
+
+
+@pytest.mark.usefixtures("spark")
+class TestSessionProperty:
+    @given(convs=conv_strategy)
+    @SETTINGS
+    def test_sessionize_matches_islands(self, spark, convs):
+        gap_s = 1800
+        rows = _turn_rows(convs)
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r["conv_id"], r["session_start_us"], r["session_end_us"], r["n_turns"])
+            for r in win.sessionize(
+                df, f"{gap_s // 60} minutes", ["conv_id"]
+            ).collect()
+        }
+        # brute force: merge [ts, ts+gap) intervals per conv
+        expect = set()
+        by_conv: dict[str, list[int]] = {}
+        for c, _, ts in rows:
+            us = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+            by_conv.setdefault(c, []).append(us)
+        for c, times in by_conv.items():
+            times.sort()
+            start, last, n = times[0], times[0], 1
+            for t in times[1:]:
+                if t - last >= gap_s * 1_000_000:
+                    expect.add((c, start, last + gap_s * 1_000_000, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            expect.add((c, start, last + gap_s * 1_000_000, n))
+        assert got == expect
+
+
+roles_strategy = st.lists(
+    st.sampled_from(["user", "assistant", "tool", "system"]),
+    min_size=1,
+    max_size=14,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestPairingProperty:
+    @given(roles=roles_strategy)
+    @SETTINGS
+    def test_batch_pairing_matches_reference(self, spark, roles):
+        rows = [
+            ("c0", i, r, f"t{i}",
+             datetime(2024, 9, 1, 0, 0, min(i, 59)))
+            for i, r in enumerate(roles)
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r["user_turn_idx"], r["reply_turn_idx"], r["reply_text"])
+            for r in paired_turns_batch(df).collect()
+        }
+        expect = set()
+        for i, r in enumerate(roles):
+            if r != "user":
+                continue
+            if i + 1 < len(roles) and roles[i + 1] != "user":
+                expect.add((i, i + 1, f"t{i + 1}"))
+            else:
+                expect.add((i, None, None))
+        assert got == expect
+
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=40),  # offset
+        st.booleans(),                           # delete flag
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestUpsertProperty:
+    @given(events=event_strategy)
+    @SETTINGS
+    def test_dedup_batch_last_writer_wins(self, spark, events):
+        rows = [
+            (f"k{k}", 0, off * 10 + k, int(off), del_)
+            for k, off, del_ in events
+        ]
+        df = spark.createDataFrame(
+            rows,
+            ["conv_id", "partition_idx", "offset", "ts_ms", "is_cdc_delete"],
+        )
+        out = dedup_batch(df, ["conv_id"], order_cols=("ts_ms", "offset"))
+        got = {
+            (r["conv_id"], r["offset"], r["is_cdc_delete"])
+            for r in out.collect()
+        }
+        # reference: per key, max (ts_ms, offset) wins; replayed
+        # (partition, offset) pairs collapse first
+        seen = {}
+        for conv_id, p, off, ts_ms, del_ in rows:
+            seen[(p, off)] = (conv_id, p, off, ts_ms, del_)
+        best: dict[str, tuple] = {}
+        for conv_id, p, off, ts_ms, del_ in seen.values():
+            cur = best.get(conv_id)
+            if cur is None or (ts_ms, off) > (cur[3], cur[2]):
+                best[conv_id] = (conv_id, p, off, ts_ms, del_)
+        expect = {(c, o, d) for c, _, o, _, d in best.values()}
+        assert got == expect
