@@ -22,9 +22,9 @@ Dot products cast float→double then left-fold — bit-exact against the
 DuckDB oracle (verified empirically; see __spark_entry__).
 """
 
-from __future__ import annotations
-
 import hashlib
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -93,13 +93,56 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
 def lsh_bucket(
     vec: Column, dim: int, table: int, n_planes: int = 8
 ) -> Column:
-    """Bucket id = sign-bit string of projections onto n_planes hyperplanes."""
+    """Bucket id = sign-bit string of projections onto n_planes hyperplanes.
+
+    Pure-expression form (used for small sides / plan inspection); the hot
+    path uses the Arrow-vectorized ``lsh_buckets_udf`` below — one numpy
+    matmul per batch instead of n_planes×dim folded lambda evaluations.
+    """
     bits = []
     for pl in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(table, pl, dim)])
         proj = _dot(_as_double(vec), plane)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def lsh_buckets_udf(dim: int, n_tables: int, n_planes: int):
+    """pandas UDF: embedding → array of n_tables bucket-id strings.
+
+    All hyperplanes stack into one (dim, n_tables·n_planes) matrix; per Arrow
+    batch the projections are a single matmul — the U1-style vectorized path
+    (identical bucket values to lsh_bucket except at measure-zero exact-0
+    projections)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*n_planes)
+
+    @pandas_udf("array<string>")
+    def buckets(emb: pd.Series) -> pd.Series:  # noqa: F821 (module-level pd)
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes >= 0).astype(np.uint8)  # (n, T*P)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    "".join("1" if b else "0" for b in row[t * n_planes:(t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets
 
 
 def lsh_topk(
@@ -124,23 +167,18 @@ def lsh_topk(
     exploit); clustered real-world embeddings both prune harder and recall
     higher, so raise n_planes there.
     """
+    buckets = lsh_buckets_udf(dim, n_tables, n_planes)
+
     def hashed(df: DataFrame, role: str) -> DataFrame:
         e = df.select(
             F.col(id_col).alias(f"{role}_id"),
             _as_double(F.col(vec_col)).alias(f"{role}_e"),
         )
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(F.col(f"{role}_e"), dim, t, n_planes).alias("b"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return e.select(
-            f"{role}_id", f"{role}_e", F.explode(tables).alias("tb")
-        ).select(f"{role}_id", f"{role}_e", "tb.t", "tb.b")
+            f"{role}_id",
+            f"{role}_e",
+            F.posexplode(buckets(F.col(f"{role}_e"))).alias("t", "b"),
+        )
 
     c = hashed(corpus, "neighbor")
     q = hashed(queries, "query")
