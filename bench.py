@@ -125,6 +125,33 @@ def ingest_run(spark, root: str, tag: str) -> float:
     return time.monotonic() - t0
 
 
+def session_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
+    """Streaming session-window branch over the broker: wall + sessions."""
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_session_sink,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    spec = transcript_task()
+    table = IcebergLite(f"{root}/sess-{tag}", pk=[], partition_field=None)
+    raw = file_broker_stream(spark, f"{root}/broker", FILES_PER_TRIGGER)
+    t0 = time.monotonic()
+    q = start_session_sink(
+        parsed_stream(raw, spec),
+        table,
+        f"{root}/sess-ck-{tag}",
+        gap="30 minutes",
+        watermark_delay="10 minutes",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    return wall, table.read(spark).count()
+
+
 def cep_job(spark, n_rows: int) -> None:
     """Flagship scaling job: synthesize n_rows transcript turns in-Spark
     (zero input IO — pure engine work) and run gap-closed session windows."""
@@ -198,6 +225,8 @@ def main() -> None:
         queries = time_queries(spark)
         ingest_run(spark, root, "warm")  # steady-state warmup
         wall_ing = ingest_run(spark, root, "timed")
+        session_e2e_run(spark, root, "warm")
+        wall_sess, n_sessions = session_e2e_run(spark, root, "timed")
         spark.stop()
 
         result: dict = {
@@ -214,6 +243,11 @@ def main() -> None:
                 "wall_sec": round(wall_ing, 2),
                 "turns_per_sec": round(n_env / wall_ing, 1),
                 "cores": CPUS,
+            },
+            "session_e2e": {
+                "wall_sec": round(wall_sess, 2),
+                "sessions_emitted": n_sessions,
+                "turns_per_sec": round(n_env / wall_sess, 1),
             },
         }
 

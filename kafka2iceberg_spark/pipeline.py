@@ -114,6 +114,49 @@ def start_append_sink(
     return writer.start()
 
 
+def start_session_sink(
+    parsed: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    trigger: dict | None = None,
+):
+    """[NORTH] W4 streaming branch: watermarked gap-closed session windows
+    keyed by conv_id, appended exactly-once as they finalize.
+
+    Append output mode means a session row is emitted exactly once, when the
+    watermark passes session_end — the E2E latency the metric names is
+    (emit time − session_end event time), bounded by watermark_delay + one
+    trigger. The foreachBatch commit reuses the batch-id idempotence guard,
+    so replays after crash recovery cannot double-append a session.
+    """
+    from . import windows as win
+
+    wm = win.with_watermark(parsed, "ts", watermark_delay)
+    sessions = win.sessionize(
+        wm,
+        gap,
+        ["conv_id"],
+        [
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("max_turn"),
+        ],
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        sessions.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def run_ingest_once(
     spark: SparkSession,
     stream_dir: str,
