@@ -469,6 +469,37 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- batch analytics (scale)
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no order before mid-1995 (the date
+    predicate pushes to the orders scan; the anti join broadcasts)."""
+    cust = _read(spark, sf_dir, "customer")
+    early = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(
+            early, cust.c_custkey == early.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: per order-priority share of orders in ppm
+    (exact integer arithmetic, parity-safe)."""
+    orders = _read(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = orders.count()
+    return per.select(
+        "o_orderpriority",
+        "n",
+        tx._idiv(F.col("n") * 1_000_000, F.lit(total).cast("long")).alias(
+            "share_ppm"
+        ),
+    )
+
+
 def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,2)")
 
@@ -560,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "blob_meta": q_blob_meta,
         "blob_features": q_blob_features,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_share": q_priority_share,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "nation_revenue": q_nation_revenue,
@@ -951,6 +984,23 @@ SELECT d.doc_id,
        m.byte_mean_ppm,
        lower(hex(encode(substr(d.text, 1, 8)))) AS head_hex
 FROM documents d JOIN m ON m.doc_id = d.doc_id
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-06-01' AND o_custkey IS NOT NULL
+)
+""",
+        "priority_share": """
+WITH per AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT count(*) AS t FROM orders)
+SELECT o_orderpriority, n,
+       CAST((n * 1000000) // t AS BIGINT) AS share_ppm
+FROM per, tot
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
