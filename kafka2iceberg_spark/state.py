@@ -275,3 +275,109 @@ def paired_turns_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_TWS_BUF_SCHEMA = "turn_idx INT, role STRING, text STRING, ts_us BIGINT"
+
+
+def paired_turns_stream_tws(
+    turns: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """J1 on the Spark 4.x state API: ``transformWithStateInPandas`` with a
+    typed ListState buffer and real event-time timers.
+
+    Same output contract as ``paired_turns_stream`` (shared ``_pair_rows``
+    core); the modern API gives schema'd state (no string packing), per-key
+    timers with explicit delete/re-register, and state-store-native TTL
+    hooks. Prefer this form on Spark ≥ 4.0 clusters. Requires the
+    ``protobuf`` package (the tws state-server protocol) — absent from this
+    sandbox image, so tests gate on it; ``paired_turns_stream`` is the
+    dependency-free fallback with identical semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    from .windows import with_watermark
+
+    gap_ms = _duration_ms(gap)
+    turns = with_watermark(turns, "ts", watermark_delay)
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+
+    class PairProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.buf = handle.getListState("buf", _TWS_BUF_SCHEMA)
+
+        def _stored(self, conv_id: str) -> pd.DataFrame:
+            if not self.buf.exists():
+                return pd.DataFrame(columns=cols)
+            rows = list(self.buf.get())
+            if not rows:
+                return pd.DataFrame(columns=cols)
+            return pd.DataFrame(
+                {
+                    "conv_id": [conv_id] * len(rows),
+                    "turn_idx": [r[0] for r in rows],
+                    "role": [r[1] for r in rows],
+                    "text": [r[2] for r in rows],
+                    "ts": pd.to_datetime(
+                        pd.array([r[3] for r in rows], dtype="int64") * 1000
+                    ),
+                }
+            )
+
+        def _store(self, leftover: pd.DataFrame, timerValues: TimerValues) -> None:
+            self.buf.clear()
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            if not len(leftover):
+                return
+            ts_us = pd.to_datetime(leftover["ts"]).astype("int64") // 1000
+            self.buf.put(
+                [
+                    (int(i), str(r), str(x), int(u))
+                    for i, r, x, u in zip(
+                        leftover["turn_idx"], leftover["role"],
+                        leftover["text"], ts_us,
+                    )
+                ]
+            )
+            last_ms = int(ts_us.max() // 1000)
+            self.handle.registerTimer(
+                max(last_ms + gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            new = _concat_nonempty(list(rows))[cols]
+            buf = _concat_nonempty([self._stored(key[0]), new])
+            pairs, leftover = _pair_rows(buf)
+            self._store(leftover, timerValues)
+            if len(pairs):
+                yield pairs
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            buf = self._stored(key[0])
+            self.buf.clear()
+            if len(buf):
+                pairs, leftover = _pair_rows(buf)
+                out = _concat_nonempty([pairs, _flush_unpaired(leftover)])
+                if len(out):
+                    yield out
+
+        def close(self) -> None:
+            pass
+
+    return turns.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=PairProcessor(),
+        outputStructType=PAIR_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

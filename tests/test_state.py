@@ -7,8 +7,14 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from kafka2iceberg_spark import gen
-from kafka2iceberg_spark.state import paired_turns_batch, paired_turns_stream
+from kafka2iceberg_spark.state import (
+    paired_turns_batch,
+    paired_turns_stream,
+    paired_turns_stream_tws,
+)
 
 BASE = datetime.datetime(2024, 9, 1, 12, 0, 0)
 
@@ -54,7 +60,7 @@ def test_batch_consecutive_users_unpaired(spark):
 _SEQ = [0]
 
 
-def _stream_parity(spark, tmp_path, rows_by_file):
+def _stream_parity(spark, tmp_path, rows_by_file, impl=paired_turns_stream):
     """Feed files through the streaming join, compare to batch form.
 
     A far-future sentinel turn (separate conv) in a final file advances the
@@ -106,7 +112,7 @@ def _stream_parity(spark, tmp_path, rows_by_file):
         # disorder spans single-digit minutes; the 10-minute watermark must
         # tolerate it (rows later than the watermark are correctly dropped —
         # that policy is exercised separately in test_windows/test_streaming)
-        paired_turns_stream(stream, gap="30 minutes", watermark_delay="10 minutes")
+        impl(stream, gap="30 minutes", watermark_delay="10 minutes")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -186,3 +192,59 @@ def test_generator_scale_parity(spark):
         if r.reply_turn_idx is not None:
             t = by_key[(r.conv_id, r.reply_turn_idx)]
             assert t["text"] == r.reply_text and t["role"] in ("assistant", "tool")
+
+
+def _have_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to the state server; the
+    # sandbox image ships without it (pip installs are not available), so
+    # the tws tests run only where a real Spark 4 cluster image would.
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+needs_protobuf = pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas requires protobuf (absent in sandbox)",
+)
+
+
+@needs_protobuf
+def test_tws_stream_matches_batch_pairs(spark, tmp_path):
+    """Spark 4.x transformWithStateInPandas form: same parity contract."""
+    rows_by_file = [
+        [("c1", 0, "user", "q0"), ("c2", 0, "user", "x0")],
+        [("c1", 1, "assistant", "a1"), ("c2", 1, "tool", "y1")],
+        [("c1", 2, "user", "q2"), ("c1", 3, "assistant", "a3")],
+    ]
+    got, batch = _stream_parity(
+        spark, tmp_path, rows_by_file, impl=paired_turns_stream_tws
+    )
+    gotk = {
+        (r.conv_id, r.user_turn_idx): (r.reply_text, r.latency_us) for r in got
+    }
+    batchk = {
+        (r.conv_id, r.user_turn_idx): (r.reply_text, r.latency_us)
+        for r in batch
+        if r.reply_text is not None
+    }
+    for k, v in batchk.items():
+        assert gotk.get(k) == v, (k, v, gotk.get(k))
+
+
+@needs_protobuf
+def test_tws_out_of_order_defers_not_mispairs(spark, tmp_path):
+    rows_by_file = [
+        [("c1", 0, "user", "q0")],
+        [("c1", 2, "assistant", "a2")],
+        [("c1", 1, "assistant", "a1")],
+    ]
+    got, _ = _stream_parity(
+        spark, tmp_path, rows_by_file, impl=paired_turns_stream_tws
+    )
+    paired = [r for r in got if r.user_turn_idx == 0 and r.reply_text]
+    assert len(paired) == 1
+    assert paired[0].reply_text == "a1"
