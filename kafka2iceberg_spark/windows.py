@@ -94,6 +94,16 @@ def sessionize(
 
     Spark merges overlapping [ts, ts+gap) intervals; a quiet period ≥ gap
     closes the session. session_end = last event ts + gap (Spark semantics).
+
+    Streaming late-data note (W5, verified empirically on this Spark
+    version — tests/test_streaming_late.py): rows later than the watermark
+    are NOT filtered before session aggregation; they merge into any
+    still-in-state session, and a row arriving after its session was
+    evicted starts a new (split) session. Emitted sessions are final —
+    append mode emits each exactly once when the watermark passes its end —
+    so late data degrades to session splits, never to updates of emitted
+    rows. Plan parity oracles must model insert-then-evict per micro-batch,
+    not a per-row late filter.
     """
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_turns")]
     out = df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
