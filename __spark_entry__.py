@@ -110,6 +110,16 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same session semantics as q_session via the two-phase (bucketed
+    partial-aggregate) plan — the mega-conversation scale path; shares the
+    session_window oracle, proving plan-level equivalence."""
+    df = _tx(spark, sf_dir)
+    return win.sessionize_two_phase(
+        df, SESSION_GAP_US // 1_000_000, "conv_id", max_col="turn_idx"
+    ).withColumnRenamed("max_turn_idx", "max_turn")
+
+
 def q_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = paired_turns_batch(_tx(spark, sf_dir))
     return pairs.select(
@@ -569,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling,
         "sliding_window": q_sliding,
         "session_window": q_session,
+        "session_window_two_phase": q_session_two_phase,
         "paired_turns": q_paired,
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
@@ -708,6 +719,20 @@ FROM transcripts, (VALUES (0), (1)) t(k)
 GROUP BY 1, 2
 """,
         "session_window": f"""
+WITH {_TX},
+e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}
+                     THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT MIN(eu) AS session_start_us,
+       MAX(eu) + {gap} AS session_end_us,
+       conv_id,
+       count(*) AS n_turns,
+       max(turn_idx) AS max_turn
+FROM s GROUP BY conv_id, sid
+""",
+        "session_window_two_phase": f"""
 WITH {_TX},
 e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
 m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}

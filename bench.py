@@ -41,6 +41,7 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 50_000_000))
 
 HEADLINE = [
     "session_window",
+    "session_window_two_phase",
     "tumbling_window",
     "paired_turns",
     "conversation_stats",

@@ -110,6 +110,75 @@ def sessionize(
     return _flatten(out, list(keys), "session_window", "session")
 
 
+def sessionize_two_phase(
+    df: DataFrame,
+    gap_seconds: int,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    max_col: str | None = None,
+) -> DataFrame:
+    """W4 at mega-conversation scale: two-phase gap-closed sessions.
+
+    Phase 1 pre-aggregates rows into (key, gap-sized time bucket) partials —
+    a hash aggregate with full map-side combine, so the shuffle carries one
+    row per non-empty bucket instead of one per event. Phase 2 runs the
+    gaps-and-islands merge over bucket summaries with a window function.
+
+    Exactness: bucket width == gap, so two consecutive events ≥ gap apart
+    can never land in the same bucket, and the bucket summaries (min/max
+    event time per bucket) preserve every inter-event gap ≥ gap: a session
+    break exists between buckets iff next.min − prev.max ≥ gap. Intra-bucket
+    (and adjacent-bucket < gap) events always merge — identical output to
+    ``sessionize`` (driver-verified against the same oracle).
+
+    For a 10^7-turn conversation the sort/window input shrinks by the mean
+    bucket occupancy (often 100-10000×); the first phase is the only pass
+    over raw rows.
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = gap_seconds * 1_000_000
+    eu = F.unix_micros(F.col(ts_col))
+    extra_partial = (
+        [F.max(max_col).alias("_mx")] if max_col else []
+    )
+    partial = (
+        df.withColumn("_b", (eu / gap_us).cast("long"))
+        .groupBy(key, "_b")
+        .agg(
+            F.min(eu).alias("_min"),
+            F.max(eu).alias("_max"),
+            F.count(F.lit(1)).alias("_n"),
+            *extra_partial,
+        )
+    )
+    w = Window.partitionBy(key).orderBy("_b")
+    marked = partial.withColumn(
+        "_brk",
+        F.when(
+            F.col("_min") - F.lag("_max").over(w) >= gap_us, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_sid",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    extra_final = (
+        [F.max("_mx").alias(f"max_{max_col}")] if max_col else []
+    )
+    out = marked.groupBy(key, "_sid").agg(
+        F.min("_min").alias("session_start_us"),
+        (F.max("_max") + F.lit(gap_us)).alias("session_end_us"),
+        F.sum("_n").alias("n_turns"),
+        *extra_final,
+    )
+    cols = ["session_start_us", "session_end_us", key, "n_turns"]
+    if max_col:
+        cols.append(f"max_{max_col}")
+    return out.select(*cols)
+
+
 def late_rows_batch(
     df: DataFrame,
     delay_seconds: int,
