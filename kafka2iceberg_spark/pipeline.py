@@ -77,11 +77,31 @@ def start_upsert_sink(
     table: IcebergLite,
     checkpoint: str,
     trigger: dict | None = None,
+    dead_letter: IcebergLite | None = None,
+    spec: TaskSpec | None = None,
 ):
-    """K2 exactly-once upsert sink as a streaming query."""
+    """K2 exactly-once upsert sink as a streaming query.
+
+    With ``dead_letter`` (requires ``spec``), rows violating not-null
+    constraints are routed to a side table instead of failing the query
+    (P8's production alternative to raise_error): each micro-batch commits
+    clean rows to the main table and violations to the DLQ, both guarded by
+    the same batch id — replay-idempotent on both sides. Build ``parsed``
+    with ``enforce_not_null=False`` when using this mode.
+    """
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        table.commit_upsert(batch_df, str(batch_id))
+        if dead_letter is not None and spec is not None:
+            bad = ingest.violations(batch_df, spec)
+            cond = None
+            for name in spec.not_null_cols:
+                c = F.col(name).isNotNull()
+                cond = c if cond is None else (cond & c)
+            clean = batch_df.filter(cond) if cond is not None else batch_df
+            table.commit_upsert(clean, str(batch_id))
+            dead_letter.commit_append(bad, str(batch_id))
+        else:
+            table.commit_upsert(batch_df, str(batch_id))
 
     writer = (
         parsed.writeStream.foreachBatch(commit)

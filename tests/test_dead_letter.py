@@ -1,0 +1,93 @@
+"""P8 dead-letter routing: not-null violations go to a side table instead of
+failing the stream; both sides stay replay-idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka2iceberg_spark.gen import GenConfig, write_stream_files
+from kafka2iceberg_spark.pipeline import (
+    file_broker_stream,
+    start_upsert_sink,
+)
+from kafka2iceberg_spark.ingest import parse
+from kafka2iceberg_spark.schema import transcript_task
+from kafka2iceberg_spark.sink import IcebergLite
+
+
+def _bad_envelope_file(path: str) -> None:
+    """Envelope whose row has a textual 'null' turn_idx (PK → not-null)."""
+    env = {
+        "data": [
+            {
+                "conv_id": "bad_conv",
+                "turn_idx": "null",
+                "role": "user",
+                "text": "broken row",
+                "tool": "null",
+                "ts": "2024-09-01 10:00:00",
+            }
+        ],
+        "database": "chat",
+        "table": "transcripts",
+        "type": "INSERT",
+        "isDdl": False,
+        "ts": 1725184800000,
+        "es": 1725184800000,
+        "old": None,
+        "pkNames": ["conv_id", "turn_idx"],
+        "sql": "",
+        "_offset": 777777,
+        "_partition": 1,
+    }
+    with open(path, "w") as fh:
+        fh.write(json.dumps(env, separators=(",", ":")) + "\n")
+
+
+def test_violations_routed_not_fatal(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    paths = write_stream_files(
+        GenConfig(n_convs=5, turns_per_conv=6), broker, files=2
+    )
+    for i, p in enumerate(paths):
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    bad = f"{broker}/zz-bad.jsonl"
+    _bad_envelope_file(bad)
+    os.utime(bad, (1_100_000, 1_100_000))
+
+    spec = transcript_task()
+    table = IcebergLite(str(tmp_path / "tbl"), pk=spec.primary_keys)
+    dlq = IcebergLite(str(tmp_path / "dlq"), pk=[], partition_field=None)
+    raw = file_broker_stream(spark, broker, max_files_per_trigger=10)
+    parsed = parse(raw, spec, enforce_not_null=False)
+    q = start_upsert_sink(
+        parsed,
+        table,
+        str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+        dead_letter=dlq,
+        spec=spec,
+    )
+    q.awaitTermination()
+
+    main_rows = table.read(spark)
+    assert main_rows.where("conv_id = 'bad_conv'").count() == 0
+    assert main_rows.count() > 0
+    dead = dlq.read(spark).collect()
+    assert len(dead) == 1
+    assert dead[0]["conv_id"] == "bad_conv" and dead[0]["turn_idx"] is None
+
+    # replay: both tables unchanged (shared batch-id guard)
+    n_main, n_dlq = main_rows.count(), 1
+    q = start_upsert_sink(
+        parse(file_broker_stream(spark, broker, 10), spec, enforce_not_null=False),
+        table,
+        str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+        dead_letter=dlq,
+        spec=spec,
+    )
+    q.awaitTermination()
+    assert table.read(spark).count() == n_main
+    assert dlq.read(spark).count() == n_dlq
