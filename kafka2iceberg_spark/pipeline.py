@@ -177,6 +177,40 @@ def start_session_sink(
     return writer.start()
 
 
+def start_window_sink(
+    parsed: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    size: str = "5 minutes",
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+    trigger: dict | None = None,
+):
+    """[NORTH] W2 streaming branch: watermarked tumbling-window aggregates
+    appended exactly-once as windows finalize (same contract as the session
+    branch; sliding = pass a slide via windows.sliding if needed)."""
+    from . import windows as win
+
+    wm = win.with_watermark(parsed, "ts", watermark_delay)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+    ]
+    windowed = win.tumbling(wm, size, list(keys or ["role"]), aggs)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        windowed.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def run_ingest_once(
     spark: SparkSession,
     stream_dir: str,

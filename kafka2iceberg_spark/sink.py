@@ -369,5 +369,52 @@ class IcebergLite:
         finally:
             batch.unpersist()
 
+    def compact(
+        self, spark: SparkSession, min_files_per_partition: int = 2
+    ) -> int:
+        """Small-file compaction: rewrite partitions holding ≥ N files into
+        one file each, as a new snapshot (Iceberg rewrite_data_files
+        analogue). Streaming appends one file per partition per batch —
+        without periodic compaction a long-lived job's read amplification
+        grows linearly in batches; with it, reads stay O(|partitions|).
+
+        Returns the number of partitions rewritten. Committed batch ids are
+        preserved (compaction is a data reorganization, not a new batch), so
+        replay idempotence is unaffected.
+        """
+        snap = self.current_snapshot()
+        todo = {
+            pv: files
+            for pv, files in snap["manifests"].items()
+            if len(files) >= min_files_per_partition
+        }
+        if not todo:
+            return 0
+        manifests = {k: list(v) for k, v in snap["manifests"].items()}
+        for pv, files in todo.items():
+            df = spark.read.parquet(*[f["path"] for f in files])
+            stage = os.path.join(
+                self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
+            )
+            df.coalesce(1).write.parquet(stage, mode="overwrite")
+            new_files = [
+                {"path": os.path.join(stage, f), "rows": None}
+                for f in sorted(os.listdir(stage))
+                if f.endswith(".parquet")
+            ]
+            manifests[pv] = new_files
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": snap["version"] + 1,
+                "parent": snap["snapshot_id"],
+                "batch_id": None,  # not a data batch — replay guard unaffected
+                "compaction": sorted(todo),
+                "manifests": manifests,
+                "lineage": [],
+            }
+        )
+        return len(todo)
+
     def drop(self) -> None:
         shutil.rmtree(self.location, ignore_errors=True)
