@@ -395,6 +395,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus-quality rule flags + composite keep decision."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    c = F.col("text")
+    return d.select("doc_id", *tx.gopher_flags(c), tx.gopher_keep(c))
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook build + nearest-centroid assignment (exact integer L2)."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    cents = sim.ivf_centroids(emb)
+    return sim.ivf_assign(emb, cents)
+
+
 # -------------------------------------------------------------------- dedup
 
 
@@ -593,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "gopher_rules": q_gopher_rules,
+        "ivf_assign": q_ivf_assign,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -898,6 +914,61 @@ FROM m
         "lang_id": _lang_sql(),
         "doc_fingerprint": f"""
 SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp FROM documents
+""",
+        "gopher_rules": f"""
+WITH n0 AS (SELECT doc_id, text, {_NORM} AS n FROM documents),
+tk AS (
+  SELECT *,
+    CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS k,
+    CASE WHEN n = '' THEN []::VARCHAR[] ELSE string_split(n, ' ') END AS toks,
+    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS letters
+  FROM n0
+),
+m AS (
+  SELECT doc_id, k,
+    CASE WHEN k > 0 THEN ((length(n) - (k - 1)) * 10) // k ELSE 0 END AS awl10,
+    CASE WHEN length(text) > 0 THEN (letters * 1000) // length(text) ELSE 0 END AS alpha_pm,
+    len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) AS sw
+  FROM tk
+)
+SELECT doc_id,
+       k >= 5 AS ok_min_words,
+       k <= 100000 AS ok_max_words,
+       awl10 >= 30 AND awl10 <= 100 AS ok_word_len,
+       alpha_pm >= 600 AS ok_alpha_ratio,
+       sw >= 1 AS ok_has_stopword,
+       (k >= 5 AND k <= 100000 AND awl10 >= 30 AND awl10 <= 100
+        AND alpha_pm >= 600 AND sw >= 1) AS keep
+FROM m
+""",
+        "ivf_assign": """
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+pos AS (
+  SELECT label, unnest(range(1, 65)) AS i, q FROM d
+),
+per_dim AS (
+  SELECT label, i, SUM(q[CAST(i AS INT)]) AS s, COUNT(*) AS c
+  FROM pos GROUP BY label, i
+),
+cent AS (
+  SELECT label AS c_label, list(s // c ORDER BY i) AS cq
+  FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT d.vec_id, d.label, c.c_label,
+         list_sum(list_transform(range(1, 65),
+           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS dist_q
+  FROM d, cent c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, c_label) AS rn
+  FROM scored
+)
+SELECT vec_id, label, c_label AS assigned_label, dist_q FROM r WHERE rn = 1
 """,
         "dedup_exact": f"""
 WITH {_AUG_EXACT},

@@ -134,6 +134,25 @@ def start_append_sink(
     return writer.start()
 
 
+def dedup_stream(
+    parsed: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """O1 native form: state-backed streaming dedup on the logical PK.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the first occurrence + delay — bounded state at
+    10^12-turn scale, unlike plain dropDuplicates whose state grows forever.
+    Use upstream of an append sink when replays/duplicate envelopes must
+    collapse before hitting the table (the PK-MERGE upsert path is the
+    alternative that also handles updates)."""
+    from . import windows as win
+
+    wm = win.with_watermark(parsed, "ts", watermark_delay)
+    return wm.dropDuplicatesWithinWatermark(list(keys or ["conv_id", "turn_idx"]))
+
+
 def start_session_sink(
     parsed: DataFrame,
     table: IcebergLite,

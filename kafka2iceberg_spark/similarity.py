@@ -80,6 +80,94 @@ def brute_topk(
     )
 
 
+def quantize(vec: Column) -> Column:
+    """float vector → exact integer micro-units (×10^6, half-away rounding).
+
+    All downstream IVF arithmetic stays in int64 — bit-exact across engines
+    and immune to float-summation-order nondeterminism.
+    """
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cell centroid in micro-units: elementwise integer mean.
+
+    posexplode → (label, pos) integer-sum agg (map-side combined, exact in
+    any order) → repack ordered array. This is the codebook-build step of an
+    IVF index; at 10^9 vectors it is one shuffle of |cells|·dim rows.
+    """
+    q = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantize(F.col(vec_col))).alias("pos", "v"),
+    )
+    per_dim = q.groupBy("label", "pos").agg(
+        F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    # truncated integer mean (matches DuckDB // and Spark div semantics)
+    mean = per_dim.withColumn("c", F.expr("_s div _c"))
+    return (
+        mean.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("_pc")
+        )
+        .select(
+            "label",
+            F.transform(F.col("_pc"), lambda s: s["c"]).alias("centroid_q"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by exact integer L2².
+
+    Broadcast the (small) codebook; distance is an ordered integer fold —
+    deterministic. Output: (vec_id, label, assigned_label, dist_q); ties
+    break on the smaller centroid label.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        quantize(F.col(vec_col)).alias("q"),
+    )
+    c = centroids.select(
+        F.col("label").alias("c_label"), F.col("centroid_q")
+    )
+    diff = F.zip_with(F.col("q"), F.col("centroid_q"), lambda a, b: a - b)
+    dist = F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, d: acc + d * d
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id", "label", "c_label", dist.alias("dist_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_q"), F.col("c_label")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            "dist_q",
+        )
+    )
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     out: list[float] = []

@@ -194,6 +194,41 @@ def lang_id(c: Column) -> Column:
     return out
 
 
+def gopher_flags(c: Column) -> list[Column]:
+    """Gopher-style corpus-quality rule flags (per Rae et al. 2021-style
+    heuristics, public): each is an independent boolean column; the
+    composite keep/drop decision is their conjunction.
+
+    All exact integer/boolean arithmetic — oracle-portable.
+    """
+    t = tokens(c)
+    k = F.size(t).cast("long")
+    n = norm_text(c)
+    # mean word length in deci-chars (exact): (len(n)-(k-1))*10 div k
+    awl10 = _idiv((F.length(n) - (k - F.lit(1))) * 10, k)
+    letters = (
+        F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    ).cast("long")
+    alpha_pm = _idiv(letters * 1000, F.length(c).cast("long"))
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+    return [
+        (k >= 5).alias("ok_min_words"),
+        (k <= 100_000).alias("ok_max_words"),
+        ((awl10 >= 30) & (awl10 <= 100)).alias("ok_word_len"),
+        (alpha_pm >= 600).alias("ok_alpha_ratio"),
+        (sw >= 1).alias("ok_has_stopword"),
+    ]
+
+
+def gopher_keep(c: Column) -> Column:
+    """Composite Gopher-rules keep decision (AND of all flags)."""
+    flags = gopher_flags(c)
+    out = flags[0]
+    for f in flags[1:]:
+        out = out & f
+    return out.alias("keep")
+
+
 def fingerprint(c: Column) -> Column:
     """64-bit content fingerprint: md5 prefix of the normalized text.
 
