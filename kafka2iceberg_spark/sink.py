@@ -158,6 +158,12 @@ class IcebergLite:
             fh.write(str(v))
         os.rename(htmp, self._hint_path())
 
+    def snapshot_at(self, version: int) -> dict:
+        """Load a specific retained snapshot (time travel)."""
+        path = os.path.join(self.meta_dir, f"v{version}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
     def committed_batches(self) -> set[str]:
         """All batch ids in the snapshot chain (replay guard)."""
         out: set[str] = set()
@@ -221,9 +227,18 @@ class IcebergLite:
                 manifests[pval] = files
         return manifests
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read the current snapshot (only committed files are visible)."""
-        snap = self.current_snapshot()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a committed snapshot (current, or time-travel to ``version``).
+
+        Snapshot files are immutable and every version's manifest is
+        retained, so reading an old version is just resolving its file list
+        — Iceberg's ``VERSION AS OF`` semantics.
+        """
+        snap = (
+            self.current_snapshot()
+            if version is None
+            else self.snapshot_at(version)
+        )
         paths = [
             f["path"] for files in snap["manifests"].values() for f in files
         ]
@@ -237,7 +252,7 @@ class IcebergLite:
                         [], StructType.fromJson(json.load(fh))
                     )
             raise FileNotFoundError("empty table with no schema hint")
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_partitions(
         self, spark: SparkSession, pvals: set[str]
@@ -249,7 +264,11 @@ class IcebergLite:
             if pv in pvals
             for f in files
         ]
-        return spark.read.parquet(*paths) if paths else None
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+            if paths
+            else None
+        )
 
     def _save_schema_hint(self, df: DataFrame) -> None:
         p = os.path.join(self.location, "_schema.json")
@@ -343,7 +362,14 @@ class IcebergLite:
                 survivors = current.join(
                     F.broadcast(deletes), on=self.pk, how="left_anti"
                 )
-                merged = survivors.unionByName(upserts)
+                # schema evolution (reference addSignTime analogue,
+                # ConnectionUtils.java:54-61): a batch may carry columns the
+                # table lacks (or vice versa after a spec change) — union by
+                # name with missing columns null-filled, like Iceberg's
+                # add-column evolution
+                merged = survivors.unionByName(
+                    upserts, allowMissingColumns=True
+                )
             else:
                 merged = upserts
             new = self._write_files(merged, str(batch_id))
