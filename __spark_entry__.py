@@ -402,6 +402,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *tx.gopher_flags(c), tx.gopher_keep(c))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters: duplicate-token share and top-bigram share."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.repetition_token_ppm(c).alias("rep_token_ppm"),
+        tx.top_bigram_ppm(c).alias("top_bigram_ppm"),
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF codebook build + nearest-centroid assignment (exact integer L2)."""
     emb = _read(spark, sf_dir, "embeddings", spread=True)
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "gopher_rules": q_gopher_rules,
+        "repetition_stats": q_repetition,
         "ivf_assign": q_ivf_assign,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -940,6 +952,29 @@ SELECT doc_id,
        (k >= 5 AND k <= 100000 AND awl10 >= 30 AND awl10 <= 100
         AND alpha_pm >= 600 AND sw >= 1) AS keep
 FROM m
+""",
+        "repetition_stats": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN n = '' THEN []::VARCHAR[] ELSE string_split(n, ' ') END AS toks
+  FROM n0
+),
+base AS (
+  SELECT doc_id, len(toks) AS k, len(list_distinct(toks)) AS d, toks FROM tk
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS b
+  FROM tk WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1)
+SELECT base.doc_id,
+       CAST(CASE WHEN k > 0 THEN ((k - d) * 1000000) // k ELSE 0 END AS BIGINT) AS rep_token_ppm,
+       CAST(CASE WHEN k >= 2 THEN (coalesce(mc, 0) * 1000000) // (k - 1) ELSE 0 END AS BIGINT) AS top_bigram_ppm
+FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id
 """,
         "ivf_assign": """
 WITH d AS (

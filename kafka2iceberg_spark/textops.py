@@ -194,6 +194,63 @@ def lang_id(c: Column) -> Column:
     return out
 
 
+def repetition_token_ppm(c: Column) -> Column:
+    """Duplicate-token fraction in ppm: (k − distinct)·10^6 div k.
+
+    High values flag boilerplate/spam (Gopher-style repetition rule)."""
+    t = tokens(c)
+    k = F.size(t).cast("long")
+    d = F.size(F.array_distinct(t)).cast("long")
+    return _idiv((k - d) * 1_000_000, k)
+
+
+def bigrams(c: Column) -> Column:
+    """Adjacent-token bigram array of the normalized text (column-generic:
+    zip of the token array with its own tail, no per-row SQL strings)."""
+    t = tokens(c)
+    k = F.size(t)
+    return F.when(k < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, k - 1),
+            F.slice(t, 2, k - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+
+def top_bigram_ppm(c: Column) -> Column:
+    """Most-frequent-bigram share in ppm: max bigram count ·10^6 div (k−1).
+
+    Declarative max-count: sort the bigram array, then the longest equal run
+    via aggregate — stays in codegen, no explode/shuffle per doc.
+    """
+    bg = F.array_sort(bigrams(c))
+    n = F.size(bg).cast("long")
+    # fold: acc = (prev, run, best); arrays sorted so equal values adjacent
+    best = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return _idiv(best * 1_000_000, n)
+
+
 def gopher_flags(c: Column) -> list[Column]:
     """Gopher-style corpus-quality rule flags (per Rae et al. 2021-style
     heuristics, public): each is an independent boolean column; the
