@@ -51,6 +51,12 @@ class ThroughputListener(StreamingQueryListener):
                     "rows_dropped_by_watermark": op.numRowsDroppedByWatermark,
                 }
             )
+        observed = {}
+        try:
+            for name, row in (p.observedMetrics or {}).items():
+                observed[name] = row.asDict()
+        except Exception:  # noqa: BLE001 - observedMetrics shape varies
+            pass
         self._emit(
             {
                 "event": "progress",
@@ -61,6 +67,7 @@ class ThroughputListener(StreamingQueryListener):
                 "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
                 "watermark": (p.eventTime or {}).get("watermark"),
                 "state": state,
+                "observed": observed,
             }
         )
 

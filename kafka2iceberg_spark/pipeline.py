@@ -64,12 +64,27 @@ def kafka_stream(
     )
 
 
-def parsed_stream(raw: DataFrame, spec: TaskSpec, from_kafka: bool = False) -> DataFrame:
+def parsed_stream(
+    raw: DataFrame,
+    spec: TaskSpec,
+    from_kafka: bool = False,
+    observe: bool = False,
+) -> DataFrame:
     if from_kafka:
-        return ingest.parse(
+        out = ingest.parse(
             raw, spec, offset_col="offset", partition_col="partition"
         )
-    return ingest.parse(raw, spec)
+    else:
+        out = ingest.parse(raw, spec)
+    if observe:
+        # X3: per-batch observed metrics — surfaced in StreamingQueryProgress
+        # .observedMetrics["ingest"] and captured by metrics.ThroughputListener
+        out = out.observe(
+            "ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_cdc_delete").cast("long")).alias("deletes"),
+        )
+    return out
 
 
 def start_upsert_sink(

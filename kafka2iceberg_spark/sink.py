@@ -395,6 +395,31 @@ class IcebergLite:
         finally:
             batch.unpersist()
 
+    def read_appends_between(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """Incremental read: rows in data files added between two snapshots
+        (Iceberg incremental append scan analogue). Exact for append-only
+        tables; for CoW-upsert tables the rewritten partitions' files are
+        new by construction, so consumers see the post-merge rows of every
+        partition touched in the range (document downstream accordingly).
+        Returns None when the range added no files.
+        """
+        old = self.snapshot_at(from_version)
+        new = self.snapshot_at(to_version)
+        old_files = {
+            f["path"] for files in old["manifests"].values() for f in files
+        }
+        added = [
+            f["path"]
+            for files in new["manifests"].values()
+            for f in files
+            if f["path"] not in old_files
+        ]
+        if not added:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*added)
+
     def compact(
         self, spark: SparkSession, min_files_per_partition: int = 2
     ) -> int:
