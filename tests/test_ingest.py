@@ -141,3 +141,29 @@ def test_timestamp_second_precision(spark):
     parsed = ingest.parse(_raw(spark, gen.envelopes(cfg)), SPEC)
     r = parsed.select("ts").first()
     assert r.ts.microsecond == 0
+
+
+def test_malformed_envelope_dropped_not_fatal(spark):
+    """Garbage bytes / invalid JSON / wrong-shape envelopes are dropped by
+    the parse chain (from_json → NULL → routing filter), never crash it."""
+    from kafka2iceberg_spark.ingest import parse
+    from kafka2iceberg_spark.schema import transcript_task
+
+    good = (
+        '{"data":[{"conv_id":"c1","turn_idx":"0","role":"user","text":"hi",'
+        '"tool":"null","ts":"2024-09-01 10:00:00"}],"database":"chat",'
+        '"table":"transcripts","type":"INSERT","isDdl":false,'
+        '"ts":1725184800000,"es":1725184800000,"old":null,'
+        '"pkNames":["conv_id","turn_idx"],"sql":"","_offset":1,"_partition":0}'
+    )
+    rows = [
+        (good,),
+        ("this is not json at all {{{",),
+        ('{"unrelated": true}',),
+        ('[]',),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse(df, transcript_task()).collect()
+    assert len(out) == 1
+    assert out[0]["conv_id"] == "c1" and out[0]["text"] == "hi"
