@@ -120,6 +120,23 @@ def q_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("max_turn_idx", "max_turn")
 
 
+def q_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same session query through the Spark SQL surface (spark.sql text) —
+    proves the SQL API exposes the engine identically to the DataFrame API."""
+    _tx(spark, sf_dir).createOrReplaceTempView("tx_view")
+    return spark.sql(
+        f"""
+        SELECT unix_micros(session_window.start) AS session_start_us,
+               unix_micros(session_window.end) AS session_end_us,
+               conv_id,
+               count(*) AS n_turns,
+               max(turn_idx) AS max_turn
+        FROM tx_view
+        GROUP BY session_window(ts, '{SESSION_GAP}'), conv_id
+        """
+    )
+
+
 def q_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = paired_turns_batch(_tx(spark, sf_dir))
     return pairs.select(
@@ -605,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding,
         "session_window": q_session,
         "session_window_two_phase": q_session_two_phase,
+        "session_window_sql": q_session_sql,
         "paired_turns": q_paired,
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
@@ -747,6 +765,20 @@ FROM transcripts, (VALUES (0), (1)) t(k)
 GROUP BY 1, 2
 """,
         "session_window": f"""
+WITH {_TX},
+e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}
+                     THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT MIN(eu) AS session_start_us,
+       MAX(eu) + {gap} AS session_end_us,
+       conv_id,
+       count(*) AS n_turns,
+       max(turn_idx) AS max_turn
+FROM s GROUP BY conv_id, sid
+""",
+        "session_window_sql": f"""
 WITH {_TX},
 e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
 m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}

@@ -5,6 +5,7 @@ gap-closed sessions are appended exactly once and match the batch twin.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -130,3 +131,53 @@ def test_streaming_sessions_emit_once_across_restart(spark, tmp_path):
     run()
     assert table.read(spark).count() == n1
     assert table.current_version() == v1
+
+
+def test_session_state_recovers_mid_stream(spark, tmp_path):
+    """Kill/resume with the SAME checkpoint mid-stream: session state (open
+    sessions spanning the restart) recovers from the state store and the
+    final emitted sessions equal a single-shot run (north_rule resume)."""
+    import shutil
+
+    staged_dir = str(tmp_path / "staged")
+    staged = write_stream_files(CFG, staged_dir, files=6)
+    sentinel = str(tmp_path / "sentinel.jsonl")
+    _sentinel_file(sentinel)
+
+    def feed(dst, names):
+        os.makedirs(dst, exist_ok=True)
+        for i, p in enumerate(names):
+            out = f"{dst}/{os.path.basename(p)}"
+            shutil.copy(p, out)
+            os.utime(out, (1_000_000 + i, 1_000_000 + i))
+
+    def run(broker, ck, tbl):
+        spec = transcript_task()
+        table = IcebergLite(tbl, pk=[], partition_field=None)
+        raw = file_broker_stream(spark, broker, max_files_per_trigger=2)
+        q = start_session_sink(
+            parsed_stream(raw, spec), table, ck,
+            gap=GAP, watermark_delay=DELAY, trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        return table
+
+    # reference single-shot
+    ref_broker = str(tmp_path / "ref_broker")
+    feed(ref_broker, staged + [sentinel])
+    ref = run(ref_broker, str(tmp_path / "ref_ck"), str(tmp_path / "ref_tbl"))
+
+    # two-phase with shared checkpoint: crash after half the stream
+    broker = str(tmp_path / "broker")
+    ck = str(tmp_path / "ck")
+    tbl = str(tmp_path / "tbl")
+    feed(broker, staged[:3])
+    run(broker, ck, tbl)
+    feed(broker, staged + [sentinel])
+    table = run(broker, ck, tbl)
+
+    key = lambda t: sorted(
+        (r["conv_id"], r["session_start_us"], r["session_end_us"], r["n_turns"])
+        for r in t.read(spark).where("conv_id <> 'zzz_sentinel'").collect()
+    )
+    assert key(table) == key(ref)
