@@ -521,6 +521,52 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- batch analytics (scale)
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated latency percentiles per reply role over paired turns."""
+    pairs = paired_turns_batch(_tx(spark, sf_dir)).where(
+        F.col("latency_us").isNotNull()
+    )
+    return pairs.groupBy("reply_role").agg(
+        F.round(F.expr("percentile(latency_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.9)"), 4).alias("p90_us"),
+        F.round(F.expr("percentile(latency_us, 0.99)"), 4).alias("p99_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value per event type."""
+    ev = _read(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100).cast("long")
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_conv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-depth funnel: how many conversations reach k turns."""
+    sizes = _tx(spark, sf_dir).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum((F.col("k") >= 20).cast("long")).alias("n_ge_20"),
+        F.sum((F.col("k") >= 50).cast("long")).alias("n_ge_50"),
+        F.sum((F.col("k") >= 70).cast("long")).alias("n_ge_70"),
+    )
+
+
+def q_fulfilled_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface: customers with at least one fulfilled order."""
+    cust = _read(spark, sf_dir, "customer")
+    f_orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface: customers with no order before mid-1995 (the date
     predicate pushes to the orders scan; the anti join broadcasts)."""
@@ -648,6 +694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "blob_meta": q_blob_meta,
         "blob_features": q_blob_features,
+        "latency_percentiles": q_latency_percentiles,
+        "value_histogram": q_value_histogram,
+        "conv_funnel": q_conv_funnel,
+        "fulfilled_customers": q_fulfilled_customers,
         "customers_without_orders": q_customers_without_orders,
         "priority_share": q_priority_share,
         "pricing_summary": q_pricing_summary,
@@ -1147,6 +1197,51 @@ SELECT d.doc_id,
        m.byte_mean_ppm,
        lower(hex(encode(substr(d.text, 1, 8)))) AS head_hex
 FROM documents d JOIN m ON m.doc_id = d.doc_id
+""",
+        "latency_percentiles": f"""
+WITH {_TX},
+l AS (
+  SELECT conv_id, role, epoch_us(ts) AS eu,
+         lead(role) OVER w AS n_role,
+         lead(epoch_us(ts)) OVER w AS n_eu
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+p AS (
+  SELECT n_role AS reply_role, n_eu - eu AS latency_us
+  FROM l
+  WHERE role = 'user' AND n_role IS NOT NULL AND n_role <> 'user'
+)
+SELECT reply_role,
+       round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
+       round(quantile_cont(latency_us, 0.9), 4) AS p90_us,
+       round(quantile_cont(latency_us, 0.99), 4) AS p99_us,
+       count(*) AS n
+FROM p GROUP BY reply_role
+""",
+        "value_histogram": """
+SELECT event_type,
+       CAST(floor(value / 100) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+        "conv_funnel": f"""
+WITH {_TX},
+sizes AS (SELECT conv_id, count(*) AS k FROM transcripts GROUP BY conv_id)
+SELECT count(*) AS n_convs,
+       sum(CASE WHEN k >= 20 THEN 1 ELSE 0 END) AS n_ge_20,
+       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_ge_50,
+       sum(CASE WHEN k >= 70 THEN 1 ELSE 0 END) AS n_ge_70
+FROM sizes
+""",
+        "fulfilled_customers": """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
 """,
         "customers_without_orders": """
 SELECT c_custkey, c_name, c_mktsegment
