@@ -430,6 +430,46 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (FFD per hash shard) — greedy stateful per-group
+    algorithm; rows-only driver check, invariants covered in pytest."""
+    from kafka2iceberg_spark.packing import pack_sequences
+
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return pack_sequences(d, budget=128)
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling + train/val/test split by hash bucket."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    key = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        tx.hash_bucket(key).alias("bucket"),
+        tx.deterministic_sample(key, 100).alias("in_10pct_sample"),
+        tx.dataset_split(key).alias("split"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens by frequency."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("token"))
+            ).cast("long"),
+        )
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF codebook build + nearest-centroid assignment (exact integer L2)."""
     emb = _read(spark, sf_dir, "embeddings", spread=True)
@@ -685,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
         "ivf_assign": q_ivf_assign,
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1034,6 +1077,26 @@ SELECT doc_id,
        (k >= 5 AND k <= 100000 AND awl10 >= 30 AND awl10 <= 100
         AND alpha_pm >= 600 AND sw >= 1) AS keep
 FROM m
+""",
+        "dataset_split": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       bucket < 100 AS in_10pct_sample,
+       CASE WHEN bucket < 100 THEN 'val'
+            WHEN bucket < 200 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+""",
+        "vocab_topk": f"""
+WITH normd AS (SELECT doc_id, {_NORM} AS n FROM documents),
+tok0 AS (SELECT unnest(string_split(n, ' ')) AS token FROM normd),
+counts AS (SELECT token, count(*) AS n FROM tok0 WHERE token <> '' GROUP BY token),
+r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
+SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
 """,
         "repetition_stats": f"""
 WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -286,6 +286,28 @@ def gopher_keep(c: Column) -> Column:
     return out.alias("keep")
 
 
+def hash_bucket(c: Column, buckets: int = 1000) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets) from the md5 of
+    a key — the primitive under reproducible sampling and dataset splits
+    (same row always lands in the same bucket, on any engine, any run)."""
+    return hash32(c) % buckets
+
+
+def deterministic_sample(c: Column, keep_per_mille: int) -> Column:
+    """Keep-predicate for a reproducible ~keep_per_mille/1000 sample."""
+    return hash_bucket(c, 1000) < keep_per_mille
+
+
+def dataset_split(c: Column, val_per_mille: int = 100, test_per_mille: int = 100) -> Column:
+    """train/val/test assignment by hash range (default 80/10/10)."""
+    b = hash_bucket(c, 1000)
+    return (
+        F.when(b < val_per_mille, F.lit("val"))
+        .when(b < val_per_mille + test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """64-bit content fingerprint: md5 prefix of the normalized text.
 
