@@ -137,6 +137,33 @@ def q_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble each conversation into one document (ordered turn concat) —
+    the bridge from the streaming transcript store to corpus-level ops."""
+    t = _tx(spark, sf_dir)
+    assembled = (
+        t.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("doc_text"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return assembled.select(
+        "conv_id",
+        "n_turns",
+        F.length("doc_text").cast("long").alias("doc_chars"),
+        F.substring(F.md5("doc_text"), 1, 16).alias("doc_fp"),
+    )
+
+
 def q_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = paired_turns_batch(_tx(spark, sf_dir))
     return pairs.select(
@@ -710,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_two_phase": q_session_two_phase,
         "session_window_sql": q_session_sql,
         "paired_turns": q_paired,
+        "conv_document": q_conv_document,
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
         "salted_conv_counts": q_salted_counts,
@@ -920,6 +948,19 @@ SELECT conv_id,
        CASE WHEN n_role IS NOT NULL AND n_role <> 'user' THEN n_eu END AS reply_ts_us,
        CASE WHEN n_role IS NOT NULL AND n_role <> 'user' THEN n_eu - eu END AS latency_us
 FROM l WHERE role = 'user'
+""",
+        "conv_document": f"""
+WITH {_TX},
+a AS (
+  SELECT conv_id,
+         string_agg(text, ' ' ORDER BY turn_idx) AS doc_text,
+         count(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(length(doc_text) AS BIGINT) AS doc_chars,
+       substr(md5(doc_text), 1, 16) AS doc_fp
+FROM a
 """,
         "conversation_stats": f"""
 WITH {_TX}
