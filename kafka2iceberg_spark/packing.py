@@ -48,7 +48,9 @@ def _ffd(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     for tok in pdf["n_tok"]:
         tok = int(tok)
         if tok >= budget:
-            bins.append(0)
+            # close the bin (capacity -1): nothing else may join, not even a
+            # zero-token doc (hypothesis-found edge case)
+            bins.append(-1)
             assign.append(len(bins) - 1)
             oversize.append(tok > budget)
             continue

@@ -122,7 +122,6 @@ event_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=5),   # key
         st.integers(min_value=0, max_value=40),  # offset
-        st.booleans(),                           # delete flag
     ),
     min_size=1,
     max_size=30,
@@ -134,9 +133,12 @@ class TestUpsertProperty:
     @given(events=event_strategy)
     @SETTINGS
     def test_dedup_batch_last_writer_wins(self, spark, events):
+        # replayed (partition, offset) pairs must carry identical payloads
+        # (true of a real log); derive the delete flag from the key so
+        # duplicates are exact duplicates
         rows = [
-            (f"k{k}", 0, off * 10 + k, int(off), del_)
-            for k, off, del_ in events
+            (f"k{k}", 0, off * 10 + k, int(off), (off + k) % 4 == 0)
+            for k, off in events
         ]
         df = spark.createDataFrame(
             rows,
@@ -159,3 +161,52 @@ class TestUpsertProperty:
                 best[conv_id] = (conv_id, p, off, ts_ms, del_)
         expect = {(c, o, d) for c, _, o, _, d in best.values()}
         assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+class TestTwoPhaseSessionProperty:
+    @given(convs=conv_strategy)
+    @SETTINGS
+    def test_two_phase_equals_builtin(self, spark, convs):
+        """sessionize_two_phase must equal session_window on any input."""
+        gap_s = 1800
+        rows = _turn_rows(convs)
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        builtin = {
+            tuple(r)
+            for r in win.sessionize(
+                df, f"{gap_s // 60} minutes", ["conv_id"]
+            ).collect()
+        }
+        two_phase = {
+            tuple(r)
+            for r in win.sessionize_two_phase(df, gap_s, "conv_id").collect()
+        }
+        assert two_phase == builtin
+
+
+sizes_strategy = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestPackingProperty:
+    @given(sizes=sizes_strategy)
+    @SETTINGS
+    def test_pack_respects_budget(self, spark, sizes):
+        from kafka2iceberg_spark.packing import pack_sequences
+
+        budget = 16
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        packed = pack_sequences(df, budget=budget, n_shards=3).collect()
+        assert len(packed) == len(sizes)
+        fills: dict[int, list[int]] = {}
+        for r in packed:
+            fills.setdefault(r["bin_id"], []).append(r["n_tok"])
+        for toks in fills.values():
+            if len(toks) > 1:
+                assert sum(toks) <= budget
