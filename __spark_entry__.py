@@ -97,6 +97,22 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows through the SQL surface (twin of q_tumbling)."""
+    _tx(spark, sf_dir).createOrReplaceTempView("tx_view")
+    return spark.sql(
+        """
+        SELECT unix_micros(window.start) AS window_start_us,
+               unix_micros(window.end) AS window_end_us,
+               role,
+               count(*) AS n,
+               count(DISTINCT conv_id) AS n_convs
+        FROM tx_view
+        GROUP BY window(ts, '1 day'), role
+        """
+    )
+
+
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _tx(spark, sf_dir)
     return win.sessionize(
@@ -732,6 +748,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tumbling_window": q_tumbling,
+        "tumbling_window_sql": q_tumbling_sql,
         "sliding_window": q_sliding,
         "session_window": q_session,
         "session_window_two_phase": q_session_two_phase,
@@ -867,6 +884,16 @@ def oracle_sql() -> dict[str, str]:
     gap = SESSION_GAP_US
     return {
         "tumbling_window": f"""
+WITH {_TX}
+SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start_us,
+       (epoch_us(ts) // {DAY_US}) * {DAY_US} + {DAY_US} AS window_end_us,
+       role,
+       count(*) AS n,
+       count(DISTINCT conv_id) AS n_convs
+FROM transcripts
+GROUP BY 1, 2, 3
+""",
+        "tumbling_window_sql": f"""
 WITH {_TX}
 SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start_us,
        (epoch_us(ts) // {DAY_US}) * {DAY_US} + {DAY_US} AS window_end_us,
