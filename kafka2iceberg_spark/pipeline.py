@@ -211,6 +211,43 @@ def start_session_sink(
     return writer.start()
 
 
+def start_pairs_sink(
+    parsed: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    trigger: dict | None = None,
+):
+    """[NORTH] J1 streaming branch: the stateful user↔reply join feeding an
+    exactly-once append sink — the north_star's flagship dataflow
+    (turn stream → Arrow-batched stateful pairing → Iceberg).
+
+    Pairs emit as soon as both turns arrive (or unpaired at state expiry);
+    the batch-id guard makes crash-replays no-ops, so each pair lands
+    exactly once. Read-back parity with the batch twin is tested.
+    """
+    from .state import paired_turns_stream
+
+    pairs = paired_turns_stream(
+        parsed.select("conv_id", "turn_idx", "role", "text", "ts"),
+        gap=gap,
+        watermark_delay=watermark_delay,
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        pairs.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def start_window_sink(
     parsed: DataFrame,
     table: IcebergLite,
