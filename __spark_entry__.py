@@ -195,6 +195,31 @@ def q_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus pipeline over conversations: assemble →
+    Gopher quality filter → exact dedup — reported as a funnel row."""
+    t = _tx(spark, sf_dir)
+    assembled = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("doc_text")
+    )
+    staged = assembled.select(
+        "conv_id",
+        tx.gopher_keep(F.col("doc_text")).alias("keep"),
+        tx.fingerprint(F.col("doc_text")).alias("fp"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality"),
+        F.count_distinct(F.when(F.col("keep"), F.col("fp"))).alias("n_final"),
+    )
+
+
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _tx(spark, sf_dir)
     return df.groupBy("conv_id").agg(
@@ -755,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_sql": q_session_sql,
         "paired_turns": q_paired,
         "conv_document": q_conv_document,
+        "corpus_clean_funnel": q_corpus_clean,
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
         "salted_conv_counts": q_salted_counts,
@@ -1014,6 +1040,38 @@ ev AS (
 ),
 w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY off DESC) AS rn FROM ev)
 SELECT conv_id, turn_idx, text, off AS offset FROM w WHERE rn = 1 AND NOT del
+""",
+        "corpus_clean_funnel": f"""
+WITH {_TX},
+a AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS doc_text
+  FROM transcripts GROUP BY conv_id
+),
+n0 AS (
+  SELECT conv_id, doc_text,
+         trim(regexp_replace(regexp_replace(lower(doc_text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+  FROM a
+),
+tk AS (
+  SELECT *,
+    CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS k,
+    CASE WHEN n = '' THEN []::VARCHAR[] ELSE string_split(n, ' ') END AS toks,
+    length(doc_text) - length(regexp_replace(doc_text, '[a-zA-Z]', '', 'g')) AS letters
+  FROM n0
+),
+m AS (
+  SELECT conv_id, n,
+    (k >= 5 AND k <= 100000
+     AND (CASE WHEN k > 0 THEN ((length(n) - (k - 1)) * 10) // k ELSE 0 END) BETWEEN 30 AND 100
+     AND (CASE WHEN length(doc_text) > 0 THEN (letters * 1000) // length(doc_text) ELSE 0 END) >= 600
+     AND len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) >= 1) AS keep,
+    substr(md5(n), 1, 16) AS fp
+  FROM tk
+)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality,
+       count(DISTINCT CASE WHEN keep THEN fp END) AS n_final
+FROM m
 """,
         "salted_conv_counts": f"""
 WITH {_TX}
