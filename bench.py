@@ -153,6 +153,30 @@ def session_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
     return wall, table.read(spark).count()
 
 
+def pairs_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
+    """Stateful user↔reply join branch over the broker: wall + pairs."""
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_pairs_sink,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    spec = transcript_task()
+    table = IcebergLite(f"{root}/pairs-{tag}", pk=[], partition_field=None)
+    raw = file_broker_stream(spark, f"{root}/broker", FILES_PER_TRIGGER)
+    t0 = time.monotonic()
+    q = start_pairs_sink(
+        parsed_stream(raw, spec),
+        table,
+        f"{root}/pairs-ck-{tag}",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    return time.monotonic() - t0, table.read(spark).count()
+
+
 def cep_job(spark, n_rows: int) -> None:
     """Flagship scaling job: synthesize n_rows transcript turns in-Spark
     (zero input IO — pure engine work) and run gap-closed session windows."""
@@ -262,6 +286,7 @@ def main() -> None:
         wall_sess, n_sessions = min(
             session_e2e_run(spark, root, f"timed{i}") for i in range(2)
         )
+        wall_pairs, n_pairs = pairs_e2e_run(spark, root, "timed")
         spark.stop()
 
         result: dict = {
@@ -283,6 +308,11 @@ def main() -> None:
                 "wall_sec": round(wall_sess, 2),
                 "sessions_emitted": n_sessions,
                 "turns_per_sec": round(n_env / wall_sess, 1),
+            },
+            "pairs_e2e": {
+                "wall_sec": round(wall_pairs, 2),
+                "pairs_emitted": n_pairs,
+                "turns_per_sec": round(n_env / wall_pairs, 1),
             },
         }
 
