@@ -286,6 +286,7 @@ def main() -> None:
         wall_sess, n_sessions = min(
             session_e2e_run(spark, root, f"timed{i}") for i in range(2)
         )
+        pairs_e2e_run(spark, root, "warm")
         wall_pairs, n_pairs = pairs_e2e_run(spark, root, "timed")
         spark.stop()
 
