@@ -282,9 +282,14 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CEP-style pattern match: user → tool → assistant turn triples within
+    """CEP-style pattern match: user → tool → user turn triples within
     a conversation (contiguous turn_idx), the declarative analogue of the
-    reference's declared-but-unused flink-cep dependency (pom.xml:276-281)."""
+    reference's declared-but-unused flink-cep dependency (pom.xml:276-281).
+
+    The closing turn is ``user`` (not ``assistant``) because the synthetic
+    transcript schedule places ``user`` on every even turn_idx, so a
+    user→tool→assistant triple cannot occur two turns apart; the pattern
+    matched here is 'user asks, tool runs, user follows up'."""
     t = _tx(spark, sf_dir)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     seq = t.select(
@@ -1019,8 +1024,8 @@ FROM a
 WITH {_TX}
 SELECT conv_id,
        count(*) AS n_turns,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
        min(epoch_us(ts)) AS first_us,
        max(epoch_us(ts)) AS last_us,
        max(turn_idx) AS max_turn
@@ -1069,7 +1074,7 @@ m AS (
   FROM tk
 )
 SELECT count(*) AS n_total,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_quality,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        count(DISTINCT CASE WHEN keep THEN fp END) AS n_final
 FROM m
 """,
@@ -1261,13 +1266,13 @@ per_dim AS (
   FROM pos GROUP BY label, i
 ),
 cent AS (
-  SELECT label AS c_label, list(s // c ORDER BY i) AS cq
+  SELECT label AS c_label, list(CAST(s // c AS BIGINT) ORDER BY i) AS cq
   FROM per_dim GROUP BY label
 ),
 scored AS (
   SELECT d.vec_id, d.label, c.c_label,
-         list_sum(list_transform(range(1, 65),
-           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS dist_q
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS BIGINT) AS dist_q
   FROM d, cent c
 ),
 r AS (
@@ -1344,7 +1349,7 @@ bits AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
         "dedup_embedding": f"""
@@ -1419,9 +1424,9 @@ GROUP BY 1, 2
 WITH {_TX},
 sizes AS (SELECT conv_id, count(*) AS k FROM transcripts GROUP BY conv_id)
 SELECT count(*) AS n_convs,
-       sum(CASE WHEN k >= 20 THEN 1 ELSE 0 END) AS n_ge_20,
-       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_ge_50,
-       sum(CASE WHEN k >= 70 THEN 1 ELSE 0 END) AS n_ge_70
+       CAST(sum(CASE WHEN k >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_20,
+       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_50,
+       CAST(sum(CASE WHEN k >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_70
 FROM sizes
 """,
         "fulfilled_customers": """
