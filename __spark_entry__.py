@@ -504,8 +504,10 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (FFD per hash shard) — greedy stateful per-group
-    algorithm; rows-only driver check, invariants covered in pytest."""
+    """Sequence packing (FFD per hash shard). The DuckDB oracle replays the
+    identical first-fit-decreasing placement per shard with a recursive CTE
+    (one doc per shard per iteration, bins carried as a capacity list);
+    invariants additionally covered in pytest."""
     from kafka2iceberg_spark.packing import pack_sequences
 
     d = _read(spark, sf_dir, "documents", spread=True)
@@ -608,7 +610,9 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only check; recall vs brute covered in pytest)."""
+    """Approximate ANN via random-hyperplane LSH; the DuckDB oracle mirrors
+    the sign-bucketing → candidate join → exact rerank over the identical
+    inlined hyperplane literals (recall vs brute additionally in pytest)."""
     emb = _read(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 8)
     out = sim.lsh_topk(emb, q, k=5, dim=64)
@@ -836,6 +840,17 @@ _NORM = (
 
 _PERM_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd.MINHASH_PERMS)
+)
+
+# The 8 tables × 4 planes × 64 dims of deterministic LSH hyperplanes, inlined
+# as SQL literals exactly like _PERM_VALUES — Python float repr round-trips
+# to the identical double on DuckDB's parser, so both engines project onto
+# bit-identical planes.
+_LSH_PLANE_VALUES = ", ".join(
+    f"({t}, {p}, {i + 1}, {v!r})"
+    for t in range(8)
+    for p in range(4)
+    for i, v in enumerate(sim._hyperplane(t, p, 64))
 )
 
 _AUG_EXACT = """
@@ -1209,6 +1224,47 @@ SELECT doc_id,
         AND alpha_pm >= 600 AND sw >= 1) AS keep
 FROM m
 """,
+        "pack_sequences": f"""
+WITH RECURSIVE n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+sized AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tok,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS shard
+  FROM n0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS INT) AS rk
+  FROM sized
+),
+pack AS (
+  SELECT shard, rk, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS idx,
+         n_tok > 128 AS oversize,
+         CASE WHEN n_tok >= 128 THEN [CAST(-1 AS BIGINT)]
+              ELSE [CAST(128 - n_tok AS BIGINT)] END AS bins
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT shard, rk, doc_id, n_tok,
+         CAST(CASE WHEN n_tok >= 128 THEN len(bins)
+                   WHEN ff > 0 THEN ff - 1
+                   ELSE len(bins) END AS BIGINT) AS idx,
+         n_tok > 128 AS oversize,
+         CASE WHEN n_tok >= 128 THEN list_append(bins, CAST(-1 AS BIGINT))
+              WHEN ff > 0 THEN list_transform(range(1, len(bins) + 1),
+                     i -> CASE WHEN i = ff THEN bins[CAST(i AS INT)] - n_tok
+                               ELSE bins[CAST(i AS INT)] END)
+              ELSE list_append(bins, CAST(128 - n_tok AS BIGINT)) END AS bins
+  FROM (
+    SELECT p.shard, r.rk, r.doc_id, r.n_tok, p.bins,
+           list_position(list_transform(p.bins, b -> b >= r.n_tok), true) AS ff
+    FROM pack p JOIN ranked r ON r.shard = p.shard AND r.rk = p.rk + 1
+  )
+)
+SELECT doc_id, n_tok, shard,
+       CAST(shard AS BIGINT) * 4294967296 + idx AS bin_id,
+       oversize
+FROM pack
+""",
         "dataset_split": """
 WITH b AS (
   SELECT doc_id,
@@ -1358,6 +1414,39 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('a', 'b')}, 6) AS cosine
 FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
+""",
+        "ann_lsh_topk": f"""
+WITH {_EMB_D},
+pl(t, p, i, v) AS (VALUES {_LSH_PLANE_VALUES}),
+plane AS (SELECT t, p, list(v ORDER BY i) AS pv FROM pl GROUP BY t, p),
+proj AS (
+  SELECT d.vec_id, plane.t, plane.p,
+         list_sum(list_transform(range(1, 65), i -> d.e[i] * plane.pv[i])) AS s
+  FROM d, plane
+),
+bucket AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS b
+  FROM proj GROUP BY vec_id, t
+),
+qb AS (SELECT * FROM bucket WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN bucket cb ON qb.t = cb.t AND qb.b = cb.b
+  WHERE cb.vec_id <> qb.vec_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM cand
+  JOIN d q ON q.vec_id = cand.query_id
+  JOIN d c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
 """,
         "ann_brute_topk": f"""
 WITH {_EMB_D},
