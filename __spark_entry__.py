@@ -318,16 +318,23 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 late-data policy in batch: a row is late iff its event time is
-    older than (running-max event time at its arrival) - delay. Arrival
-    order is derived deterministically (md5 of the PK) so the oracle can
-    reproduce it; the streaming path gets this from real arrival order."""
+    older than (per-conversation running-max event time at its arrival)
+    minus the delay. Arrival order is derived deterministically (md5 of the
+    PK) so the oracle can reproduce it; the streaming path gets this from
+    real arrival order. Sequencing and running max are both scoped to
+    conv_id — per-key watermark semantics — so the plan hash-partitions on
+    conv_id instead of sorting the whole input through one task."""
     t = _tx(spark, sf_dir).withColumn(
         "arrival_seq",
         F.row_number().over(
-            Window.orderBy(F.md5(F.concat_ws(":", "conv_id", "turn_idx")))
+            Window.partitionBy("conv_id").orderBy(
+                F.md5(F.concat_ws(":", "conv_id", "turn_idx"))
+            )
         ),
     )
-    out = win.late_rows_batch(t, delay_seconds=600)
+    out = win.late_rows_batch(
+        t, delay_seconds=600, partition_cols=("conv_id",)
+    )
     return out.select("conv_id", "turn_idx", "is_late")
 
 
@@ -700,16 +707,18 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation: per order-priority share of orders in ppm
-    (exact integer arithmetic, parity-safe)."""
+    (exact integer arithmetic, parity-safe). The denominator is a window
+    total over the (tiny, post-agg) per-priority counts — a single scan,
+    no driver-side count() action before the plan runs."""
     orders = _read(spark, sf_dir, "orders")
     per = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
-    total = orders.count()
+    total = F.sum("n").over(Window.partitionBy())
     return per.select(
         "o_orderpriority",
         "n",
-        tx._idiv(F.col("n") * 1_000_000, F.lit(total).cast("long")).alias(
+        tx._idiv(F.col("n") * 1_000_000, total.cast("long")).alias(
             "share_ppm"
         ),
     )
@@ -1119,11 +1128,12 @@ WHERE role = 'user' AND r1 = 'tool' AND r2 = 'user'
 WITH {_TX},
 a AS (
   SELECT conv_id, turn_idx, epoch_us(ts) AS eu,
-         row_number() OVER (ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR))) AS arrival_seq
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY md5(conv_id || ':' || CAST(turn_idx AS VARCHAR))) AS arrival_seq
   FROM transcripts
 ),
 r AS (
-  SELECT *, max(eu) OVER (ORDER BY arrival_seq
+  SELECT *, max(eu) OVER (PARTITION BY conv_id ORDER BY arrival_seq
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
   FROM a
 )

@@ -254,33 +254,48 @@ def lsh_topk(
     even on near-uniform random vectors (the hardest case — no locality to
     exploit); clustered real-world embeddings both prune harder and recall
     higher, so raise n_planes there.
+
+    Shuffle design: only (id, table, bucket) triples flow through the
+    posexplode and the candidate join — embedding payloads are NOT
+    amplified ×n_tables. The deduped candidate id-pairs (bounded by
+    |queries| × candidate fraction × |corpus|, broadcast-sized whenever the
+    query set is) are then broadcast back against the corpus, so each
+    side's vectors are read exactly once and never shuffled.
     """
     buckets = lsh_buckets_udf(dim, n_tables, n_planes)
 
-    def hashed(df: DataFrame, role: str) -> DataFrame:
-        e = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            _as_double(F.col(vec_col)).alias(f"{role}_e"),
-        )
-        return e.select(
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("neighbor_e"),
+    )
+    query_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("query_e"),
+    )
+
+    def bucket_ids(vecs: DataFrame, role: str) -> DataFrame:
+        return vecs.select(
             f"{role}_id",
-            f"{role}_e",
             F.posexplode(buckets(F.col(f"{role}_e"))).alias("t", "b"),
         )
 
-    c = hashed(corpus, "neighbor")
-    q = hashed(queries, "query")
     cand = (
-        c.join(q, ["t", "b"])
+        bucket_ids(corpus_vecs, "neighbor")
+        .join(F.broadcast(bucket_ids(query_vecs, "query")), ["t", "b"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("query_e"), F.col("neighbor_e")), 6).alias(
-            "cosine"
-        ),
+    scored = (
+        corpus_vecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("query_e"), F.col("neighbor_e")), 6
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -184,6 +184,7 @@ def late_rows_batch(
     delay_seconds: int,
     ts_col: str = "ts",
     arrival_col: str = "arrival_seq",
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """W5 batch emulation of the streaming late-drop policy.
 
@@ -191,12 +192,22 @@ def late_rows_batch(
     arrival), where the watermark is the running max event time over all
     *previously arrived* rows minus the delay. Parity tests use this to
     compute, in batch, exactly the rows a streaming run would drop. Adds
-    ``is_late``. The global ordering window is single-partition — use only on
-    per-test inputs, never at scale (streaming handles this natively there).
+    ``is_late``.
+
+    ``partition_cols`` scopes both the arrival sequence and the running max
+    to a key (e.g. ``("conv_id",)``): the per-key watermark analogue, and
+    the only scalable form — each key's running max is an independent
+    ordered window, so the plan is a normal hash-partitioned sort instead
+    of a global single-task sort. The empty default (one global watermark,
+    exactly what a single streaming query maintains) keeps the whole input
+    in one window partition — use only on per-test inputs.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(arrival_col).rowsBetween(
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    )
+    w = base.orderBy(arrival_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     running_max = F.max(F.unix_micros(F.col(ts_col))).over(w)
@@ -217,10 +228,13 @@ def salted_agg(
     count_col: str = "n",
 ) -> DataFrame:
     """X1 — skew-safe count per hot key: partial agg on (key, salt), then
-    final combine. The salt spreads a mega-conversation over n_salts tasks."""
+    final combine. The salt spreads a mega-conversation over n_salts tasks.
+    Salting on a hash of the row's real columns (not
+    monotonically_increasing_id) keeps the salt deterministic under task
+    retry/speculation — a retried partition re-derives identical salts."""
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("long").alias(count_col))
