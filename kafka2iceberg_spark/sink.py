@@ -34,6 +34,7 @@ task.json:71-82).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -42,6 +43,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: Partition value for rows whose partition source column is NULL. The same
+#: string Spark/Hive use for null partition directories, so the collected
+#: partition values, the manifest keys, and the on-disk directory names all
+#: agree — a null-ts upsert/delete hits the same partition it was written to.
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 def have_iceberg(spark: SparkSession) -> bool:
@@ -110,6 +117,12 @@ class IcebergLite:
         self.partition_field = partition_field
         self.data_dir = os.path.join(location, "data")
         self.meta_dir = os.path.join(location, "metadata")
+        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
+        # (version the cache is valid through, batch-id set) — seeded by one
+        # walk, then maintained incrementally; a commit reads only the
+        # snapshots it hasn't seen instead of re-parsing v0..vN every time.
+        self._batch_cache: tuple[int, set[str]] | None = None
+        self._manifest_cache: dict[str, list[dict]] = {}
 
     # -- metadata -----------------------------------------------------------
 
@@ -165,19 +178,67 @@ class IcebergLite:
             return json.load(fh)
 
     def committed_batches(self) -> set[str]:
-        """All batch ids in the snapshot chain (replay guard)."""
-        out: set[str] = set()
-        try:
-            v = self.current_version()
-        except FileNotFoundError:
-            return out
-        while v is not None and v >= 0:
-            with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
-                snap = json.load(fh)
+        """All batch ids in the snapshot chain (replay guard).
+
+        Incrementally cached: the full chain is parsed once per instance,
+        after which each call reads only snapshots newer than the cache —
+        per-commit metadata work is O(new snapshots), not O(history), so a
+        long-running streaming sink's commit cost stays flat. The cache
+        resets if the hint ever moves backwards (external rollback)."""
+        v = self.current_version()
+        if v is None:
+            return set()
+        if self._batch_cache is not None and self._batch_cache[0] <= v:
+            start, out = self._batch_cache[0] + 1, self._batch_cache[1]
+        else:
+            start, out = 0, set()
+        for i in range(start, v + 1):
+            snap = self.snapshot_at(i)
             if snap.get("batch_id") is not None:
                 out.add(str(snap["batch_id"]))
-            v = v - 1 if v > 0 else None
+        self._batch_cache = (v, out)
         return out
+
+    # -- manifest files -----------------------------------------------------
+    #
+    # Snapshots reference per-partition manifest FILES by content-hash name
+    # (Iceberg's manifest reuse): a partition untouched by a commit keeps the
+    # same manifest name, so per-snapshot metadata is O(|partitions|) names —
+    # not O(|files|) paths — and total metadata grows with *changed*
+    # partitions per commit, not quadratically over the job's life.
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.manifest_dir, name)
+
+    def _write_manifest(self, files: list[dict]) -> str:
+        payload = json.dumps(files, sort_keys=True)
+        name = hashlib.md5(payload.encode()).hexdigest()[:20] + ".json"
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            os.makedirs(self.manifest_dir, exist_ok=True)
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.rename(tmp, path)
+        self._manifest_cache[name] = files
+        return name
+
+    def _load_manifest(self, ref) -> list[dict]:
+        """Resolve a manifest reference: a content-hash filename, or (legacy
+        snapshots) an inline file list."""
+        if isinstance(ref, list):
+            return ref
+        if ref not in self._manifest_cache:
+            with open(self._manifest_path(ref)) as fh:
+                self._manifest_cache[ref] = json.load(fh)
+        return self._manifest_cache[ref]
+
+    def resolve_manifests(self, snap: dict) -> dict[str, list[dict]]:
+        """partition value → data-file list for a snapshot."""
+        return {
+            pv: self._load_manifest(ref)
+            for pv, ref in snap["manifests"].items()
+        }
 
     def lineage(self) -> list[dict]:
         """Per-commit lineage records (north_rule metrics surface)."""
@@ -194,7 +255,10 @@ class IcebergLite:
 
     def _partition_expr(self, df: DataFrame):
         if self.partition_field and self.partition_field in df.columns:
-            return F.to_date(F.col(self.partition_field)).cast("string")
+            return F.coalesce(
+                F.to_date(F.col(self.partition_field)).cast("string"),
+                F.lit(NULL_PARTITION),
+            )
         return F.lit("all")
 
     def _write_files(self, df: DataFrame, batch_id: str) -> dict[str, list[dict]]:
@@ -240,7 +304,9 @@ class IcebergLite:
             else self.snapshot_at(version)
         )
         paths = [
-            f["path"] for files in snap["manifests"].values() for f in files
+            f["path"]
+            for files in self.resolve_manifests(snap).values()
+            for f in files
         ]
         if not paths:
             sample = os.path.join(self.location, "_schema.json")
@@ -260,9 +326,9 @@ class IcebergLite:
         snap = self.current_snapshot()
         paths = [
             f["path"]
-            for pv, files in snap["manifests"].items()
+            for pv, ref in snap["manifests"].items()
             if pv in pvals
-            for f in files
+            for f in self._load_manifest(ref)
         ]
         return (
             spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -315,9 +381,11 @@ class IcebergLite:
             self._save_schema_hint(df)
             new = self._write_files(df, str(batch_id))
             snap = self.current_snapshot()
-            manifests = {k: list(v) for k, v in snap["manifests"].items()}
+            manifests = dict(snap["manifests"])
             for pv, files in new.items():
-                manifests.setdefault(pv, []).extend(files)
+                if pv in manifests:
+                    files = self._load_manifest(manifests[pv]) + files
+                manifests[pv] = self._write_manifest(files)
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
@@ -375,12 +443,12 @@ class IcebergLite:
             new = self._write_files(merged, str(batch_id))
             snap = self.current_snapshot()
             manifests = {
-                pv: files
-                for pv, files in snap["manifests"].items()
+                pv: ref
+                for pv, ref in snap["manifests"].items()
                 if pv not in affected
             }
             for pv, files in new.items():
-                manifests.setdefault(pv, []).extend(files)
+                manifests[pv] = self._write_manifest(files)
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
@@ -398,24 +466,47 @@ class IcebergLite:
     def read_appends_between(
         self, spark: SparkSession, from_version: int, to_version: int
     ) -> DataFrame | None:
-        """Incremental read: rows in data files added between two snapshots
-        (Iceberg incremental append scan analogue). Exact for append-only
-        tables; for CoW-upsert tables the rewritten partitions' files are
-        new by construction, so consumers see the post-merge rows of every
-        partition touched in the range (document downstream accordingly).
-        Returns None when the range added no files.
+        """Incremental read: rows in data files added by DATA snapshots
+        between two versions (Iceberg incremental append scan analogue).
+
+        Walks the snapshot chain step by step instead of diffing only the
+        endpoints, and skips snapshots with no batch_id (compaction /
+        table-create): files a compaction introduces are rewrites of
+        already-consumed rows, so a consumer whose range spans a compaction
+        does not re-read compacted partitions — the same rule as Iceberg's
+        incremental append scan skipping replace snapshots. Exact for
+        append-only tables; for CoW-upsert tables the rewritten partitions'
+        files are new by construction, so consumers see the post-merge rows
+        of every partition touched in the range (document downstream
+        accordingly). Returns None when the range added no files.
+
+        Cost: per step, only partitions whose manifest NAME changed are
+        opened — untouched partitions share the same manifest file.
         """
-        old = self.snapshot_at(from_version)
-        new = self.snapshot_at(to_version)
-        old_files = {
-            f["path"] for files in old["manifests"].values() for f in files
-        }
-        added = [
-            f["path"]
-            for files in new["manifests"].values()
-            for f in files
-            if f["path"] not in old_files
-        ]
+        added: list[str] = []
+        seen: set[str] = set()
+        prev = self.snapshot_at(from_version)
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot_at(v)
+            if snap.get("batch_id") is not None:
+                prev_refs = prev["manifests"]
+                for pv, ref in snap["manifests"].items():
+                    if prev_refs.get(pv) == ref and not isinstance(ref, list):
+                        continue  # manifest reused — nothing new here
+                    prev_paths = (
+                        {
+                            f["path"]
+                            for f in self._load_manifest(prev_refs[pv])
+                        }
+                        if pv in prev_refs
+                        else set()
+                    )
+                    for f in self._load_manifest(ref):
+                        p = f["path"]
+                        if p not in prev_paths and p not in seen:
+                            seen.add(p)
+                            added.append(p)
+            prev = snap
         if not added:
             return None
         return spark.read.option("mergeSchema", "true").parquet(*added)
@@ -436,12 +527,12 @@ class IcebergLite:
         snap = self.current_snapshot()
         todo = {
             pv: files
-            for pv, files in snap["manifests"].items()
+            for pv, files in self.resolve_manifests(snap).items()
             if len(files) >= min_files_per_partition
         }
         if not todo:
             return 0
-        manifests = {k: list(v) for k, v in snap["manifests"].items()}
+        manifests = dict(snap["manifests"])
         for pv, files in todo.items():
             df = spark.read.parquet(*[f["path"] for f in files])
             stage = os.path.join(
@@ -453,7 +544,7 @@ class IcebergLite:
                 for f in sorted(os.listdir(stage))
                 if f.endswith(".parquet")
             ]
-            manifests[pv] = new_files
+            manifests[pv] = self._write_manifest(new_files)
         self._write_snapshot(
             {
                 "snapshot_id": uuid.uuid4().hex,

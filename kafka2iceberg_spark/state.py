@@ -27,6 +27,8 @@ exact i+1 contiguity makes the streaming result independent of arrival order
 
 from __future__ import annotations
 
+import json
+
 from collections.abc import Iterable
 
 import pandas as pd
@@ -61,13 +63,12 @@ PAIR_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [
         StructField("turn_idx", StringType(), True),  # csv ints
-        StructField("role", StringType(), True),  # csv
-        StructField("text", StringType(), True),  # \x1f-joined
+        StructField("role", StringType(), True),  # JSON list
+        StructField("text", StringType(), True),  # JSON list (null-safe)
         StructField("ts_us", StringType(), True),  # csv int64 micros
     ]
 )
 
-_US = "\x1f"
 _PAIR_COLS = [f.name for f in PAIR_SCHEMA.fields]
 
 
@@ -183,8 +184,8 @@ def _unpack_state(state, conv_id: str) -> pd.DataFrame:
         {
             "conv_id": [conv_id] * len(idx),
             "turn_idx": idx,
-            "role": role_s.split(","),
-            "text": text_s.split(_US),
+            "role": json.loads(role_s),
+            "text": json.loads(text_s),
             "ts": pd.to_datetime(
                 pd.array([int(x) for x in ts_s.split(",")], dtype="int64")
                 * 1000  # us → ns
@@ -194,6 +195,14 @@ def _unpack_state(state, conv_id: str) -> pd.DataFrame:
 
 
 def _pack_state(state, leftover: pd.DataFrame) -> None:
+    """Buffer leftover turns into the string-typed state columns.
+
+    role/text are JSON-encoded lists: a text containing any separator
+    character round-trips intact, and a null text stays null (the previous
+    \\x1f-join both split on embedded separators — a poison-pill
+    conversation that crashed the query — and stringified nulls to 'None').
+    turn_idx/ts stay csv — they're integers, no escaping needed.
+    """
     if not len(leftover):
         if state.exists:
             state.remove()
@@ -202,8 +211,12 @@ def _pack_state(state, leftover: pd.DataFrame) -> None:
     state.update(
         (
             ",".join(str(int(x)) for x in leftover["turn_idx"]),
-            ",".join(leftover["role"].astype(str)),
-            _US.join(leftover["text"].astype(str)),
+            json.dumps(
+                [None if pd.isna(r) else str(r) for r in leftover["role"]]
+            ),
+            json.dumps(
+                [None if pd.isna(t) else str(t) for t in leftover["text"]]
+            ),
             ",".join(str(int(x)) for x in ts_us),
         )
     )

@@ -31,7 +31,9 @@ def test_compaction_preserves_data_and_replay_guard(spark, tmp_path):
         t.commit_append(_batch(spark, lo, hi), str(b))
 
     snap = t.current_snapshot()
-    files_before = sum(len(v) for v in snap["manifests"].values())
+    files_before = sum(
+        len(v) for v in t.resolve_manifests(snap).values()
+    )
     assert files_before >= 3  # one file per batch per partition
 
     before = sorted(
@@ -44,7 +46,9 @@ def test_compaction_preserves_data_and_replay_guard(spark, tmp_path):
     assert t.current_version() == v + 1
 
     after_snap = t.current_snapshot()
-    files_after = sum(len(v) for v in after_snap["manifests"].values())
+    files_after = sum(
+        len(v) for v in t.resolve_manifests(after_snap).values()
+    )
     assert files_after < files_before
     assert files_after == len(after_snap["manifests"])  # one file/partition
 

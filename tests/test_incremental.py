@@ -80,3 +80,76 @@ def test_observed_ingest_metrics(spark, tmp_path):
         assert sum(o["rows"] for o in obs if o) == 30
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_incremental_scan_skips_compaction_rewrites(spark, tmp_path):
+    """A consumer whose version range spans a compaction must not re-read
+    compacted partitions as new appends (ADVICE: the endpoint-diff treated
+    compaction rewrites as appended data)."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_batch(spark, 0, 5), "0")
+    v1 = t.current_version()
+    t.commit_append(_batch(spark, 5, 9), "1")
+    assert t.compact(spark, min_files_per_partition=2) >= 1
+    t.commit_append(_batch(spark, 9, 12), "2")
+    v_end = t.current_version()
+
+    inc = t.read_appends_between(spark, v1, v_end)
+    got = sorted(r["turn_idx"] for r in inc.collect())
+    # only batches 1 and 2 — rows 0..4 were already consumed and must not
+    # reappear via the compaction's rewritten files
+    assert got == list(range(5, 12))
+
+    # a range that contains ONLY the compaction adds nothing
+    assert t.read_appends_between(spark, v1 + 1, v1 + 2) is None
+
+
+def test_manifest_reuse_and_metadata_growth(spark, tmp_path):
+    """Snapshots reference per-partition manifest files by content hash:
+    a commit that touches one date partition must reuse the other
+    partitions' manifest names, keeping per-snapshot metadata O(partitions)."""
+    import datetime as dt
+
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+
+    def day_batch(day, lo, hi, bid):
+        rows = [
+            (f"c{i}", i, f"t{i}",
+             dt.datetime(2024, 9, day, 12, 0, 0), i, 0, False)
+            for i in range(lo, hi)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, text string, ts timestamp, "
+            "offset long, partition_idx int, is_cdc_delete boolean",
+        )
+        t.commit_append(df, bid)
+
+    day_batch(1, 0, 3, "a")
+    day_batch(2, 3, 6, "b")
+    snap_before = t.current_snapshot()
+    day_batch(2, 6, 9, "c")  # touches only day 2
+    snap_after = t.current_snapshot()
+    assert (
+        snap_after["manifests"]["2024-09-01"]
+        == snap_before["manifests"]["2024-09-01"]
+    ), "untouched partition must keep the same manifest reference"
+    assert (
+        snap_after["manifests"]["2024-09-02"]
+        != snap_before["manifests"]["2024-09-02"]
+    )
+    # manifest refs are names (small), not inline file lists
+    assert all(isinstance(v, str) for v in snap_after["manifests"].values())
+
+
+def test_committed_batches_incremental_cache(spark, tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    for b, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
+        t.commit_append(_batch(spark, lo, hi), str(b))
+    assert t.committed_batches() == {"0", "1", "2"}
+    # a fresh instance (cold cache) sees the same chain
+    t2 = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    assert t2.committed_batches() == {"0", "1", "2"}
+    # cache survives another instance's commit (re-seeds the delta)
+    t2.commit_append(_batch(spark, 9, 12), "3")
+    assert t.committed_batches() == {"0", "1", "2", "3"}

@@ -88,7 +88,10 @@ def test_partition_pruned_rewrite(spark, table):
     d1 = _batch(spark, [("c1", 0, "a", TS, 0, 0, False)])
     table.commit_upsert(d1, "0")
     files_before = {
-        f["path"] for f in table.current_snapshot()["manifests"]["2024-09-01"]
+        f["path"]
+        for f in table.resolve_manifests(table.current_snapshot())[
+            "2024-09-01"
+        ]
     }
     d2 = _batch(
         spark, [("c2", 0, "b", TS + datetime.timedelta(days=1), 1, 0, False)]
@@ -96,7 +99,9 @@ def test_partition_pruned_rewrite(spark, table):
     table.commit_upsert(d2, "1")
     snap = table.current_snapshot()
     assert set(snap["manifests"].keys()) == {"2024-09-01", "2024-09-02"}
-    assert {f["path"] for f in snap["manifests"]["2024-09-01"]} == files_before
+    assert {
+        f["path"] for f in table.resolve_manifests(snap)["2024-09-01"]
+    } == files_before
 
 
 def test_lineage_offsets(spark, table):
@@ -133,3 +138,32 @@ def test_snapshot_chain(spark, table):
     assert table.current_version() == 3  # v0 empty + 3 commits
     assert table.committed_batches() == {"0", "1", "2"}
     assert table.read(spark).count() == 3
+
+
+def test_upsert_null_ts_partition_roundtrip(spark, table):
+    """Rows with NULL ts land in the __HIVE_DEFAULT_PARTITION__ partition;
+    a later upsert or delete of the same PK must find and rewrite that
+    partition (ADVICE: collect()ed None never matched the directory key,
+    so old and new versions of a null-ts PK both stayed visible)."""
+    from kafka2iceberg_spark.sink import NULL_PARTITION
+
+    table.commit_upsert(
+        _batch(spark, [("c1", 0, "v0", None, 0, 0, False),
+                       ("c2", 0, "x", TS, 1, 0, False)]),
+        "0",
+    )
+    assert NULL_PARTITION in table.current_snapshot()["manifests"]
+
+    # update the null-ts PK: exactly one version must survive
+    table.commit_upsert(
+        _batch(spark, [("c1", 0, "v1", None, 2, 0, False)]), "1"
+    )
+    rows = table.read(spark).where(F.col("conv_id") == "c1").collect()
+    assert [(r.turn_idx, r.text) for r in rows] == [(0, "v1")]
+
+    # delete the null-ts PK: it must actually disappear
+    table.commit_upsert(
+        _batch(spark, [("c1", 0, "v1", None, 3, 0, True)]), "2"
+    )
+    got = sorted(r.conv_id for r in table.read(spark).collect())
+    assert got == ["c2"]

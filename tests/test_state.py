@@ -248,3 +248,66 @@ def test_tws_out_of_order_defers_not_mispairs(spark, tmp_path):
     paired = [r for r in got if r.user_turn_idx == 0 and r.reply_text]
     assert len(paired) == 1
     assert paired[0].reply_text == "a1"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the state codec."""
+
+    def __init__(self):
+        self.exists = False
+        self._t = None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self.exists, self._t = True, tuple(t)
+
+    def remove(self):
+        self.exists, self._t = False, None
+
+
+def test_state_codec_roundtrips_separators_and_nulls():
+    """ADVICE: the old \x1f-joined text column split a buffered text that
+    contained the separator (poison-pill conversation -> ValueError) and
+    stringified nulls to 'None'. The JSON codec must round-trip both."""
+    import pandas as pd
+
+    from kafka2iceberg_spark.state import _pack_state, _unpack_state
+
+    evil = "a\x1fb,c\nd\"quote\""
+    buf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", "tool", "user"],
+            "text": [evil, None, ""],
+            "ts": pd.to_datetime(
+                ["2024-09-01 12:00:00", "2024-09-01 12:01:00",
+                 "2024-09-01 12:02:00"]
+            ),
+        }
+    )
+    st = _FakeState()
+    _pack_state(st, buf)
+    out = _unpack_state(st, "c1")
+    assert list(out["turn_idx"]) == [0, 1, 2]
+    assert out["text"].iloc[0] == evil
+    assert out["text"].iloc[1] is None
+    assert out["text"].iloc[2] == ""
+    assert list(out["role"]) == ["user", "tool", "user"]
+    assert list(out["ts"]) == list(buf["ts"])
+
+
+def test_stream_survives_separator_text(spark, tmp_path):
+    """E2E: a buffered user turn whose text contains \x1f must pair
+    correctly after the reply arrives in a later file."""
+    evil = "payload\x1fwith separator"
+    rows_by_file = [
+        [("c1", 0, "user", evil)],
+        [("c1", 1, "assistant", "ok")],
+    ]
+    got, batch = _stream_parity(spark, tmp_path, rows_by_file)
+    gotk = {(r.conv_id, r.user_turn_idx): (r.user_text, r.reply_text) for r in got}
+    assert gotk[("c1", 0)] == (evil, "ok")
