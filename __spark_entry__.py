@@ -431,6 +431,7 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False).alias("isDdl"),
                 F.unix_millis("ts").alias("ts"),
                 (F.unix_millis("ts") - 500).alias("es"),
+                (F.unix_millis("ts") + 1000).alias("CommitTs"),
                 F.col("turn_idx").cast("long").alias("_offset"),
                 (F.expr("CAST(substring(conv_id, 6, 20) AS INT)") % 4).alias(
                     "_partition"
@@ -448,6 +449,8 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             FieldSpec("text", 4, "string"),
             FieldSpec("tool", 5, "string"),
             FieldSpec("ts", 6, "timestamp"),
+            # P14: named commit_ts, absent from data[] -> envelope CommitTs
+            FieldSpec("commit_ts", 7, "bigint"),
         ],
     )
     out = parse(env, spec)
@@ -458,6 +461,7 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "tool",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "commit_ts",
         "offset",
         "partition_idx",
         "is_cdc_delete",
@@ -1171,6 +1175,7 @@ SELECT conv_id,
        text,
        tool,
        (epoch_us(ts) // 1000000) * 1000000 AS ts_us,
+       CAST(epoch_us(ts) // 1000 + 1000 AS BIGINT) AS commit_ts,
        CAST(turn_idx AS BIGINT) AS offset,
        CAST(CAST(substr(conv_id, 6) AS INT) % 4 AS INT) AS partition_idx,
        (turn_idx % 13 = 0) AS is_cdc_delete

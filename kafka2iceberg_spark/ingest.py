@@ -17,7 +17,7 @@ Catalyst compiles into whole-stage-codegen'd vectorized code:
   P11 is_cdc_delete = upper(type)='DELETE'    :135-136, 172-173
   P12 offset column (Kafka metadata)          :174-175
   P13 partition_idx column                    :176-177
-  P14 ts/es envelope epochs                   :178-183
+  P14 ts/es/CommitTs envelope epochs          :178-186
   P15 derived date partition col via ref      task.json:89-94
 
 Filters P1/P3/P4 run BEFORE the explode so Catalyst prunes whole envelopes
@@ -41,6 +41,17 @@ from .schema import DATE_PATTERN, TIMESTAMP_PATTERN, envelope_schema, spark_type
 # sink-side derived columns the reference appends after the payload fields
 # (task.json:71-95, DeserializedSchema.java:172-183)
 DERIVED_COLS = ["offset", "partition_idx", "is_cdc_delete"]
+
+# P14: configured fields that, when their ref key is ABSENT from the data[]
+# element, fall back to envelope epoch-millis values — matched by trimmed,
+# case-insensitive field NAME exactly like DeserializedSchema.java:178-186.
+# Maps lowered field name → carried envelope column.
+_ENVELOPE_EPOCH_FALLBACK = {
+    "ts": "_env_ts",
+    "es": "_env_es",
+    "committs": "_env_commit_ts",
+    "commit_ts": "_env_commit_ts",
+}
 
 
 def _null_lit(c: Column) -> Column:
@@ -111,17 +122,40 @@ def parse(
         part.cast("int").alias("partition_idx"),
         F.upper(F.trim(F.col("j.type"))).alias("_etype"),
     )
-    # P6: one output row per data[] element
+    # P6: one output row per data[] element. Envelope epochs ride along for
+    # the P14 name-based fallbacks below.
     df = df.select(
-        F.explode("j.data").alias("d"), "offset", "partition_idx", "_etype"
+        F.explode("j.data").alias("d"),
+        "offset",
+        "partition_idx",
+        "_etype",
+        F.col("j.ts").alias("_env_ts"),
+        F.col("j.es").alias("_env_es"),
+        F.col("j.CommitTs").alias("_env_commit_ts"),
     )
 
     # P7-P10, P15: projection with ref-path extraction + typed casts
     cols: list[Column] = []
     for f in spec.ordered_fields:
         leaf = f.ref.split(".", 1)[1] if "." in f.ref else f.ref
-        c = _null_lit(F.col(f"d.{leaf}"))
-        cols.append(_cast(c, f.type).alias(f.name))
+        raw_val = F.col(f"d.{leaf}")
+        typed = _cast(_null_lit(raw_val), f.type)
+        # P14: dataNode.has(key) is false → fall back to the envelope epoch
+        # for fields NAMED ts/es/CommitTs (DeserializedSchema.java:178-186).
+        # An absent key and a JSON null both surface as NULL raw_val (a
+        # literal "null" string does not — it is non-null until _null_lit),
+        # so isNull() is the has()-test for the only distinguishable cases.
+        # Applied only to integral targets: the reference stuffs asLong()
+        # epochs into these columns, i.e. they are BIGINT by contract; a
+        # timestamp-typed field keeps NULL rather than a mis-scaled cast.
+        fb = _ENVELOPE_EPOCH_FALLBACK.get(f.name.strip().lower())
+        if fb is not None and isinstance(
+            spark_type(f.type), (T.LongType, T.IntegerType)
+        ):
+            typed = F.when(
+                raw_val.isNull(), F.col(fb).cast(spark_type(f.type))
+            ).otherwise(typed)
+        cols.append(typed.alias(f.name))
     # P11-P14: derived columns
     cols += [
         F.col("offset"),

@@ -50,18 +50,43 @@ def file_broker_stream(
     )
 
 
+#: Columns the ingest layer consumes from the Kafka source (value bytes plus
+#: the two metadata columns that become offset/partition_idx, P12/P13).
+KAFKA_SELECT_COLS = ["value", "offset", "partition"]
+
+
+def kafka_reader_options(
+    bootstrap: str, topics: str, starting: str = "earliest"
+) -> dict[str, str]:
+    """Reader options for the real Kafka source (S1) — the Spark analogue of
+    KafkaUtils.getKafkaSource (KafkaUtils.java:20-41: bootstrap servers,
+    topic subscription, earliest offsets). Pure function so the contract is
+    testable without the spark-sql-kafka jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topics,
+        "startingOffsets": starting,
+    }
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest"
 ) -> DataFrame:
-    """Real Kafka source (S1) — requires spark-sql-kafka on the classpath."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting)
-        .load()
-        .select("value", "offset", "partition")
-    )
+    """Real Kafka source (S1) — requires spark-sql-kafka on the classpath.
+    Fails fast with install guidance when the jar is absent."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap, topics, starting).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load().select(*KAFKA_SELECT_COLS)
+    except Exception as exc:  # noqa: BLE001 — surface a actionable message
+        if "kafka" in str(exc).lower():
+            raise RuntimeError(
+                "Kafka source unavailable: add the spark-sql-kafka-0-10 "
+                "package matching your Spark version (e.g. spark-submit "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+            ) from exc
+        raise
 
 
 def parsed_stream(
@@ -218,6 +243,7 @@ def start_pairs_sink(
     gap: str = "30 minutes",
     watermark_delay: str = "10 minutes",
     trigger: dict | None = None,
+    impl: str = "state",
 ):
     """[NORTH] J1 streaming branch: the stateful user↔reply join feeding an
     exactly-once append sink — the north_star's flagship dataflow
@@ -226,14 +252,23 @@ def start_pairs_sink(
     Pairs emit as soon as both turns arrive (or unpaired at state expiry);
     the batch-id guard makes crash-replays no-ops, so each pair lands
     exactly once. Read-back parity with the batch twin is tested.
-    """
-    from .state import paired_turns_stream
 
-    pairs = paired_turns_stream(
-        parsed.select("conv_id", "turn_idx", "role", "text", "ts"),
-        gap=gap,
-        watermark_delay=watermark_delay,
-    )
+    ``impl``: 'state' (applyInPandasWithState — eager emission, dedups
+    duplicate turns) or 'join' (JVM watermarked stream-stream join — same
+    final rows on deduped input, ~3-4× throughput; see
+    state.paired_turns_stream_join).
+    """
+    from .state import paired_turns_stream, paired_turns_stream_join
+
+    turns = parsed.select("conv_id", "turn_idx", "role", "text", "ts")
+    if impl == "join":
+        pairs = paired_turns_stream_join(
+            turns, gap=gap, watermark_delay=watermark_delay
+        )
+    else:
+        pairs = paired_turns_stream(
+            turns, gap=gap, watermark_delay=watermark_delay
+        )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         table.commit_append(batch_df, str(batch_id))

@@ -89,6 +89,10 @@ def envelope_schema(payload_fields: list[str]) -> T.StructType:
             T.StructField("isDdl", T.BooleanType(), True),
             T.StructField("ts", T.LongType(), True),
             T.StructField("es", T.LongType(), True),
+            # TiCDC-style commit timestamp; surfaced as a BIGINT column when
+            # a configured field named CommitTs/commit_ts has no data[] value
+            # (DeserializedSchema.java:184-186)
+            T.StructField("CommitTs", T.LongType(), True),
             T.StructField("old", T.ArrayType(payload), True),
             T.StructField("pkNames", T.ArrayType(T.StringType()), True),
             T.StructField("sql", T.StringType(), True),

@@ -61,21 +61,31 @@ def have_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def merge_sql(table: str, pk: list[str], source_view: str = "_m_src") -> str:
+    """The MERGE statement for the real-Iceberg upsert path, as text.
+
+    Pure function so the statement's contract (PK equi-join, delete-wins on
+    is_cdc_delete, update-else-insert — the semantics of the reference's
+    equality-delete upsert, Kafka2IcebergApp.java:95-113) is testable
+    without an Iceberg runtime jar on the classpath."""
+    if not pk:
+        raise ValueError("MERGE requires at least one primary-key column")
+    on = " AND ".join(f"t.{c} = s.{c}" for c in pk)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on}\n"
+        "WHEN MATCHED AND s.is_cdc_delete THEN DELETE\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED AND NOT s.is_cdc_delete THEN INSERT *"
+    )
+
+
 def merge_into_iceberg(
     spark: SparkSession, table: str, batch: DataFrame, pk: list[str]
 ) -> None:
     """Real-Iceberg path: SQL MERGE keyed on the PK (used when the runtime
     jar is present; functionally identical to IcebergLite.commit_upsert)."""
     batch.createOrReplaceTempView("_m_src")
-    on = " AND ".join(f"t.{c} = s.{c}" for c in pk)
-    spark.sql(
-        f"""
-        MERGE INTO {table} t USING _m_src s ON {on}
-        WHEN MATCHED AND s.is_cdc_delete THEN DELETE
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED AND NOT s.is_cdc_delete THEN INSERT *
-        """
-    )
+    spark.sql(merge_sql(table, pk))
 
 
 def dedup_batch(

@@ -167,3 +167,51 @@ def test_malformed_envelope_dropped_not_fatal(spark):
     out = parse(df, transcript_task()).collect()
     assert len(out) == 1
     assert out[0]["conv_id"] == "c1" and out[0]["text"] == "hi"
+
+
+def test_envelope_epoch_fallback_ts_es_committs(spark):
+    """P14: configured BIGINT fields named ts/es/CommitTs absent from
+    data[] fall back to the envelope epochs (DeserializedSchema.java:178-186);
+    a field present in data[] never falls back."""
+    from kafka2iceberg_spark.config import FieldSpec, TaskSpec
+
+    spec = TaskSpec(
+        source_database="chat",
+        source_table="transcripts",
+        fields=[
+            FieldSpec("conv_id", 1, "string", is_nullable=False,
+                      is_primary_key=True),
+            FieldSpec("ts", 2, "bigint"),          # not in data[] -> envelope
+            FieldSpec("es", 3, "bigint"),          # not in data[] -> envelope
+            FieldSpec("commit_ts", 4, "bigint"),   # -> envelope CommitTs
+            FieldSpec("turn_idx", 5, "int"),       # in data[] -> no fallback
+        ],
+        namespace="chat",
+        table="transcripts",
+    )
+    env = {
+        "data": [{"conv_id": "c1", "turn_idx": "5"}],
+        "database": "chat",
+        "table": "transcripts",
+        "type": "INSERT",
+        "isDdl": False,
+        "ts": 1726484734000,
+        "es": 1726484733500,
+        "CommitTs": 424242424242,
+        "old": None,
+        "pkNames": ["conv_id"],
+        "sql": "",
+        "_offset": 1,
+        "_partition": 0,
+    }
+    row = ingest.parse(_raw(spark, [env]), spec).collect()[0]
+    assert row.ts == 1726484734000
+    assert row.es == 1726484733500
+    assert row.commit_ts == 424242424242
+    assert row.turn_idx == 5
+
+    # envelope without CommitTs: the fallback itself is NULL, not an error
+    env2 = dict(env)
+    del env2["CommitTs"]
+    row2 = ingest.parse(_raw(spark, [env2]), spec).collect()[0]
+    assert row2.commit_ts is None
