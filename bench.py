@@ -153,8 +153,13 @@ def session_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
     return wall, table.read(spark).count()
 
 
-def pairs_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
-    """Stateful user↔reply join branch over the broker: wall + pairs."""
+def pairs_e2e_run(
+    spark, root: str, tag: str, impl: str = "state"
+) -> tuple[float, int]:
+    """User↔reply join branch over the broker: wall + pairs.
+
+    impl='state' is applyInPandasWithState (Arrow/Python state);
+    impl='join' is the JVM watermarked stream-stream join fast path."""
     from kafka2iceberg_spark.pipeline import (
         file_broker_stream,
         parsed_stream,
@@ -164,14 +169,17 @@ def pairs_e2e_run(spark, root: str, tag: str) -> tuple[float, int]:
     from kafka2iceberg_spark.sink import IcebergLite
 
     spec = transcript_task()
-    table = IcebergLite(f"{root}/pairs-{tag}", pk=[], partition_field=None)
+    table = IcebergLite(
+        f"{root}/pairs-{impl}-{tag}", pk=[], partition_field=None
+    )
     raw = file_broker_stream(spark, f"{root}/broker", FILES_PER_TRIGGER)
     t0 = time.monotonic()
     q = start_pairs_sink(
         parsed_stream(raw, spec),
         table,
-        f"{root}/pairs-ck-{tag}",
+        f"{root}/pairs-ck-{impl}-{tag}",
         trigger={"availableNow": True},
+        impl=impl,
     )
     q.awaitTermination()
     return time.monotonic() - t0, table.read(spark).count()
@@ -216,19 +224,33 @@ def _cpu_times() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def scale_level(cores: int, n_rows: int, repeats: int = 3) -> dict:
-    """Best-of-N warm wall for the CEP job at one parallelism level.
+def scale_level(
+    cores: int,
+    n_rows: int,
+    min_repeats: int = 4,
+    max_repeats: int = 8,
+    tol: float = 0.04,
+) -> dict:
+    """Converged best-of-N warm wall for the CEP job at one parallelism level.
 
     This sandbox is a microVM with intermittent hypervisor CPU steal (same
     job swings up to 5× within one JVM), so the minimum over repeats — the
     least-stolen run — is the only stable statistic; per-run steal fraction
     is measured from /proc/stat and reported for the chosen run.
+
+    Round-1 lesson: a fixed repeat count recorded a still-descending minimum
+    at the low-parallelism level (walls 25.0 → 15.3 → 11.21, not yet warm)
+    against a converged high-parallelism level — biasing efficiency low. Now
+    each level repeats (≥ min_repeats, ≤ max_repeats) until the best wall is
+    REPRODUCED: the two fastest runs must agree within ``tol``, so the
+    reported minimum is a stable floor, not a lucky or unlucky draw.
     """
     spark = session(cores)
     try:
-        cep_job(spark, n_rows)  # warm JIT/codegen
-        runs = []
-        for _ in range(repeats):
+        for _ in range(2):  # warm JIT/codegen + shuffle paths fully
+            cep_job(spark, n_rows)
+        runs: list[tuple[float, float]] = []
+        while len(runs) < max_repeats:
             s0, t0c = _cpu_times()
             t0 = time.monotonic()
             cep_job(spark, n_rows)
@@ -236,6 +258,10 @@ def scale_level(cores: int, n_rows: int, repeats: int = 3) -> dict:
             s1, t1c = _cpu_times()
             steal = (s1 - s0) / max(t1c - t0c, 1)
             runs.append((wall, steal))
+            if len(runs) >= min_repeats:
+                w = sorted(r[0] for r in runs)
+                if (w[1] - w[0]) / w[0] < tol:
+                    break
         best = min(runs)
         return {
             "wall": best[0],
@@ -286,8 +312,10 @@ def main() -> None:
         wall_sess, n_sessions = min(
             session_e2e_run(spark, root, f"timed{i}") for i in range(2)
         )
-        pairs_e2e_run(spark, root, "warm")
-        wall_pairs, n_pairs = pairs_e2e_run(spark, root, "timed")
+        pairs_e2e_run(spark, root, "warm", impl="state")
+        wall_pairs, n_pairs = pairs_e2e_run(spark, root, "timed", impl="state")
+        pairs_e2e_run(spark, root, "warm", impl="join")
+        wall_pj, n_pj = pairs_e2e_run(spark, root, "timed", impl="join")
         spark.stop()
 
         result: dict = {
@@ -311,6 +339,13 @@ def main() -> None:
                 "turns_per_sec": round(n_env / wall_sess, 1),
             },
             "pairs_e2e": {
+                "impl": "join (JVM stream-stream)",
+                "wall_sec": round(wall_pj, 2),
+                "pairs_emitted": n_pj,
+                "turns_per_sec": round(n_env / wall_pj, 1),
+            },
+            "pairs_e2e_state": {
+                "impl": "applyInPandasWithState",
                 "wall_sec": round(wall_pairs, 2),
                 "pairs_emitted": n_pairs,
                 "turns_per_sec": round(n_env / wall_pairs, 1),
