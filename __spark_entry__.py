@@ -784,6 +784,64 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local-supplier volume: fact table joined through the full
+    supplier→nation→region dimension chain, every dimension broadcast (the
+    fact side is never shuffled — one scan, map-side joins, one agg
+    exchange on r_name)."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand shipped volume through the part dimension (broadcast)."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_distinct("p_type").alias("n_types"),
+        )
+    )
+
+
+def q_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend: a partitioned ordered window (hash
+    exchange on o_custkey, per-key sort — no global ordering anywhere).
+    Decimal accumulation keeps the running sum engine-exact."""
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_us"
+        ),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias(
+            "spend_to_date"
+        ),
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -839,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "nation_revenue": q_nation_revenue,
+        "region_supplier_revenue": q_region_supplier_revenue,
+        "brand_volume": q_brand_volume,
+        "cumulative_spend": q_cumulative_spend,
     }
 
 
@@ -1588,5 +1649,33 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "region_supplier_revenue": """
+SELECT r_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "brand_volume": """
+SELECT p_brand,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items,
+       count(DISTINCT p_type) AS n_types
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "cumulative_spend": """
+SELECT o_custkey,
+       o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS spend_to_date
+FROM orders
 """,
     }
