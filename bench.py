@@ -313,9 +313,15 @@ def main() -> None:
             session_e2e_run(spark, root, f"timed{i}") for i in range(2)
         )
         pairs_e2e_run(spark, root, "warm", impl="state")
-        wall_pairs, n_pairs = pairs_e2e_run(spark, root, "timed", impl="state")
+        wall_pairs, n_pairs = min(
+            pairs_e2e_run(spark, root, f"timed{i}", impl="state")
+            for i in range(2)
+        )
         pairs_e2e_run(spark, root, "warm", impl="join")
-        wall_pj, n_pj = pairs_e2e_run(spark, root, "timed", impl="join")
+        wall_pj, n_pj = min(
+            pairs_e2e_run(spark, root, f"timed{i}", impl="join")
+            for i in range(2)
+        )
         spark.stop()
 
         result: dict = {
@@ -339,16 +345,16 @@ def main() -> None:
                 "turns_per_sec": round(n_env / wall_sess, 1),
             },
             "pairs_e2e": {
-                "impl": "join (JVM stream-stream)",
-                "wall_sec": round(wall_pj, 2),
-                "pairs_emitted": n_pj,
-                "turns_per_sec": round(n_env / wall_pj, 1),
-            },
-            "pairs_e2e_state": {
                 "impl": "applyInPandasWithState",
                 "wall_sec": round(wall_pairs, 2),
                 "pairs_emitted": n_pairs,
                 "turns_per_sec": round(n_env / wall_pairs, 1),
+            },
+            "pairs_e2e_join": {
+                "impl": "dedup + JVM stream-stream join",
+                "wall_sec": round(wall_pj, 2),
+                "pairs_emitted": n_pj,
+                "turns_per_sec": round(n_env / wall_pj, 1),
             },
         }
 

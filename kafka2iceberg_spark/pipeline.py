@@ -259,11 +259,19 @@ def start_pairs_sink(
     state.paired_turns_stream_join).
     """
     from .state import paired_turns_stream, paired_turns_stream_join
+    from .windows import with_watermark
 
     turns = parsed.select("conv_id", "turn_idx", "role", "text", "ts")
     if impl == "join":
+        # the join does not collapse duplicate turns itself (the stateful
+        # impl does) — dedup within the watermark first so broker replays
+        # cannot emit duplicate pairs; state for this is bounded by the
+        # same delay that bounds the join's own buffers
+        turns = with_watermark(
+            turns, "ts", watermark_delay
+        ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
         pairs = paired_turns_stream_join(
-            turns, gap=gap, watermark_delay=watermark_delay
+            turns, gap=gap, watermark_delay=None  # already watermarked
         )
     else:
         pairs = paired_turns_stream(

@@ -293,7 +293,7 @@ def paired_turns_stream(
 def paired_turns_stream_join(
     turns: DataFrame,
     gap: str = "30 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: str | None = "10 minutes",
     disorder: str = "10 minutes",
 ) -> DataFrame:
     """J1 as a watermarked JVM stream-stream LEFT OUTER join — the
@@ -312,29 +312,29 @@ def paired_turns_stream_join(
     the band, not eagerly) and no duplicate-turn collapse — feed it
     offset-deduped input (the ingest sink's dedup, or
     dropDuplicatesWithinWatermark upstream) when replays are possible.
+
+    The watermark is defined ONCE on the unified stream and both filtered
+    sides inherit it through the rename (re-watermarking each side would be
+    a disallowed redefinition when the caller chains another stateful
+    operator upstream). Pass ``watermark_delay=None`` for input that is
+    already watermarked.
     """
     from .windows import with_watermark
 
-    users = with_watermark(
-        turns.filter(F.col("role") == "user").select(
-            F.col("conv_id").alias("u_conv_id"),
-            F.col("turn_idx").alias("user_turn_idx"),
-            F.col("text").alias("user_text"),
-            F.col("ts").alias("user_ts"),
-        ),
-        "user_ts",
-        watermark_delay,
+    if watermark_delay is not None:
+        turns = with_watermark(turns, "ts", watermark_delay)
+    users = turns.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv_id"),
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("text").alias("user_text"),
+        F.col("ts").alias("user_ts"),
     )
-    replies = with_watermark(
-        turns.filter(F.col("role") != "user").select(
-            F.col("conv_id").alias("r_conv_id"),
-            F.col("turn_idx").alias("reply_turn_idx"),
-            F.col("role").alias("reply_role"),
-            F.col("text").alias("reply_text"),
-            F.col("ts").alias("reply_ts"),
-        ),
-        "reply_ts",
-        watermark_delay,
+    replies = turns.filter(F.col("role") != "user").select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("turn_idx").alias("reply_turn_idx"),
+        F.col("role").alias("reply_role"),
+        F.col("text").alias("reply_text"),
+        F.col("ts").alias("reply_ts"),
     )
     cond = (
         (F.col("u_conv_id") == F.col("r_conv_id"))

@@ -126,3 +126,63 @@ def test_pairs_sink_replay_noop(spark, tmp_path):
     run()
     assert table.read(spark).count() == n1
     assert table.current_version() == v1
+
+
+def test_pairs_sink_join_impl_dedups_replayed_turns(spark, tmp_path):
+    """impl='join' chains dropDuplicatesWithinWatermark before the JVM
+    stream-stream join: a broker stream with replayed (duplicate) turns
+    must still emit exactly one pair per user turn, matching the batch twin
+    over the deduped input."""
+    cfg = GenConfig(
+        n_convs=8,
+        turns_per_conv=6,
+        mega_convs=0,
+        mega_turns=0,
+        ooo_fraction=0.0,
+        late_fraction=0.0,
+        dup_fraction=0.3,  # replays!
+        delete_fraction=0.0,
+    )
+    broker = str(tmp_path / "broker")
+    paths = write_stream_files(cfg, broker, files=3)
+    for i, p in enumerate(paths):
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    sp = f"{broker}/zz.jsonl"
+    _sentinel(sp)
+    os.utime(sp, (2_000_000, 2_000_000))
+
+    spec = transcript_task()
+    table = IcebergLite(str(tmp_path / "pairsj"), pk=[], partition_field=None)
+    raw = file_broker_stream(spark, broker, max_files_per_trigger=2)
+    q = start_pairs_sink(
+        parsed_stream(raw, spec),
+        table,
+        str(tmp_path / "ckj"),
+        trigger={"availableNow": True},
+        impl="join",
+    )
+    q.awaitTermination()
+
+    got = [
+        (r["conv_id"], r["user_turn_idx"], r["reply_turn_idx"], r["reply_text"])
+        for r in table.read(spark)
+        .where("conv_id <> 'zzz' AND reply_text IS NOT NULL")
+        .collect()
+    ]
+    # no duplicate emissions despite replayed turns
+    keys = [(c, u) for c, u, _, _ in got]
+    assert len(keys) == len(set(keys))
+
+    batch_raw = spark.read.text(broker).select("value")
+    batch = (
+        parsed_stream(batch_raw, spec)
+        .where(F.col("conv_id") != "zzz")
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    expect = {
+        (r["conv_id"], r["user_turn_idx"], r["reply_turn_idx"], r["reply_text"])
+        for r in paired_turns_batch(batch).collect()
+        if r["reply_text"] is not None
+    }
+    assert set(got) == expect
