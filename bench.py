@@ -215,6 +215,20 @@ def cep_job(spark, n_rows: int) -> None:
     )
 
 
+def cpu_ref_job(spark, n_rows: int) -> None:
+    """Pure-CPU Spark reference: chained md5 over a range — whole-stage
+    codegen, ZERO shuffle, no Python. Its N→4N efficiency is the best any
+    Spark job can do on this box; the gap between it and the mp.Pool burn
+    ceiling is JVM scheduling, and the gap between it and the CEP job is
+    the engine's true shuffle/sort scaling cost."""
+    from pyspark.sql import functions as F
+
+    c = F.col("id").cast("string")
+    for _ in range(6):
+        c = F.md5(c)
+    _force(spark.range(n_rows).select(c.alias("h")))
+
+
 def _cpu_times() -> tuple[int, int]:
     """(steal, total) jiffies from /proc/stat — hypervisor noise detector."""
     with open("/proc/stat") as fh:
@@ -230,6 +244,7 @@ def scale_level(
     min_repeats: int = 4,
     max_repeats: int = 8,
     tol: float = 0.04,
+    job=None,
 ) -> dict:
     """Converged best-of-N warm wall for the CEP job at one parallelism level.
 
@@ -245,15 +260,16 @@ def scale_level(
     REPRODUCED: the two fastest runs must agree within ``tol``, so the
     reported minimum is a stable floor, not a lucky or unlucky draw.
     """
+    job = job or cep_job
     spark = session(cores)
     try:
         for _ in range(2):  # warm JIT/codegen + shuffle paths fully
-            cep_job(spark, n_rows)
+            job(spark, n_rows)
         runs: list[tuple[float, float]] = []
         while len(runs) < max_repeats:
             s0, t0c = _cpu_times()
             t0 = time.monotonic()
-            cep_job(spark, n_rows)
+            job(spark, n_rows)
             wall = time.monotonic() - t0
             s1, t1c = _cpu_times()
             steal = (s1 - s0) / max(t1c - t0c, 1)
@@ -362,6 +378,12 @@ def main() -> None:
             time.sleep(4)
             r_lo = scale_level(lo, SCALE_ROWS)
             r_hi = scale_level(CPUS, SCALE_ROWS)
+            # pure-CPU zero-shuffle Spark reference at the same two levels:
+            # the in-engine upper bound this box allows any Spark job
+            ref_rows = SCALE_ROWS // 2
+            ref_lo = scale_level(lo, ref_rows, job=cpu_ref_job)
+            ref_hi = scale_level(CPUS, ref_rows, job=cpu_ref_job)
+            ref_eff = (ref_lo["wall"] / ref_hi["wall"]) / (CPUS / lo)
             w_lo, w_hi = r_lo["wall"], r_hi["wall"]
             eff = (w_lo / w_hi) / (CPUS / lo)
             result["scaling"] = {
@@ -379,6 +401,17 @@ def main() -> None:
                 "efficiency_raw": round(eff, 3),
                 "hw_ceiling": round(ceiling, 3),
                 "efficiency_vs_ceiling": round(min(eff / ceiling, 1.0), 3),
+                "spark_cpu_ref": {
+                    "job": f"6-chained md5 over {ref_rows} rows, zero shuffle",
+                    "wall_n_sec": round(ref_lo["wall"], 2),
+                    "wall_4n_sec": round(ref_hi["wall"], 2),
+                    "walls_n_all": ref_lo["all_walls"],
+                    "walls_4n_all": ref_hi["all_walls"],
+                    "efficiency_raw": round(ref_eff, 3),
+                },
+                "efficiency_vs_spark_cpu_ref": round(
+                    min(eff / ref_eff, 1.0), 3
+                ),
             }
         print(json.dumps(result))
     finally:
