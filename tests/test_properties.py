@@ -210,3 +210,56 @@ class TestPackingProperty:
         for toks in fills.values():
             if len(toks) > 1:
                 assert sum(toks) <= budget
+
+
+class TestStateCodecProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(max_size=40),  # arbitrary unicode incl. separators
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_pack_unpack_roundtrips_any_text(self, texts):
+        """The state buffer codec must round-trip ANY buffered text —
+        arbitrary unicode (including \\x1f, commas, newlines, quotes) and
+        nulls — without splitting, merging, or stringifying rows."""
+        import pandas as pd
+
+        from kafka2iceberg_spark.state import _pack_state, _unpack_state
+
+        class FakeState:
+            exists = False
+            _t = None
+
+            @property
+            def get(self):
+                return self._t
+
+            def update(self, t):
+                self.exists, self._t = True, tuple(t)
+
+            def remove(self):
+                self.exists, self._t = False, None
+
+        n = len(texts)
+        buf = pd.DataFrame(
+            {
+                "conv_id": ["c"] * n,
+                "turn_idx": list(range(n)),
+                "role": ["user"] * n,
+                "text": texts,
+                "ts": pd.to_datetime(["2024-09-01 12:00:00"] * n),
+            }
+        )
+        st_ = FakeState()
+        _pack_state(st_, buf)
+        out = _unpack_state(st_, "c")
+        assert list(out["turn_idx"]) == list(range(n))
+        got = [None if t is None else t for t in out["text"]]
+        want = [None if t is None else str(t) for t in texts]
+        assert got == want
