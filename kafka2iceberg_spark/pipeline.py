@@ -119,6 +119,8 @@ def start_upsert_sink(
     trigger: dict | None = None,
     dead_letter: IcebergLite | None = None,
     spec: TaskSpec | None = None,
+    maintenance_every: int | None = None,
+    keep_snapshots: int = 50,
 ):
     """K2 exactly-once upsert sink as a streaming query.
 
@@ -128,6 +130,14 @@ def start_upsert_sink(
     clean rows to the main table and violations to the DLQ, both guarded by
     the same batch id — replay-idempotent on both sides. Build ``parsed``
     with ``enforce_not_null=False`` when using this mode.
+
+    ``maintenance_every=N`` runs table maintenance every N committed
+    batches — small-file compaction, then snapshot expiration keeping
+    ``keep_snapshots`` versions — inside the same single-writer foreachBatch
+    loop, so a long-lived job's read amplification and storage stay bounded
+    without an external maintenance scheduler. Both operations preserve the
+    replay guard (compaction carries batch ids; expiration folds them into
+    ``inherited_batch_ids``).
     """
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
@@ -142,6 +152,9 @@ def start_upsert_sink(
             dead_letter.commit_append(bad, str(batch_id))
         else:
             table.commit_upsert(batch_df, str(batch_id))
+        if maintenance_every and (int(batch_id) + 1) % maintenance_every == 0:
+            table.compact(batch_df.sparkSession)
+            table.expire_snapshots(keep_last=keep_snapshots)
 
     writer = (
         parsed.writeStream.foreachBatch(commit)

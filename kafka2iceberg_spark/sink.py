@@ -203,7 +203,11 @@ class IcebergLite:
         else:
             start, out = 0, set()
         for i in range(start, v + 1):
-            snap = self.snapshot_at(i)
+            try:
+                snap = self.snapshot_at(i)
+            except FileNotFoundError:
+                continue  # expired snapshot — its ids are inherited forward
+            out |= {str(b) for b in snap.get("inherited_batch_ids", [])}
             if snap.get("batch_id") is not None:
                 out.add(str(snap["batch_id"]))
         self._batch_cache = (v, out)
@@ -567,6 +571,98 @@ class IcebergLite:
             }
         )
         return len(todo)
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analogue.
+
+        Drops snapshot metadata older than the newest ``keep_last``
+        versions and physically deletes data files and manifest files no
+        retained snapshot references. Without this, a streaming sink
+        committing every trigger grows metadata and keeps every rewritten
+        file forever; with it, storage is bounded by the retention window —
+        the maintenance half of the exactly-once story.
+
+        The replay guard SURVIVES expiration: expired snapshots' batch ids
+        fold into the oldest retained snapshot's ``inherited_batch_ids``
+        (``committed_batches`` unions them), so replaying a batch whose
+        snapshot was expired is still a no-op. Time travel remains
+        available only within the retention window, exactly like Iceberg.
+        Single-writer assumption (same as the Hadoop-catalog commit
+        protocol): run maintenance from the committing process.
+        """
+        v = self.current_version()
+        stats = {"expired_snapshots": 0, "deleted_data_files": 0,
+                 "deleted_manifests": 0}
+        if v is None:
+            return stats
+        oldest_keep = max(0, v - keep_last + 1)
+        if oldest_keep == 0:
+            return stats
+        # 1. fold expiring batch ids forward
+        inherited: set[str] = set()
+        expiring: list[int] = []
+        for i in range(0, oldest_keep):
+            try:
+                snap = self.snapshot_at(i)
+            except FileNotFoundError:
+                continue
+            expiring.append(i)
+            inherited |= {str(b) for b in snap.get("inherited_batch_ids", [])}
+            if snap.get("batch_id") is not None:
+                inherited.add(str(snap["batch_id"]))
+        oldest = self.snapshot_at(oldest_keep)
+        oldest["inherited_batch_ids"] = sorted(
+            inherited | {str(b) for b in oldest.get("inherited_batch_ids", [])}
+        )
+        path = os.path.join(self.meta_dir, f"v{oldest_keep}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(oldest, fh)
+        os.rename(tmp, path)  # atomic; version hint untouched
+        # 2. reference sets over RETAINED snapshots only
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for i in range(oldest_keep, v + 1):
+            snap = self.snapshot_at(i)
+            for ref in snap["manifests"].values():
+                if isinstance(ref, str):
+                    live_manifests.add(ref)
+                for f in self._load_manifest(ref):
+                    live_files.add(f["path"])
+        # 3. drop expired snapshot metadata
+        for i in expiring:
+            os.remove(os.path.join(self.meta_dir, f"v{i}.json"))
+            stats["expired_snapshots"] += 1
+        # 4. delete orphan manifests and data files; prune empty dirs
+        if os.path.isdir(self.manifest_dir):
+            for name in os.listdir(self.manifest_dir):
+                if name.endswith(".json") and name not in live_manifests:
+                    os.remove(os.path.join(self.manifest_dir, name))
+                    self._manifest_cache.pop(name, None)
+                    stats["deleted_manifests"] += 1
+        for dirpath, _dirnames, filenames in os.walk(
+            self.data_dir, topdown=False
+        ):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in live_files:
+                    os.remove(p)
+                    stats["deleted_data_files"] += 1
+            remaining = os.listdir(dirpath)
+            # a dir left with only write-marker FILES (_SUCCESS, .crc) is
+            # dead; `_p=...` partition SUBDIRS also start with "_", so only
+            # regular files count as markers
+            if remaining and all(
+                os.path.isfile(os.path.join(dirpath, f))
+                and (f.startswith(("_", ".")) or f.endswith(".crc"))
+                for f in remaining
+            ):
+                for f in remaining:
+                    os.remove(os.path.join(dirpath, f))
+                remaining = []
+            if not remaining and dirpath != self.data_dir:
+                os.rmdir(dirpath)
+        return stats
 
     def drop(self) -> None:
         shutil.rmtree(self.location, ignore_errors=True)
