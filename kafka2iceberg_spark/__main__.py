@@ -108,8 +108,18 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
-    start = start_upsert_sink if spec.primary_keys else start_append_sink
-    q = start(parsed, table, checkpoint, trigger=trigger)
+    if spec.primary_keys:
+        maint = params.get("maintenance.every-batches")
+        q = start_upsert_sink(
+            parsed,
+            table,
+            checkpoint,
+            trigger=trigger,
+            maintenance_every=int(maint) if maint else None,
+            keep_snapshots=int(params.get("maintenance.keep-snapshots", "50")),
+        )
+    else:
+        q = start_append_sink(parsed, table, checkpoint, trigger=trigger)
     q.awaitTermination()
 
 
