@@ -620,6 +620,17 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest cells per query, exact cosine rerank —
+    the third ANN strategy (scanned fraction ≈ n_probe/|cells| at scale).
+    The DuckDB oracle replays the integer codebook, cell assignment, probe
+    ranking, and rerank with identical arithmetic."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 8)
+    out = sim.ivf_topk(emb, q, k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH; the DuckDB oracle mirrors
     the sign-bucketing → candidate join → exact rerank over the identical
@@ -886,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "blob_meta": q_blob_meta,
         "blob_features": q_blob_features,
         "latency_percentiles": q_latency_percentiles,
@@ -1490,6 +1502,60 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('a', 'b')}, 6) AS cosine
 FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
+""",
+        "ann_ivf_topk": """
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+pos AS (SELECT label, unnest(range(1, 65)) AS i, q FROM d),
+per_dim AS (
+  SELECT label, i, SUM(q[CAST(i AS INT)]) AS s, COUNT(*) AS c
+  FROM pos GROUP BY label, i
+),
+cent AS (
+  SELECT label AS c_label, list(CAST(s // c AS BIGINT) ORDER BY i) AS cq
+  FROM per_dim GROUP BY label
+),
+ascore AS (
+  SELECT d.vec_id, c.c_label,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS BIGINT) AS dist_q
+  FROM d, cent c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, c_label) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, c_label) AS rn
+    FROM ascore WHERE vec_id < 8
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, a.neighbor_id
+  FROM qprobe qp JOIN assigned a ON a.cell = qp.cell
+  WHERE a.neighbor_id <> qp.query_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range(1, 65), i -> qd.e[i] * cd.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> qd.e[i] * qd.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> cd.e[i] * cd.e[i])))), 6) AS cosine
+  FROM cand
+  JOIN d qd ON qd.vec_id = cand.query_id
+  JOIN d cd ON cd.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
 """,
         "ann_lsh_topk": f"""
 WITH {_EMB_D},

@@ -178,6 +178,82 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` nearest cells, rerank exactly.
+
+    The third ANN strategy (after brute force and LSH) and the classic
+    100 TB shape: the codebook is tiny and broadcast; each query touches
+    only its probed cells' inverted lists, so the scanned fraction is
+    ≈ n_probe / |cells| of the corpus. Same shuffle discipline as
+    ``lsh_topk`` — the candidate join carries only (cell, id) pairs and
+    embeddings are rejoined once for the exact cosine rerank. Recall is
+    governed by n_probe (cells here are the deterministic label partitions;
+    a production index would k-means the codebook — same dataflow).
+    Output contract: (query_id, neighbor_id, rank, cosine).
+    """
+    cents = ivf_centroids(corpus, vec_col=vec_col)
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("assigned_label").alias("cell"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q")
+    )
+    c = cents.select(F.col("label").alias("cell"), "centroid_q")
+    diff = F.zip_with(F.col("q"), F.col("centroid_q"), lambda a, b: a - b)
+    dist = F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, d: acc + d * d
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dq"), F.col("cell"))
+    probes = (
+        qv.crossJoin(F.broadcast(c))
+        .select("query_id", "cell", dist.alias("dq"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("neighbor_e"),
+    )
+    query_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("query_e"),
+    )
+    scored = (
+        corpus_vecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_e"), F.col("neighbor_e")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucket(
     vec: Column, dim: int, table: int, n_planes: int = 8
 ) -> Column:

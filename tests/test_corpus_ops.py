@@ -195,3 +195,21 @@ def test_frame_sample_plan_shape(spark, docs):
     frames = mm.frame_sample_plan(blobs, every_n=10).collect()
     assert all(r["frame_idx"] % 10 == 0 for r in frames)
     assert len(frames) >= 1
+
+
+def test_ivf_recall_vs_brute(spark, emb):
+    """IVF with 2 probed cells must recover a solid share of exact top-5;
+    with ALL cells probed it must equal brute force exactly."""
+    q = emb.where(F.col("vec_id") < 8)
+    exact = sim.brute_topk(emb, q, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = sim.ivf_topk(emb, q, k=5, n_probe=2)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+    n_cells = emb.select("label").distinct().count()
+    full = sim.ivf_topk(emb, q, k=5, n_probe=n_cells)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e, "probing every cell must equal brute force"
