@@ -52,9 +52,12 @@ HEADLINE = [
     "text_quality",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "blob_features",
     "pricing_summary",
     "nation_revenue",
+    "region_supplier_revenue",
+    "cumulative_spend",
 ]
 
 SCALE_GEN = dict(

@@ -182,6 +182,25 @@ def parse(
     return out
 
 
+def corrupt_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Rows whose payload is non-null but not parseable as a JSON envelope.
+
+    The reference's Jackson tree-parse throws on malformed bytes
+    (DeserializedSchema.java:97-98, killing the job); the declarative
+    ``from_json`` instead yields a NULL struct, which the routing filter
+    then silently drops. This helper makes that silence observable: route
+    it to a dead-letter table or count it via ``observe`` so a poisoned
+    topic surfaces in metrics instead of as quietly-missing rows.
+    Detection key: ``database`` is a required envelope field, so a parsed
+    struct with NULL database means the JSON was malformed (or foreign).
+    """
+    env = envelope_schema([])
+    parsed = F.from_json(F.col(value_col).cast("string"), env)
+    return raw.filter(
+        F.col(value_col).isNotNull() & parsed["database"].isNull()
+    )
+
+
 def violations(parsed: DataFrame, spec: TaskSpec) -> DataFrame:
     """Dead-letter variant of P8: rows violating not-null, for metrics."""
     if not spec.not_null_cols:

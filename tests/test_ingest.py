@@ -215,3 +215,22 @@ def test_envelope_epoch_fallback_ts_es_committs(spark):
     del env2["CommitTs"]
     row2 = ingest.parse(_raw(spark, [env2]), spec).collect()[0]
     assert row2.commit_ts is None
+
+
+def test_corrupt_envelopes_detected_not_silent(spark):
+    """Malformed JSON must be observable (the declarative from_json yields
+    NULL and the routing filter would silently drop it; the reference's
+    Jackson parse would throw). corrupt_envelopes isolates exactly the
+    malformed rows; valid and tombstone rows are excluded."""
+    rows = [
+        (json.dumps(GOLDEN),),          # valid
+        ("{not json at all",),          # malformed
+        ('{"foo": 1}',),                # json but not an envelope
+        (None,),                        # tombstone — P1's business, not ours
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    bad = ingest.corrupt_envelopes(raw).collect()
+    assert len(bad) == 2
+    # the full parse still processes the valid row and drops the garbage
+    out = ingest.parse(raw, SPEC).collect()
+    assert len(out) == 1 and out[0].conv_id == "c00042"
