@@ -39,6 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", 50_000_000))
 
+# the round-1 comparison set — "value" sums exactly these so rounds compare
 HEADLINE = [
     "session_window",
     "session_window_two_phase",
@@ -52,10 +53,14 @@ HEADLINE = [
     "text_quality",
     "ann_brute_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "blob_features",
     "pricing_summary",
     "nation_revenue",
+]
+
+# round-2 additions — timed and reported per-query, summed separately
+HEADLINE_EXTRA = [
+    "ann_ivf_topk",
     "region_supplier_revenue",
     "cumulative_spend",
 ]
@@ -94,7 +99,7 @@ def time_queries(spark) -> dict[str, float]:
 
     qs = entry.queries()
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_EXTRA:
         fn = qs[name]
         t0 = time.monotonic()
         _force(fn(spark, SF_DIR))
@@ -348,8 +353,11 @@ def main() -> None:
                 "headline query wall-clock + warm streaming-ingest turns/sec"
                 " + session-window CEP N→4N scaling efficiency"
             ),
-            "value": round(sum(queries.values()), 3),
+            "value": round(sum(queries[n] for n in HEADLINE), 3),
             "unit": "sec",
+            "value_extra_queries": round(
+                sum(queries[n] for n in HEADLINE_EXTRA), 3
+            ),
             "queries": queries,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "ingest": {
