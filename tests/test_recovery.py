@@ -119,3 +119,76 @@ def test_per_turn_text_parity_with_generator(spark, tmp_path, spec):
         if op != "DELETE"
     )
     assert _rows(spark, tbl) == expected
+
+
+def test_pairs_join_impl_resume_no_duplicates(spark, tmp_path, spec):
+    """The JVM stream-stream pairs branch (dedup → join → append sink) must
+    also resume from its checkpoint with zero duplicate emissions: Spark
+    restores both join sides' state and the dedup state, and the sink's
+    batch-id guard absorbs any replayed trigger."""
+    import json as _json
+
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_pairs_sink,
+    )
+
+    cfg = GenConfig(n_convs=10, turns_per_conv=8, mega_convs=0, mega_turns=0,
+                    ooo_fraction=0, late_fraction=0, dup_fraction=0,
+                    delete_fraction=0)
+    staged = write_stream_files(cfg, str(tmp_path / "staged"), files=6)
+    # far-future sentinel advances the watermark so trailing state flushes
+    sentinel = str(tmp_path / "staged" / "zz.jsonl")
+    with open(sentinel, "w") as fh:
+        fh.write(_json.dumps({
+            "data": [{"conv_id": "zzz", "turn_idx": "0", "role": "user",
+                      "text": "s", "tool": "null",
+                      "ts": "2030-01-01 00:00:00"}],
+            "database": "chat", "table": "transcripts", "type": "INSERT",
+            "isDdl": False, "ts": 1893456000000, "es": 1893456000000,
+            "old": None, "pkNames": ["conv_id", "turn_idx"], "sql": "",
+            "_offset": 9999999, "_partition": 0,
+        }) + "\n")
+    staged = list(staged) + [sentinel]
+
+    def run(broker, tbl, ck):
+        q = start_pairs_sink(
+            parsed_stream(file_broker_stream(spark, broker, 2), spec),
+            tbl,
+            ck,
+            trigger={"availableNow": True},
+            impl="join",
+        )
+        q.awaitTermination()
+
+    def pair_rows(t):
+        return sorted(
+            (r.conv_id, r.user_turn_idx, r.reply_turn_idx, r.reply_text)
+            for r in t.read(spark)
+            .where("conv_id <> 'zzz' AND reply_text IS NOT NULL")
+            .collect()
+        )
+
+    # single-shot reference
+    ref_broker = str(tmp_path / "ref_broker")
+    _feed(staged, ref_broker, 7)
+    ref_tbl = IcebergLite(str(tmp_path / "ref_tbl"), pk=[],
+                          partition_field=None)
+    run(ref_broker, ref_tbl, str(tmp_path / "ref_ck"))
+    ref = pair_rows(ref_tbl)
+    assert ref
+
+    # two-phase resume against the same checkpoint
+    broker = str(tmp_path / "broker")
+    tbl = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field=None)
+    ck = str(tmp_path / "ck")
+    _feed(staged, broker, 3)
+    run(broker, tbl, ck)
+    _feed(staged, broker, 7)
+    run(broker, tbl, ck)
+
+    got = pair_rows(tbl)
+    assert got == ref, "resumed join-impl run diverges from single-shot"
+    keys = [(c, u) for c, u, _, _ in got]
+    assert len(keys) == len(set(keys)), "duplicate pair emissions"

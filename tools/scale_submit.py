@@ -57,10 +57,14 @@ def job():
         [F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("m")],
     ).write.format("noop").mode("overwrite").save()
 
-job()  # warm
+job(); job()  # warm JIT/codegen + shuffle paths fully
 walls = []
-for _ in range(3):
+while len(walls) < 8:
     t0 = time.monotonic(); job(); walls.append(time.monotonic() - t0)
+    if len(walls) >= 4:
+        w = sorted(walls)
+        if (w[1] - w[0]) / w[0] < 0.04:  # best wall reproduced -> converged
+            break
 print("RESULT " + json.dumps({"cores": cores, "rows": rows,
       "walls": [round(w, 2) for w in walls], "best": round(min(walls), 2)}))
 spark.stop()
@@ -79,7 +83,7 @@ def submit(zip_path: str, job_path: str, cores: int, rows: int) -> dict:
         f"cores={cores}",
         f"rows={rows}",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=540)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
