@@ -600,6 +600,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH pair graph via iterative min-label propagation (Pregel
+    shape — one distributed join+min per round, driver reads only a
+    convergence count). The DuckDB oracle computes the identical
+    components with a recursive-CTE transitive closure."""
+    out = dd.neardup_components(
+        _docs_aug_near(spark, sf_dir, subset=False), threshold=0.875
+    )
+    return out.select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_read(spark, sf_dir, "documents", spread=True))
 
@@ -893,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
@@ -1480,6 +1495,48 @@ est AS (
   JOIN sig sb ON sb.doc_id = doc_b
 )
 SELECT * FROM est WHERE est_jaccard >= 0.875
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_aug_near(False)},
+{_SHINGLES},
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT sh.doc_id, perms.i,
+         min((perms.a * (CAST(concat('0x', substr(md5(sh.g), 1, 8)) AS BIGINT) % {dd.MINHASH_P})
+              + perms.b) % {dd.MINHASH_P}) AS v
+  FROM sh, perms GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(v ORDER BY i) AS l FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, l, unnest(range(0, {dd.N_BANDS})) AS band FROM sig),
+bh AS (
+  SELECT doc_id, band,
+         md5(concat_ws(',', l[band * {dd.ROWS_PER_BAND} + 1], l[band * {dd.ROWS_PER_BAND} + 2],
+                            l[band * {dd.ROWS_PER_BAND} + 3], l[band * {dd.ROWS_PER_BAND} + 4])) AS h
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         round(list_sum(list_transform(range(1, {dd.N_PERMS} + 1),
+               k -> CASE WHEN sa.l[k] = sb.l[k] THEN 1 ELSE 0 END)) / {float(dd.N_PERMS)}, 4) AS ej
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM est WHERE ej >= 0.875
+  UNION ALL
+  SELECT doc_b, doc_a FROM est WHERE ej >= 0.875
+),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.doc_id
+)
+SELECT doc_id, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY doc_id
 """,
         "dedup_simhash": f"""
 WITH normd AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -300,3 +300,70 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def neardup_components(
+    docs: DataFrame,
+    threshold: float = 0.875,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH pair graph, by iterative min-label propagation.
+
+    One-hop pair suppression under-deduplicates chains (A~B~C where A and C
+    are not directly similar); corpus-level dedup wants the CLUSTER. This
+    is the Pregel recipe without a graph library: every doc starts labeled
+    with its own id; each round every doc takes the min label among itself
+    and its LSH-pair neighbors; convergence ≤ the cluster-graph diameter
+    (near-dup clusters are shallow — a handful of rounds in practice,
+    bounded by ``max_iters``).
+
+    Scale shape: each round is one hash-partitioned join + partial-agg
+    min on the edge list — no driver-side data, no global structure; the
+    driver loop only reads a convergence COUNT. ``localCheckpoint``
+    truncates the iterative lineage so plans stay flat. Output:
+    (doc_id, component), component = min doc_id reachable; docs with no
+    near-dup form singleton components.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold, id_col, text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        merged = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("n_comp"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("_changed")).limit(1).count()
+        labels = merged.drop("_changed")
+        if changed == 0:
+            break
+    return labels

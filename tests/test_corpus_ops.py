@@ -213,3 +213,28 @@ def test_ivf_recall_vs_brute(spark, emb):
     full = sim.ivf_topk(emb, q, k=5, n_probe=n_cells)
     f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert f == e, "probing every cell must equal brute force"
+
+
+def test_neardup_components_transitive_chain(spark):
+    """A~B and B~C must land in ONE component even when A and C are not
+    directly similar — the property one-hop pair suppression misses."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    words = base.split()
+    # B drops the first word, C drops the first two: A~B and B~C overlap
+    # heavily, A~C less so; D is unrelated
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[1:])),
+        (3, " ".join(words[2:])),
+        (4, "totally different content with no shared shingles at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dd.neardup_components(docs, threshold=0.3).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4
