@@ -365,5 +365,9 @@ def neardup_components(
         changed = merged.filter(F.col("_changed")).limit(1).count()
         labels = merged.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iters} rounds — a "
+        "cluster chain is longer than max_iters; raise max_iters (silently "
+        "returning partially-merged components would split real clusters)"
+    )

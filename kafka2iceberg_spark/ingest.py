@@ -145,13 +145,13 @@ def parse(
         # An absent key and a JSON null both surface as NULL raw_val (a
         # literal "null" string does not — it is non-null until _null_lit),
         # so isNull() is the has()-test for the only distinguishable cases.
-        # Applied only to integral targets: the reference stuffs asLong()
-        # epochs into these columns, i.e. they are BIGINT by contract; a
-        # timestamp-typed field keeps NULL rather than a mis-scaled cast.
+        # Applied only to BIGINT targets: the reference stuffs asLong()
+        # epochs into these columns, i.e. they are BIGINT by contract. A
+        # timestamp-typed field keeps NULL rather than a mis-scaled cast,
+        # and an int-typed field keeps NULL rather than a silently
+        # wrapped low-32-bits epoch.
         fb = _ENVELOPE_EPOCH_FALLBACK.get(f.name.strip().lower())
-        if fb is not None and isinstance(
-            spark_type(f.type), (T.LongType, T.IntegerType)
-        ):
+        if fb is not None and isinstance(spark_type(f.type), T.LongType):
             typed = F.when(
                 raw_val.isNull(), F.col(fb).cast(spark_type(f.type))
             ).otherwise(typed)

@@ -79,8 +79,14 @@ def kafka_stream(
         reader = reader.option(k, v)
     try:
         return reader.load().select(*KAFKA_SELECT_COLS)
-    except Exception as exc:  # noqa: BLE001 — surface a actionable message
-        if "kafka" in str(exc).lower():
+    except Exception as exc:  # noqa: BLE001 — surface an actionable message
+        # Only the missing-data-source signature means "jar absent";
+        # auth/DNS/config errors also mention 'kafka' and must surface
+        # unrewritten.
+        msg = str(exc)
+        if "Failed to find data source" in msg or (
+            "DATA_SOURCE_NOT_FOUND" in msg
+        ):
             raise RuntimeError(
                 "Kafka source unavailable: add the spark-sql-kafka-0-10 "
                 "package matching your Spark version (e.g. spark-submit "

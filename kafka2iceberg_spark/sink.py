@@ -598,6 +598,13 @@ class IcebergLite:
         oldest_keep = max(0, v - keep_last + 1)
         if oldest_keep == 0:
             return stats
+        # a PRIOR deeper expiration may already have removed snapshots
+        # inside the new (wider) retention window — anchor on the oldest
+        # snapshot that still exists (v itself always does)
+        while oldest_keep < v and not os.path.exists(
+            os.path.join(self.meta_dir, f"v{oldest_keep}.json")
+        ):
+            oldest_keep += 1
         # 1. fold expiring batch ids forward
         inherited: set[str] = set()
         expiring: list[int] = []
@@ -623,7 +630,10 @@ class IcebergLite:
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for i in range(oldest_keep, v + 1):
-            snap = self.snapshot_at(i)
+            try:
+                snap = self.snapshot_at(i)
+            except FileNotFoundError:
+                continue  # hole from a prior deeper expiration
             for ref in snap["manifests"].values():
                 if isinstance(ref, str):
                     live_manifests.add(ref)

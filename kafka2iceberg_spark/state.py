@@ -172,6 +172,24 @@ def _flush_unpaired(leftover: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _decode_list(s: str, n: int, legacy_sep: str) -> list:
+    """Current JSON list format, with a fallback for state buffered by the
+    previous release's csv/\\x1f codec — a checkpoint written before the
+    codec change must restore, not poison the query. A JSON payload always
+    starts with '[' (json.dumps of a list); legacy payloads never do."""
+    if s.startswith("["):
+        try:
+            return json.loads(s)
+        except ValueError:
+            pass  # pathological legacy text that starts with '['
+    out = s.split(legacy_sep)
+    if len(out) != n:
+        raise ValueError(
+            f"undecodable state buffer: {n} rows, {len(out)} values"
+        )
+    return out
+
+
 def _unpack_state(state, conv_id: str) -> pd.DataFrame:
     cols = ["conv_id", "turn_idx", "role", "text", "ts"]
     if not state.exists:
@@ -184,8 +202,8 @@ def _unpack_state(state, conv_id: str) -> pd.DataFrame:
         {
             "conv_id": [conv_id] * len(idx),
             "turn_idx": idx,
-            "role": json.loads(role_s),
-            "text": json.loads(text_s),
+            "role": _decode_list(role_s, len(idx), ","),
+            "text": _decode_list(text_s, len(idx), "\x1f"),
             "ts": pd.to_datetime(
                 pd.array([int(x) for x in ts_s.split(",")], dtype="int64")
                 * 1000  # us → ns

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 _WIN_STRUCTS = {"window", "session_window"}
 
@@ -229,12 +230,24 @@ def salted_agg(
 ) -> DataFrame:
     """X1 — skew-safe count per hot key: partial agg on (key, salt), then
     final combine. The salt spreads a mega-conversation over n_salts tasks.
-    Salting on a hash of the row's real columns (not
-    monotonically_increasing_id) keeps the salt deterministic under task
-    retry/speculation — a retried partition re-derives identical salts."""
+
+    Salt = hash(input partition id, hashable row columns): deterministic
+    under task retry/speculation (a retried partition re-derives identical
+    salts — partition ids are stable for a fixed lineage, unlike
+    monotonically_increasing_id across stage retries), and byte-identical
+    replayed rows landing in DIFFERENT input partitions still spread
+    instead of collapsing onto one (key, salt) bucket. Within one input
+    partition, identical rows sharing a salt is free — map-side partial
+    aggregation combines them locally anyway. Map-typed columns are
+    excluded (Spark's hash() cannot take them)."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+        F.pmod(F.hash(F.spark_partition_id(), *hashable), F.lit(n_salts)),
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("long").alias(count_col))

@@ -155,3 +155,19 @@ def test_streaming_sink_inline_maintenance(spark, tmp_path):
         t_maint.commit_upsert(t_maint.read(spark).limit(0), "0") is False
     )
     assert "0" in t_maint.committed_batches()
+
+
+def test_expire_widened_retention_after_deeper_expire(spark, tmp_path):
+    """Widening keep_last after a prior deeper expiration must not crash on
+    the already-deleted snapshots inside the new window (review finding:
+    FileNotFoundError from inside foreachBatch maintenance)."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    for b in range(7):
+        t.commit_append(_batch(spark, b * 2, b * 2 + 2), str(b))
+    t.expire_snapshots(keep_last=2)   # deletes v0..v5
+    t.commit_append(_batch(spark, 14, 16), "7")
+    # wider window than what survives — the anchor must skip the holes
+    stats = t.expire_snapshots(keep_last=8)
+    assert stats["expired_snapshots"] == 0  # nothing NEW to expire
+    assert sorted(r.turn_idx for r in t.read(spark).collect()) == list(range(16))
+    assert t.committed_batches() == {str(b) for b in range(8)}

@@ -359,3 +359,21 @@ def test_join_impl_out_of_order_within_band(spark, tmp_path):
     gotk = {(r.conv_id, r.user_turn_idx): r.reply_text for r in got
             if r.reply_text is not None}
     assert gotk == {("c1", 0): "a1"}
+
+
+def test_state_codec_reads_legacy_checkpoint_format():
+    """A checkpoint written by the previous csv/\x1f codec must restore
+    (review finding: json.loads on legacy strings poisoned the query)."""
+    from kafka2iceberg_spark.state import _unpack_state
+
+    st = _FakeState()
+    st.update((
+        "0,1",                     # turn_idx csv
+        "user,assistant",          # legacy role csv
+        "hello\x1fworld",          # legacy \x1f-joined text
+        "1725192000000000,1725192060000000",
+    ))
+    out = _unpack_state(st, "c1")
+    assert list(out["turn_idx"]) == [0, 1]
+    assert list(out["role"]) == ["user", "assistant"]
+    assert list(out["text"]) == ["hello", "world"]
