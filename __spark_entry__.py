@@ -614,6 +614,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word-5-gram
+    with the pseudo-benchmark set (originals whose near-dup variants are in
+    the training corpus — guaranteed leakage) get flagged. The oracle
+    mirrors the gram join in SQL."""
+    aug = _docs_aug_near(spark, sf_dir, subset=False)
+    bench = (
+        _read(spark, sf_dir, "documents", spread=True)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    train = aug.where(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= 100000)
+    )
+    return dd.contamination_flags(train, bench, n=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample: deterministic top-20 docs per
+    predicted language in md5-hash order — balanced eval subsets, one
+    partitioned rank window (no global sort)."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    base = d.select("doc_id", tx.lang_id(F.col("text")).alias("pred_lang"))
+    w = Window.partitionBy("pred_lang").orderBy(
+        tx.hash32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_read(spark, sf_dir, "documents", spread=True))
 
@@ -908,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
@@ -1537,6 +1571,43 @@ reach(doc_id, comp) AS (
   SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.doc_id
 )
 SELECT doc_id, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY doc_id
+""",
+        "contamination": f"""
+WITH {_aug_near(False)},
+train AS (SELECT * FROM aug WHERE doc_id % 10 <> 0 OR doc_id >= 100000),
+tn AS (SELECT doc_id, {_NORM} AS n FROM train),
+bn AS (SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id % 10 = 0),
+tw AS (SELECT doc_id, string_split(n, ' ') AS w FROM tn),
+bw AS (SELECT doc_id, string_split(n, ' ') AS w FROM bn),
+tg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i FROM tw)
+),
+bg AS (
+  SELECT DISTINCT array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+  FROM (SELECT w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i FROM bw)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared FROM tg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""",
+        "stratified_sample": f"""
+WITH lang AS ({_lang_sql()}),
+r AS (
+  SELECT doc_id, pred_lang,
+         row_number() OVER (
+           PARTITION BY pred_lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM lang
+)
+SELECT doc_id, pred_lang, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
 """,
         "dedup_simhash": f"""
 WITH normd AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -371,3 +371,58 @@ def neardup_components(
         "cluster chain is longer than max_iters; raise max_iters (silently "
         "returning partially-merged components would split real clusters)"
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with the (held-out) benchmark set.
+
+    The standard pre-training hygiene pass: evaluation examples leaking
+    into the corpus inflate benchmark scores, so matching docs are dropped
+    or masked before training. Dataflow: distinct word n-grams per side
+    (codegen'd transform+explode), benchmark grams broadcast (the
+    benchmark is small by contract), one hash join, one count per doc —
+    the train corpus is scanned once and never shuffled on text. Output:
+    (doc_id, n_shared_ngrams, contaminated).
+    """
+    gram_expr = (
+        f"CASE WHEN size(split(_norm, ' ')) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(split(_norm, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(_norm, ' '), i, {n}))) END"
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            _with_norm(df, text_col)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.array_distinct(F.expr(gram_expr))).alias("g"),
+            )
+        )
+
+    bg = grams(benchmark).select("g").distinct()
+    hits = (
+        grams(train)
+        .join(F.broadcast(bg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
