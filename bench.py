@@ -342,10 +342,9 @@ def main() -> None:
             for i in range(2)
         )
         pairs_e2e_run(spark, root, "warm", impl="join")
-        wall_pj, n_pj = min(
-            pairs_e2e_run(spark, root, f"timed{i}", impl="join")
-            for i in range(2)
-        )
+        # single timed run: this is the documented-slower alternative impl;
+        # the flagship (state) gets the min-of-2 treatment above
+        wall_pj, n_pj = pairs_e2e_run(spark, root, "timed", impl="join")
         spark.stop()
 
         result: dict = {
@@ -392,8 +391,13 @@ def main() -> None:
             # pure-CPU zero-shuffle Spark reference at the same two levels:
             # the in-engine upper bound this box allows any Spark job
             ref_rows = SCALE_ROWS // 2
-            ref_lo = scale_level(lo, ref_rows, job=cpu_ref_job)
-            ref_hi = scale_level(CPUS, ref_rows, job=cpu_ref_job)
+            # the zero-shuffle job converges fast — 3 repeats suffice
+            ref_lo = scale_level(
+                lo, ref_rows, min_repeats=3, job=cpu_ref_job
+            )
+            ref_hi = scale_level(
+                CPUS, ref_rows, min_repeats=3, job=cpu_ref_job
+            )
             ref_eff = (ref_lo["wall"] / ref_hi["wall"]) / (CPUS / lo)
             w_lo, w_hi = r_lo["wall"], r_hi["wall"]
             eff = (w_lo / w_hi) / (CPUS / lo)
