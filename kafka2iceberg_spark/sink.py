@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first (optimistic
+    concurrency). Refresh to the current snapshot and retry the commit."""
+
+
 #: Partition value for rows whose partition source column is NULL. The same
 #: string Spark/Hive use for null partition directories, so the collected
 #: partition values, the manifest keys, and the on-disk directory names all
@@ -140,16 +145,19 @@ class IcebergLite:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         if self.current_version() is None:
-            self._write_snapshot(
-                {
-                    "snapshot_id": uuid.uuid4().hex,
-                    "version": 0,
-                    "parent": None,
-                    "batch_id": None,
-                    "manifests": {},
-                    "lineage": [],
-                }
-            )
+            try:
+                self._write_snapshot(
+                    {
+                        "snapshot_id": uuid.uuid4().hex,
+                        "version": 0,
+                        "parent": None,
+                        "batch_id": None,
+                        "manifests": {},
+                        "lineage": [],
+                    }
+                )
+            except CommitConflict:
+                pass  # another writer created the (identical, empty) v0
 
     def _hint_path(self) -> str:
         return os.path.join(self.meta_dir, "version-hint.text")
@@ -169,13 +177,31 @@ class IcebergLite:
             return json.load(fh)
 
     def _write_snapshot(self, snap: dict) -> None:
-        """Atomic commit: snapshot file then version hint, both via rename."""
+        """Atomic commit with optimistic concurrency.
+
+        The snapshot file is claimed via ``os.link`` — create-if-absent
+        semantics, unlike ``os.rename`` which silently clobbers on POSIX —
+        so if two writers race to commit the same version, exactly one
+        wins and the loser gets ``CommitConflict`` to refresh-and-retry
+        against the new current snapshot (Iceberg's optimistic commit
+        protocol). The version hint then moves by rename; hint movement is
+        monotone because every hint value corresponds to a uniquely-owned
+        snapshot file.
+        """
         v = snap["version"]
         path = os.path.join(self.meta_dir, f"v{v}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(snap, fh)
-        os.rename(tmp, path)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {v} was committed concurrently at {self.location};"
+                " refresh to the current snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         htmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
         with open(htmp, "w") as fh:
             fh.write(str(v))

@@ -167,3 +167,36 @@ def test_upsert_null_ts_partition_roundtrip(spark, table):
     )
     got = sorted(r.conv_id for r in table.read(spark).collect())
     assert got == ["c2"]
+
+
+def test_concurrent_commit_conflict_detected(spark, table):
+    """Optimistic concurrency: two writers racing to the same snapshot
+    version must not silently clobber each other — exactly one wins, the
+    other gets CommitConflict (os.rename would overwrite silently)."""
+    from kafka2iceberg_spark.sink import CommitConflict, IcebergLite
+
+    table.commit_append(
+        _batch(spark, [("c1", 0, "a", TS, 0, 0, False)]), "0"
+    )
+    # a second handle on the same location, stale view of the chain
+    other = IcebergLite(table.location, pk=PK)
+    snap = other.current_snapshot()
+    # both writers build a next-version snapshot; first one lands...
+    table.commit_append(
+        _batch(spark, [("c1", 1, "b", TS, 1, 0, False)]), "1"
+    )
+    # ...the stale writer's attempt to claim the same version must fail
+    with pytest.raises(CommitConflict):
+        other._write_snapshot(
+            {
+                "snapshot_id": "stale",
+                "version": snap["version"] + 1,
+                "parent": snap["snapshot_id"],
+                "batch_id": "X",
+                "manifests": dict(snap["manifests"]),
+                "lineage": [],
+            }
+        )
+    # the winner's commit is intact
+    assert {r.text for r in table.read(spark).collect()} == {"a", "b"}
+    assert "X" not in table.committed_batches()
