@@ -238,3 +238,29 @@ def test_neardup_components_transitive_chain(spark):
     }
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == 4
+
+
+def test_contamination_verbatim_and_disjoint(spark):
+    """A training doc containing a benchmark doc verbatim must be flagged;
+    a doc with fully disjoint vocabulary must not; short docs (< n words)
+    can never be flagged."""
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about spark shuffles here")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the secret benchmark question about spark "
+                "shuffles here suffix words"),          # verbatim superset
+            (2, "entirely different vocabulary with zero overlap tokens"),
+            (3, "tiny doc"),                            # < 5 words
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_shared_ngrams"])
+        for r in dd.contamination_flags(train, bench, n=5).collect()
+    }
+    assert out[1][0] is True and out[1][1] >= 4  # sliding 5-grams overlap
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 0)
