@@ -575,6 +575,13 @@ def _docs_aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_aug_near(spark: SparkSession, sf_dir: str, subset: bool) -> DataFrame:
+    """Documents plus near-dup variants at doc_id + 100000.
+
+    The +100000 variant-id offset assumes native doc_ids stay below
+    100000, which holds for every driver scale factor (sf0.1 tops out at
+    5000 docs); the SQL oracles share the same convention, so if a future
+    corpus ever exceeded it, derive the offset from max(doc_id) in BOTH
+    places rather than only here."""
     d = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     base = d.where(F.col("doc_id") % 5 == 0) if subset else d
     variants = d.where(F.col("doc_id") % 10 == 0).select(

@@ -391,15 +391,20 @@ def contamination_flags(
     the train corpus is scanned once and never shuffled on text. Output:
     (doc_id, n_shared_ngrams, contaminated).
     """
+    # tokenize ONCE into a bound column — referencing split(...) inside the
+    # transform() lambda would re-split the whole text per gram position
+    # (higher-order-function lambdas defeat common-subexpression
+    # elimination), turning a linear scan into O(words²) per doc
     gram_expr = (
-        f"CASE WHEN size(split(_norm, ' ')) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(split(_norm, ' ')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split(_norm, ' '), i, {n}))) END"
+        f"CASE WHEN size(_toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))) END"
     )
 
     def grams(df: DataFrame) -> DataFrame:
         return (
             _with_norm(df, text_col)
+            .withColumn("_toks", F.split(F.col("_norm"), " "))
             .select(
                 F.col(id_col).alias("doc_id"),
                 F.explode(F.array_distinct(F.expr(gram_expr))).alias("g"),

@@ -163,11 +163,26 @@ class IcebergLite:
         return os.path.join(self.meta_dir, "version-hint.text")
 
     def current_version(self) -> int | None:
+        """Newest committed version: the hint, probed FORWARD.
+
+        A snapshot file is durable and complete the moment it is linked;
+        the hint is a best-effort pointer written after. A writer crashing
+        between link and hint (or a racing writer's hint landing late)
+        leaves a claimed v{n+1} the hint doesn't know — probing forward
+        adopts it, so a restart sees the commit, its batch id re-arms the
+        replay guard, and retries build the NEXT version instead of
+        raising CommitConflict forever (the Hadoop-catalog recovery rule)."""
         try:
             with open(self._hint_path()) as fh:
-                return int(fh.read().strip())
+                v = int(fh.read().strip())
         except (FileNotFoundError, ValueError):
-            return None
+            if os.path.exists(os.path.join(self.meta_dir, "v0.json")):
+                v = 0  # crashed/racing create: v0 linked, hint not yet
+            else:
+                return None
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def current_snapshot(self) -> dict:
         v = self.current_version()

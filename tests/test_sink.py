@@ -200,3 +200,64 @@ def test_concurrent_commit_conflict_detected(spark, table):
     # the winner's commit is intact
     assert {r.text for r in table.read(spark).collect()} == {"a", "b"}
     assert "X" not in table.committed_batches()
+
+
+def test_crashed_commit_self_heals_via_forward_probe(spark, table):
+    """A writer crash between the snapshot link and the hint rename must
+    not wedge the table (review finding): the linked snapshot is a
+    complete durable commit, so a restart adopts it — its batch id re-arms
+    the replay guard and the next commit builds the NEXT version."""
+    import json as _json
+    import os as _os
+
+    table.commit_append(
+        _batch(spark, [("c1", 0, "a", TS, 0, 0, False)]), "0"
+    )
+    v = table.current_version()
+    # simulate the crash: link v+1 manually, leave the hint behind
+    snap = table.current_snapshot()
+    orphan = {
+        "snapshot_id": "orphan",
+        "version": v + 1,
+        "parent": snap["snapshot_id"],
+        "batch_id": "99",
+        "manifests": dict(snap["manifests"]),
+        "lineage": [],
+    }
+    with open(_os.path.join(table.meta_dir, f"v{v + 1}.json"), "w") as fh:
+        _json.dump(orphan, fh)
+
+    fresh = type(table)(table.location, pk=PK)
+    # the orphaned commit is visible...
+    assert fresh.current_version() == v + 1
+    # ...its batch id arms the replay guard (foreachBatch replay is a no-op)
+    assert "99" in fresh.committed_batches()
+    assert fresh.commit_append(
+        _batch(spark, [("c1", 5, "x", TS, 5, 0, False)]), "99"
+    ) is False
+    # and a NEW batch commits on top instead of CommitConflict-ing forever
+    assert fresh.commit_append(
+        _batch(spark, [("c1", 1, "b", TS, 1, 0, False)]), "2"
+    ) is True
+    assert fresh.current_version() == v + 2
+
+
+def test_crashed_create_self_heals(spark, tmp_path):
+    """v0 linked but hint never written (crashed create): the table must
+    come up, not raise FileNotFoundError forever."""
+    import json as _json
+    import os as _os
+
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    loc = str(tmp_path / "tbl")
+    _os.makedirs(_os.path.join(loc, "metadata"))
+    with open(_os.path.join(loc, "metadata", "v0.json"), "w") as fh:
+        _json.dump({"snapshot_id": "s0", "version": 0, "parent": None,
+                    "batch_id": None, "manifests": {}, "lineage": []}, fh)
+    t = IcebergLite(loc, pk=PK)
+    assert t.current_version() == 0
+    assert t.commit_append(
+        _batch(spark, [("c1", 0, "a", TS, 0, 0, False)]), "0"
+    ) is True
+    assert t.read(spark).count() == 1
