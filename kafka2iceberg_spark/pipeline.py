@@ -172,6 +172,39 @@ def start_upsert_sink(
     return writer.start()
 
 
+def start_corrupt_dlq(
+    raw: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Dead-letter branch for malformed envelopes.
+
+    ``from_json`` silently nulls what the reference's Jackson parse would
+    crash on; this side query lands exactly those raw payloads in their
+    own exactly-once table (with an ingest timestamp) so a poisoned topic
+    is queryable evidence rather than quietly-missing rows. Runs off the
+    same raw stream as the main sink with its own checkpoint — the main
+    pipeline never blocks on garbage.
+    """
+    bad = ingest.corrupt_envelopes(raw).select(
+        F.col("value").cast("string").alias("raw_value"),
+        F.current_timestamp().alias("dlq_ts"),
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        bad.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def start_append_sink(
     parsed: DataFrame,
     table: IcebergLite,

@@ -91,3 +91,49 @@ def test_violations_routed_not_fatal(spark, tmp_path):
     q.awaitTermination()
     assert table.read(spark).count() == n_main
     assert dlq.read(spark).count() == n_dlq
+
+
+def test_corrupt_envelope_dlq_stream(spark, tmp_path):
+    """Malformed payloads land in their own exactly-once DLQ table while
+    the main ingest processes the valid rows from the same broker."""
+    import json
+    import os
+
+    from kafka2iceberg_spark.gen import GenConfig, write_stream_files
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        run_ingest_once,
+        start_corrupt_dlq,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    broker = str(tmp_path / "broker")
+    write_stream_files(
+        GenConfig(n_convs=4, turns_per_conv=4, mega_convs=0, mega_turns=0,
+                  ooo_fraction=0, late_fraction=0, dup_fraction=0,
+                  delete_fraction=0),
+        broker,
+        files=2,
+    )
+    with open(os.path.join(broker, "zz_bad.jsonl"), "w") as fh:
+        fh.write("{definitely not json\n")
+        fh.write(json.dumps({"foo": 1}) + "\n")
+    os.utime(os.path.join(broker, "zz_bad.jsonl"), (2_000_000, 2_000_000))
+
+    spec = transcript_task()
+    main_tbl = IcebergLite(str(tmp_path / "main"), pk=spec.primary_keys)
+    run_ingest_once(spark, broker, spec, main_tbl, str(tmp_path / "ck_main"))
+    assert main_tbl.read(spark).count() == 16  # garbage didn't poison it
+
+    dlq = IcebergLite(str(tmp_path / "dlq"), pk=[], partition_field=None)
+    q = start_corrupt_dlq(
+        file_broker_stream(spark, broker, 10),
+        dlq,
+        str(tmp_path / "ck_dlq"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    bad = dlq.read(spark).collect()
+    assert len(bad) == 2
+    assert {r.raw_value for r in bad} == {"{definitely not json", '{"foo": 1}'}
