@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
+    if "dlq.location" in params:
+        # side query: malformed envelopes -> their own exactly-once table
+        from .pipeline import start_corrupt_dlq
+
+        start_corrupt_dlq(
+            raw,
+            IcebergLite(params["dlq.location"], pk=[], partition_field=None),
+            params.get("dlq.checkpoint", checkpoint + "_dlq"),
+            trigger=trigger,
+        )
     if spec.primary_keys:
         maint = params.get("maintenance.every-batches")
         q = start_upsert_sink(
