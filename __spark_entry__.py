@@ -525,6 +525,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=128)
 
 
+def q_pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate accounting over the FFD packing: per-bin doc count, token
+    fill, and exact ppm fill rate — the training-batch efficiency metric."""
+    from kafka2iceberg_spark.packing import bin_stats, pack_sequences
+
+    d = _read(spark, sf_dir, "documents", spread=True)
+    packed = pack_sequences(d, budget=128)
+    return bin_stats(packed, budget=128)
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible sampling + train/val/test split by hash bucket."""
     d = _read(spark, sf_dir, "documents", spread=True)
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
+        "pack_bin_stats": q_pack_bin_stats,
         "vocab_topk": q_vocab_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -1066,6 +1077,52 @@ def _cos_sql(a: str, b: str) -> str:
     return (
         f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     )
+
+
+
+_PACK_WITH = f"""
+WITH RECURSIVE n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+sized AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tok,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS shard
+  FROM n0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS INT) AS rk
+  FROM sized
+),
+pack AS (
+  SELECT shard, rk, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS idx,
+         n_tok > 128 AS oversize,
+         CASE WHEN n_tok >= 128 THEN [CAST(-1 AS BIGINT)]
+              ELSE [CAST(128 - n_tok AS BIGINT)] END AS bins
+  FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT shard, rk, doc_id, n_tok,
+         CAST(CASE WHEN n_tok >= 128 THEN len(bins)
+                   WHEN ff > 0 THEN ff - 1
+                   ELSE len(bins) END AS BIGINT) AS idx,
+         n_tok > 128 AS oversize,
+         CASE WHEN n_tok >= 128 THEN list_append(bins, CAST(-1 AS BIGINT))
+              WHEN ff > 0 THEN list_transform(range(1, len(bins) + 1),
+                     i -> CASE WHEN i = ff THEN bins[CAST(i AS INT)] - n_tok
+                               ELSE bins[CAST(i AS INT)] END)
+              ELSE list_append(bins, CAST(128 - n_tok AS BIGINT)) END AS bins
+  FROM (
+    SELECT p.shard, r.rk, r.doc_id, r.n_tok, p.bins,
+           list_position(list_transform(p.bins, b -> b >= r.n_tok), true) AS ff
+    FROM pack p JOIN ranked r ON r.shard = p.shard AND r.rk = p.rk + 1
+  )
+)"""
+
+_PACK_SELECT = f"""SELECT doc_id, n_tok, shard,
+       CAST(shard AS BIGINT) * 4294967296 + idx AS bin_id,
+       oversize
+FROM pack"""
+
+_PACK_FFD_SQL = _PACK_WITH + "\n" + _PACK_SELECT
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1368,46 +1425,17 @@ SELECT doc_id,
         AND alpha_pm >= 600 AND sw >= 1) AS keep
 FROM m
 """,
-        "pack_sequences": f"""
-WITH RECURSIVE n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
-sized AS (
-  SELECT doc_id,
-         CAST(CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_tok,
-         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS INT) AS shard
-  FROM n0
-),
-ranked AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS INT) AS rk
-  FROM sized
-),
-pack AS (
-  SELECT shard, rk, doc_id, n_tok,
-         CAST(0 AS BIGINT) AS idx,
-         n_tok > 128 AS oversize,
-         CASE WHEN n_tok >= 128 THEN [CAST(-1 AS BIGINT)]
-              ELSE [CAST(128 - n_tok AS BIGINT)] END AS bins
-  FROM ranked WHERE rk = 1
-  UNION ALL
-  SELECT shard, rk, doc_id, n_tok,
-         CAST(CASE WHEN n_tok >= 128 THEN len(bins)
-                   WHEN ff > 0 THEN ff - 1
-                   ELSE len(bins) END AS BIGINT) AS idx,
-         n_tok > 128 AS oversize,
-         CASE WHEN n_tok >= 128 THEN list_append(bins, CAST(-1 AS BIGINT))
-              WHEN ff > 0 THEN list_transform(range(1, len(bins) + 1),
-                     i -> CASE WHEN i = ff THEN bins[CAST(i AS INT)] - n_tok
-                               ELSE bins[CAST(i AS INT)] END)
-              ELSE list_append(bins, CAST(128 - n_tok AS BIGINT)) END AS bins
-  FROM (
-    SELECT p.shard, r.rk, r.doc_id, r.n_tok, p.bins,
-           list_position(list_transform(p.bins, b -> b >= r.n_tok), true) AS ff
-    FROM pack p JOIN ranked r ON r.shard = p.shard AND r.rk = p.rk + 1
-  )
+        "pack_sequences": _PACK_FFD_SQL,
+        "pack_bin_stats": f"""
+{_PACK_WITH}
+, final AS (
+{_PACK_SELECT}
 )
-SELECT doc_id, n_tok, shard,
-       CAST(shard AS BIGINT) * 4294967296 + idx AS bin_id,
-       oversize
-FROM pack
+SELECT bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS fill_tok,
+       CAST((sum(n_tok) * 1000000) // 128 AS BIGINT) AS fill_ppm
+FROM final GROUP BY bin_id
 """,
         "dataset_split": """
 WITH b AS (
