@@ -108,11 +108,12 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
+    dlq_q = None
     if "dlq.location" in params:
         # side query: malformed envelopes -> their own exactly-once table
         from .pipeline import start_corrupt_dlq
 
-        start_corrupt_dlq(
+        dlq_q = start_corrupt_dlq(
             raw,
             IcebergLite(params["dlq.location"], pk=[], partition_field=None),
             params.get("dlq.checkpoint", checkpoint + "_dlq"),
@@ -131,6 +132,11 @@ def main(argv: list[str] | None = None) -> None:
     else:
         q = start_append_sink(parsed, table, checkpoint, trigger=trigger)
     q.awaitTermination()
+    if dlq_q is not None:
+        # drain the side query too: in availableNow mode the main sink
+        # finishing must not exit the process before the DLQ stream has
+        # processed every malformed envelope
+        dlq_q.awaitTermination()
 
 
 if __name__ == "__main__":

@@ -176,10 +176,23 @@ class IcebergLite:
             with open(self._hint_path()) as fh:
                 v = int(fh.read().strip())
         except (FileNotFoundError, ValueError):
-            if os.path.exists(os.path.join(self.meta_dir, "v0.json")):
-                v = 0  # crashed/racing create: v0 linked, hint not yet
-            else:
+            # lost/corrupt hint: recover from the max existing v*.json.
+            # expire_snapshots deletes v0, so assuming the chain starts at
+            # v0 would mint a fresh empty table and orphan every retained
+            # snapshot (and the replay guard) behind the v1..vN hole.
+            try:
+                versions = [
+                    int(f[1:-5])
+                    for f in os.listdir(self.meta_dir)
+                    if f.startswith("v")
+                    and f.endswith(".json")
+                    and f[1:-5].isdigit()
+                ]
+            except FileNotFoundError:
                 return None
+            if not versions:
+                return None
+            v = max(versions)
         while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
             v += 1
         return v
@@ -589,7 +602,12 @@ class IcebergLite:
             return 0
         manifests = dict(snap["manifests"])
         for pv, files in todo.items():
-            df = spark.read.parquet(*[f["path"] for f in files])
+            # mergeSchema: a partition may hold files appended before and
+            # after an add-column evolution — picking one file's schema
+            # would silently drop the evolved columns on rewrite
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[f["path"] for f in files]
+            )
             stage = os.path.join(
                 self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
             )

@@ -179,7 +179,12 @@ def _decode_list(s: str, n: int, legacy_sep: str) -> list:
     starts with '[' (json.dumps of a list); legacy payloads never do."""
     if s.startswith("["):
         try:
-            return json.loads(s)
+            out = json.loads(s)
+            if isinstance(out, list) and len(out) == n:
+                return out
+            # a legacy \x1f-joined payload whose first text starts with
+            # '[' can parse as a JSON list of the wrong shape — fall
+            # through to the legacy split rather than poison downstream
         except ValueError:
             pass  # pathological legacy text that starts with '['
     out = s.split(legacy_sep)

@@ -54,3 +54,23 @@ def test_time_travel_reads_old_version(spark, tmp_path):
     assert t.read(spark, version=v1).count() == 5
     old_rows = {r["turn_idx"] for r in t.read(spark, version=v1).collect()}
     assert old_rows == set(range(5))
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """ADVICE: compaction over a partition holding pre- and post-evolution
+    files must mergeSchema — otherwise the rewrite adopts one file's schema
+    and silently drops the evolved column from compacted data."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_batch(spark, 0, 4), "0")
+    t.commit_append(_batch(spark, 4, 8, with_sign_time=True), "1")
+
+    assert t.compact(spark, min_files_per_partition=2) >= 1
+    df = t.read(spark)
+    assert "sign_time" in df.columns
+    assert df.count() == 8
+    assert df.where(
+        (F.col("turn_idx") >= 4) & F.col("sign_time").isNotNull()
+    ).count() == 4
+    assert df.where(
+        (F.col("turn_idx") < 4) & F.col("sign_time").isNull()
+    ).count() == 4

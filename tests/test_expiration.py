@@ -171,3 +171,28 @@ def test_expire_widened_retention_after_deeper_expire(spark, tmp_path):
     assert stats["expired_snapshots"] == 0  # nothing NEW to expire
     assert sorted(r.turn_idx for r in t.read(spark).collect()) == list(range(16))
     assert t.committed_batches() == {str(b) for b in range(8)}
+
+
+def test_hint_loss_after_expiration_recovers_max_version(spark, tmp_path):
+    """ADVICE: after expire_snapshots deletes v0, a lost version hint must
+    recover from the max existing v*.json — probing forward from a phantom
+    v0 would mint a fresh empty table and orphan the retained snapshots
+    (and the replay guard) behind the v1..vN hole."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    for b in range(5):
+        t.commit_upsert(_batch(spark, b * 4, b * 4 + 4), str(b))
+    v_before = t.current_version()
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(os.path.join(t.meta_dir, "v0.json"))
+
+    os.remove(os.path.join(t.meta_dir, "version-hint.text"))
+    t2 = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    assert t2.current_version() == v_before
+    assert t2.read(spark).count() == 20
+    # replay guard intact: a replayed batch is still rejected
+    assert t2.commit_upsert(_batch(spark, 0, 4), "1") is False
+    # corrupt (not just missing) hint recovers the same way
+    with open(os.path.join(t.meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("garbage")
+    t3 = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    assert t3.current_version() == v_before

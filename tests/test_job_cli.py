@@ -59,3 +59,38 @@ def test_cli_custom_field_spec(spark, tmp_path):
     assert set(df.columns) >= {"conv_id", "turn_idx", "text"}
     assert "role" not in df.columns  # custom spec projected only 3 fields
     assert df.count() > 0
+
+
+def test_cli_dlq_drained_before_exit(spark, tmp_path):
+    """ADVICE: main() must await the DLQ side query too — in availableNow
+    mode the main sink finishing first must not abandon the DLQ stream
+    before it lands every malformed envelope."""
+    import os
+
+    broker = str(tmp_path / "broker")
+    write_stream_files(
+        GenConfig(n_convs=4, turns_per_conv=4), broker, files=2
+    )
+    with open(os.path.join(broker, "zz_bad.jsonl"), "w") as fh:
+        fh.write("{definitely not json\n")
+    os.utime(os.path.join(broker, "zz_bad.jsonl"), (2_000_000, 2_000_000))
+    main(
+        [
+            "source-database=chat",
+            "source-table=transcripts",
+            f"broker.dir={broker}",
+            f"table.location={tmp_path}/tbl",
+            f"checkpoint.location={tmp_path}/ckpt",
+            f"dlq.location={tmp_path}/dlq",
+            "mode=availableNow",
+        ]
+    )
+    # immediately after main() returns, BOTH tables are fully landed
+    dlq = IcebergLite(str(tmp_path / "dlq"), pk=[])
+    assert dlq.read(spark).count() == 1
+    assert (
+        IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+        .read(spark)
+        .count()
+        > 0
+    )

@@ -377,3 +377,15 @@ def test_state_codec_reads_legacy_checkpoint_format():
     assert list(out["turn_idx"]) == [0, 1]
     assert list(out["role"]) == ["user", "assistant"]
     assert list(out["text"]) == ["hello", "world"]
+
+
+def test_decode_list_legacy_payload_parsing_as_wrong_length_json():
+    """ADVICE: a single legacy-buffered text that is itself valid JSON of
+    the wrong length (e.g. '["a","b"]' with n=1) must NOT be adopted as
+    the decoded list — it is one legacy value, not two JSON elements."""
+    from kafka2iceberg_spark.state import _decode_list
+
+    assert _decode_list('["a","b"]', 1, "\x1f") == ['["a","b"]']
+    # the genuine JSON path is unaffected
+    assert _decode_list('["a","b"]', 2, "\x1f") == ["a", "b"]
+    assert _decode_list("[1]", 1, "\x1f") == [1]
