@@ -108,16 +108,32 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
-    dlq_q = None
+    side_queries = []
+    if "ddl.location" in params:
+        # side query: isDdl=true envelopes -> queryable DDL event table
+        # (closes the reference's P5 TODO, DeserializedSchema.java:114-116)
+        from .pipeline import start_ddl_sink
+
+        side_queries.append(
+            start_ddl_sink(
+                raw,
+                IcebergLite(params["ddl.location"], pk=[], partition_field=None),
+                params.get("ddl.checkpoint", checkpoint + "_ddl"),
+                spec=spec,
+                trigger=trigger,
+            )
+        )
     if "dlq.location" in params:
         # side query: malformed envelopes -> their own exactly-once table
         from .pipeline import start_corrupt_dlq
 
-        dlq_q = start_corrupt_dlq(
-            raw,
-            IcebergLite(params["dlq.location"], pk=[], partition_field=None),
-            params.get("dlq.checkpoint", checkpoint + "_dlq"),
-            trigger=trigger,
+        side_queries.append(
+            start_corrupt_dlq(
+                raw,
+                IcebergLite(params["dlq.location"], pk=[], partition_field=None),
+                params.get("dlq.checkpoint", checkpoint + "_dlq"),
+                trigger=trigger,
+            )
         )
     if spec.primary_keys:
         maint = params.get("maintenance.every-batches")
@@ -132,11 +148,11 @@ def main(argv: list[str] | None = None) -> None:
     else:
         q = start_append_sink(parsed, table, checkpoint, trigger=trigger)
     q.awaitTermination()
-    if dlq_q is not None:
-        # drain the side query too: in availableNow mode the main sink
-        # finishing must not exit the process before the DLQ stream has
-        # processed every malformed envelope
-        dlq_q.awaitTermination()
+    for sq in side_queries:
+        # drain side queries too: in availableNow mode the main sink
+        # finishing must not exit the process before the DLQ/DDL streams
+        # have processed every envelope
+        sq.awaitTermination()
 
 
 if __name__ == "__main__":

@@ -110,8 +110,11 @@ def parse(
     )
     # P4: drop query events (case-insensitive, trimmed)
     df = df.filter(F.lower(F.trim(F.col("j.type"))) != "query")
-    # P5: DDL branch — recognized, not processed (reference TODO). We keep
-    # parity by passing isDdl rows through like the reference does.
+    # P5: DDL branch — recognized, not processed here (reference TODO,
+    # DeserializedSchema.java:114-116): isDdl envelopes carry no data[] so
+    # the explode below drops them from the row path, matching reference
+    # behavior. ``ddl_events``/``pipeline.start_ddl_sink`` additionally
+    # land them in a queryable side table.
 
     # P12/P13: Kafka metadata (native cols when real Kafka, inline otherwise)
     off = F.col(offset_col) if offset_col else F.col("j._offset")
@@ -198,6 +201,39 @@ def corrupt_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
     parsed = F.from_json(F.col(value_col).cast("string"), env)
     return raw.filter(
         F.col(value_col).isNotNull() & parsed["database"].isNull()
+    )
+
+
+def ddl_events(
+    raw: DataFrame, spec: TaskSpec | None = None, value_col: str = "value"
+) -> DataFrame:
+    """P5 made queryable: ``isDdl=true`` envelopes as typed side rows.
+
+    The reference recognizes the DDL branch but leaves it a TODO
+    (DeserializedSchema.java:114-116) — DDL events silently vanish. Here
+    they are projected (database, table, ddl sql, event type, envelope
+    epochs, broker coordinates) so a schema change on the source is
+    queryable evidence in a side table instead of a silent no-op. With
+    ``spec`` given, only the routed database/table's DDL is kept.
+    """
+    env = envelope_schema([])
+    df = raw.filter(F.col(value_col).isNotNull()).withColumn(
+        "j", F.from_json(F.col(value_col).cast("string"), env)
+    )
+    if spec is not None:
+        df = df.filter(
+            (F.col("j.database") == F.lit(spec.source_database))
+            & (F.col("j.table") == F.lit(spec.source_table))
+        )
+    return df.filter(F.col("j.isDdl")).select(
+        F.col("j.database").alias("database"),
+        F.col("j.table").alias("table"),
+        F.col("j.sql").alias("ddl_sql"),
+        F.upper(F.trim(F.col("j.type"))).alias("event_type"),
+        F.col("j.ts").alias("env_ts"),
+        F.col("j.es").alias("env_es"),
+        F.col("j._offset").alias("offset"),
+        F.col("j._partition").alias("partition_idx"),
     )
 
 

@@ -205,6 +205,38 @@ def start_corrupt_dlq(
     return writer.start()
 
 
+def start_ddl_sink(
+    raw: DataFrame,
+    table: IcebergLite,
+    checkpoint: str,
+    spec=None,
+    trigger: dict | None = None,
+):
+    """Side query landing ``isDdl=true`` envelopes in their own table.
+
+    Closes the reference's P5 TODO (DeserializedSchema.java:114-116):
+    instead of passing DDL through unprocessed, source schema changes
+    become queryable rows (database, table, ddl_sql, event_type, epochs,
+    broker coordinates) with the same exactly-once commit protocol as the
+    main sink. Runs off the same raw stream with its own checkpoint.
+    """
+    ddl = ingest.ddl_events(raw, spec).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, str(batch_id))
+
+    writer = (
+        ddl.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def start_append_sink(
     parsed: DataFrame,
     table: IcebergLite,

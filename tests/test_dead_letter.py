@@ -137,3 +137,77 @@ def test_corrupt_envelope_dlq_stream(spark, tmp_path):
     bad = dlq.read(spark).collect()
     assert len(bad) == 2
     assert {r.raw_value for r in bad} == {"{definitely not json", '{"foo": 1}'}
+
+
+def _ddl_envelope(db="chat", table="transcripts", sql="ALTER TABLE transcripts ADD COLUMN sign_time TIMESTAMP"):
+    return {
+        "data": None,
+        "database": db,
+        "table": table,
+        "type": "ALTER",
+        "isDdl": True,
+        "ts": 1725184800000,
+        "es": 1725184799000,
+        "old": None,
+        "pkNames": None,
+        "sql": sql,
+        "_offset": 31337,
+        "_partition": 2,
+    }
+
+
+def test_ddl_events_routed_to_side_table(spark, tmp_path):
+    """P5 closure: isDdl envelopes land in a queryable DDL side table while
+    the main row path drops them exactly like the reference does."""
+    from kafka2iceberg_spark.pipeline import start_ddl_sink
+
+    broker = str(tmp_path / "broker")
+    write_stream_files(
+        GenConfig(n_convs=3, turns_per_conv=4, mega_convs=0, mega_turns=0,
+                  ooo_fraction=0, late_fraction=0, dup_fraction=0,
+                  delete_fraction=0),
+        broker,
+        files=1,
+    )
+    with open(f"{broker}/zz_ddl.jsonl", "w") as fh:
+        fh.write(json.dumps(_ddl_envelope()) + "\n")
+        # foreign table's DDL must NOT be routed
+        fh.write(json.dumps(_ddl_envelope(table="other")) + "\n")
+    os.utime(f"{broker}/zz_ddl.jsonl", (2_000_000, 2_000_000))
+
+    spec = transcript_task()
+    # main row path: DDL envelopes contribute zero rows
+    raw = file_broker_stream(spark, broker, 10)
+    ddl_tbl = IcebergLite(str(tmp_path / "ddl"), pk=[], partition_field=None)
+    q = start_ddl_sink(
+        raw, ddl_tbl, str(tmp_path / "ck_ddl"), spec=spec,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    rows = ddl_tbl.read(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["database"] == "chat" and r["table"] == "transcripts"
+    assert r["ddl_sql"].startswith("ALTER TABLE")
+    assert r["event_type"] == "ALTER"
+    assert r["offset"] == 31337 and r["partition_idx"] == 2
+    assert r["env_ts"] == 1725184800000
+
+    # same broker through the CLI: main rows land, DDL rows don't pollute
+    from kafka2iceberg_spark.__main__ import main
+
+    main(
+        [
+            "source-database=chat",
+            "source-table=transcripts",
+            f"broker.dir={broker}",
+            f"table.location={tmp_path}/tbl",
+            f"checkpoint.location={tmp_path}/ckpt",
+            f"ddl.location={tmp_path}/ddl_cli",
+            "mode=availableNow",
+        ]
+    )
+    main_tbl = IcebergLite(str(tmp_path / "tbl"), pk=spec.primary_keys)
+    assert main_tbl.read(spark).count() == 12
+    cli_ddl = IcebergLite(str(tmp_path / "ddl_cli"), pk=[])
+    assert cli_ddl.read(spark).count() == 1

@@ -74,3 +74,106 @@ def test_compact_preserves_evolved_schema(spark, tmp_path):
     assert df.where(
         (F.col("turn_idx") < 4) & F.col("sign_time").isNull()
     ).count() == 4
+
+
+def _mid_stream_envelope(conv, idx, ts_str, sign_time=None, op="INSERT",
+                         offset=0):
+    """Canal envelope; data[] grows a sign_time key only when given
+    (reference addSignTime: pre-ALTER rows carry no such key at all)."""
+    d = {
+        "conv_id": conv,
+        "turn_idx": str(idx),
+        "role": "user",
+        "text": f"t{idx}",
+        "tool": "null",
+        "ts": ts_str,
+    }
+    if sign_time is not None:
+        d["sign_time"] = sign_time
+    return {
+        "data": [d],
+        "database": "chat",
+        "table": "transcripts",
+        "type": op,
+        "isDdl": False,
+        "ts": 1725184800000,
+        "es": 1725184799500,
+        "old": None,
+        "pkNames": ["conv_id", "turn_idx"],
+        "sql": "",
+        "_offset": offset,
+        "_partition": 0,
+    }
+
+
+def test_mid_stream_new_envelope_field_flows_without_restart(spark, tmp_path):
+    """Reference addSignTime analogue (ConnectionUtils.java:54-61,
+    CDCMockApp.java:26-28 add_col): envelopes GROW a sign_time key
+    mid-stream. One streaming run, one checkpoint, no restart:
+    pre-evolution rows land NULL sign_time, post-evolution rows land typed
+    values, and a post-evolution UPDATE backfills a pre-evolution row."""
+    import json
+    import os
+
+    from kafka2iceberg_spark.config import FieldSpec, TaskSpec
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_upsert_sink,
+    )
+
+    spec = TaskSpec(
+        source_database="chat",
+        source_table="transcripts",
+        fields=[
+            FieldSpec("conv_id", 1, "string", is_nullable=False,
+                      is_primary_key=True),
+            FieldSpec("turn_idx", 2, "int", is_nullable=False,
+                      is_primary_key=True),
+            FieldSpec("text", 3, "string"),
+            FieldSpec("ts", 4, "timestamp"),
+            # configured ahead (fields.* config push), source grows the
+            # key mid-stream — exactly the reference's ALTER window
+            FieldSpec("sign_time", 5, "timestamp"),
+        ],
+    )
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    # file 1: pre-ALTER traffic (no sign_time key anywhere)
+    with open(f"{broker}/b0.jsonl", "w") as fh:
+        for i in range(4):
+            fh.write(json.dumps(_mid_stream_envelope(
+                "c1", i, f"2024-09-01 10:0{i}:00", offset=i)) + "\n")
+    # file 2: post-ALTER traffic — new rows carry sign_time; one UPDATE
+    # re-delivers a pre-ALTER row now WITH sign_time (backfill via upsert)
+    with open(f"{broker}/b1.jsonl", "w") as fh:
+        for i in range(4, 7):
+            fh.write(json.dumps(_mid_stream_envelope(
+                "c1", i, f"2024-09-01 10:0{i}:00",
+                sign_time="2024-09-01 11:00:00", offset=i)) + "\n")
+        fh.write(json.dumps(_mid_stream_envelope(
+            "c1", 0, "2024-09-01 10:00:00",
+            sign_time="2024-09-01 11:30:00", op="UPDATE", offset=7)) + "\n")
+    os.utime(f"{broker}/b0.jsonl", (1_000_000, 1_000_000))
+    os.utime(f"{broker}/b1.jsonl", (1_000_100, 1_000_100))
+
+    table = IcebergLite(str(tmp_path / "tbl"), pk=spec.primary_keys)
+    # maxFilesPerTrigger=1 → the two phases are DISTINCT micro-batches of
+    # one continuous query: the schema window happens inside a single run
+    raw = file_broker_stream(spark, broker, max_files_per_trigger=1)
+    q = start_upsert_sink(
+        parsed_stream(raw, spec), table, str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+    df = table.read(spark)
+    assert df.count() == 7
+    rows = {r.turn_idx: r for r in df.collect()}
+    # pre-evolution rows (not re-delivered): NULL-backfilled
+    assert all(rows[i].sign_time is None for i in (1, 2, 3))
+    # post-evolution rows: typed timestamp landed
+    assert all(rows[i].sign_time is not None for i in (4, 5, 6))
+    # the UPDATE re-delivery backfilled turn 0 through the upsert path
+    assert rows[0].sign_time is not None
+    assert table.current_version() >= 2  # really multiple micro-batches
