@@ -342,13 +342,16 @@ def neardup_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
+        # shuffle-hash hints: every round repeats these large-large
+        # joins on doc_id — hash build beats sorting both sides per round
         neigh = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
+            edges.join(labels.hint("shuffle_hash"),
+                       edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("n_comp"))
         )
         merged = (
-            labels.join(neigh, "doc_id", "left")
+            labels.join(neigh.hint("shuffle_hash"), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
@@ -370,6 +373,48 @@ def neardup_components(
         f"neardup_components did not converge in {max_iters} rounds — a "
         "cluster chain is longer than max_iters; raise max_iters (silently "
         "returning partially-merged components would split real clusters)"
+    )
+
+
+def neardup_propagation_round(
+    docs: DataFrame,
+    threshold: float = 0.875,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One un-executed min-label-propagation round, for plan auditing.
+
+    ``neardup_components`` materializes every round behind an eager
+    ``localCheckpoint`` (lineage truncation), so explaining its RESULT
+    shows a bare checkpoint scan — the per-round join the 100 TB design
+    cares about is invisible. This builds the identical round dataflow
+    (LSH edge list ⋈ labels → partial-agg min → merge) as one lazy plan
+    so tools/explain_audit.py can audit exchanges/join strategies/UDF
+    placement for the iterative op.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold, id_col, text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    neigh = (
+        edges.join(labels.hint("shuffle_hash"),
+                   edges["src"] == labels["doc_id"])
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("component").alias("n_comp"))
+    )
+    return labels.join(neigh.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("n_comp"), F.col("component")),
+        ).alias("component"),
     )
 
 
