@@ -8,14 +8,21 @@ Measures, on local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR:
      exactly-once upsert sink), warm (2nd run timed — the steady state a
      long-lived streaming job actually operates in),
   3. N vs 4N scaling (north_rule): the flagship session-window CEP job over
-     an in-Spark-generated 50M-turn transcript table, warm median of 2 at
-     local[N/4] and local[N]. Shuffle dirs on /dev/shm (cluster local-NVMe
-     analogue). Alongside raw efficiency we report the measured
+     an in-Spark-generated 50M-turn transcript table, steal-gated converged
+     minima at local[N/4] and local[N]. Shuffle dirs on /dev/shm (cluster
+     local-NVMe analogue). Alongside raw efficiency we report the measured
      *hardware ceiling*: a pure-CPU multiprocess burn at the same two
      parallelism levels — on a single box, 4× threads ≠ 4× memory bandwidth,
      so the ceiling (typically ~0.8 here) bounds ANY job; efficiency_norm
      = raw / ceiling is the cluster-extrapolation figure (a real 4N-executor
-     cluster scales bandwidth with N).
+     cluster scales bandwidth with N),
+  4. the ANN crossover: brute vs LSH top-k on the same deterministic
+     synthetic input at the scale where bucket pruning pays
+     (ann_crossover).
+
+  All timings are steal-gated min-of-K: /proc/stat steal is sampled around
+  every run, sampling continues until the minimum was witnessed on a quiet
+  host, and every attempt + its steal fraction is recorded in the JSON.
 
 Output: {"metric", "value": <total query sec>, "unit": "sec",
          "queries": {...}, "sf", "ingest": {...}, "scaling": {...}}
@@ -27,7 +34,6 @@ import json
 import multiprocessing as mp
 import os
 import shutil
-import statistics
 import sys
 import tempfile
 import time
@@ -94,17 +100,61 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_queries(spark) -> dict[str, float]:
+#: interval steal fraction above which a wall is treated as hypervisor-
+#: contaminated and excluded from the min (see memory: same warm job swings
+#: 5× under steal on this microVM)
+STEAL_GATE = 0.01
+
+
+def _timed(fn) -> tuple[float, float]:
+    s0, c0 = _cpu_times()
+    t0 = time.monotonic()
+    fn()
+    wall = time.monotonic() - t0
+    s1, c1 = _cpu_times()
+    return wall, (s1 - s0) / max(c1 - c0, 1)
+
+
+def best_of(fn, k: int = 2, max_tries: int = 4) -> dict:
+    """Steal-gated min-of-K. The gate governs SAMPLING, not selection:
+    steal only ever inflates a wall, so the minimum over all attempts is
+    the honest floor — but we keep sampling until ``k`` walls ran with
+    interval steal below STEAL_GATE (or max_tries), so that floor was
+    actually witnessed on a quiet host rather than recorded mid-storm."""
+    clean = 0
+    attempts: list[tuple[float, float]] = []
+    while clean < k and len(attempts) < max_tries:
+        w, s = _timed(fn)
+        attempts.append((w, s))
+        if s < STEAL_GATE:
+            clean += 1
+    best = min(attempts)
+    return {
+        "wall": best[0],
+        "steal": round(best[1], 4),
+        "walls_all": [round(w, 3) for w, _ in attempts],
+        "dirty_runs": len(attempts) - clean,
+    }
+
+
+def time_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per-query steal-gated min-of-K (round-2 lesson: n=2 un-gated repeats
+    recorded an 8% steal-shaped regression across 11/15 queries)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     out: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE + HEADLINE_EXTRA:
         fn = qs[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        out[name] = round(time.monotonic() - t0, 3)
-    return out
+        r = best_of(lambda: _force(fn(spark, SF_DIR)), k=2, max_tries=4)
+        out[name] = round(r["wall"], 3)
+        detail[name] = {
+            "steal": r["steal"],
+            "walls": r["walls_all"],
+            "dirty": r["dirty_runs"],
+        }
+    return out, detail
 
 
 def gen_broker(root: str) -> int:
@@ -250,8 +300,8 @@ def scale_level(
     cores: int,
     n_rows: int,
     min_repeats: int = 4,
-    max_repeats: int = 8,
-    tol: float = 0.04,
+    max_repeats: int = 10,
+    tol: float = 0.03,
     job=None,
 ) -> dict:
     """Converged best-of-N warm wall for the CEP job at one parallelism level.
@@ -263,15 +313,18 @@ def scale_level(
 
     Round-1 lesson: a fixed repeat count recorded a still-descending minimum
     at the low-parallelism level (walls 25.0 → 15.3 → 11.21, not yet warm)
-    against a converged high-parallelism level — biasing efficiency low. Now
-    each level repeats (≥ min_repeats, ≤ max_repeats) until the best wall is
-    REPRODUCED: the two fastest runs must agree within ``tol``, so the
-    reported minimum is a stable floor, not a lucky or unlucky draw.
+    against a converged high-parallelism level — biasing efficiency low.
+    Round-2 lesson: convergence must be judged on steal-CLEAN walls only —
+    r2's 4N minima were still descending at n=6 because stolen runs
+    satisfied the two-fastest tolerance while the true floor hadn't been
+    hit. Now each level repeats (≥ min_repeats, ≤ max_repeats) until the
+    two fastest walls whose interval steal is below STEAL_GATE agree within
+    ``tol``; stolen runs are recorded but never converge or win.
     """
     job = job or cep_job
     spark = session(cores)
     try:
-        for _ in range(2):  # warm JIT/codegen + shuffle paths fully
+        for _ in range(3):  # warm JIT/codegen + shuffle paths fully
             job(spark, n_rows)
         runs: list[tuple[float, float]] = []
         while len(runs) < max_repeats:
@@ -282,19 +335,81 @@ def scale_level(
             s1, t1c = _cpu_times()
             steal = (s1 - s0) / max(t1c - t0c, 1)
             runs.append((wall, steal))
-            if len(runs) >= min_repeats:
-                w = sorted(r[0] for r in runs)
-                if (w[1] - w[0]) / w[0] < tol:
+            clean = sorted(w for w, s in runs if s < STEAL_GATE)
+            if len(runs) >= min_repeats and len(clean) >= 2:
+                if (clean[1] - clean[0]) / clean[0] < tol:
                     break
+        # min over ALL runs: steal only inflates walls, so a dirty-but-
+        # faster run is a valid lower-bound witness; the clean-walls
+        # convergence criterion above ensures the floor was reproduced
+        # on a quiet host before we stopped sampling
         best = min(runs)
         return {
             "wall": best[0],
             "steal_frac": round(best[1], 4),
             "all_walls": [round(w, 2) for w, _ in runs],
+            "dirty_runs": len([r for r in runs if r[1] >= STEAL_GATE]),
         }
     finally:
         spark.stop()
         time.sleep(4)  # let the JVM drain before the next measurement phase
+
+
+def ann_crossover(spark) -> dict:
+    """Where approximate beats exact: brute vs LSH on the same input.
+
+    The registry ANN queries run 8 queries against a 2,000-vector corpus —
+    a regime where brute's single codegen'd pass mathematically wins
+    (bucketing costs n_tables·n_planes plane-dots per corpus row vs
+    brute's 3·|queries| dots). This section measures the regime ANN
+    exists for: a deterministic synthetic corpus (xxhash64-derived
+    vectors — no RNG, no external data) with a broadcast-sized but
+    non-trivial query set, where bucket pruning (n_planes=8 →
+    ≈8·2⁻⁸≈3% candidate fraction) collapses the rerank.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import similarity as sim
+
+    n_corpus, n_queries, dim = 40_000, 384, 64
+    corpus = spark.range(n_corpus).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"(cast(pmod(xxhash64(id * {dim} + d), 2000001) as double)"
+            f" - 1000000.0) / 1000000.0)"
+        ).alias("embedding"),
+    )
+    queries = corpus.where(F.col("vec_id") < n_queries)
+
+    def run_brute():
+        _force(sim.brute_topk(corpus, queries, k=5))
+
+    def run_lsh():
+        _force(
+            sim.lsh_topk(
+                corpus, queries, k=5, dim=dim, n_tables=8, n_planes=8
+            )
+        )
+
+    for _ in range(2):  # warm codegen + broadcast paths
+        run_brute()
+        run_lsh()
+    rb = best_of(run_brute, k=2, max_tries=4)
+    rl = best_of(run_lsh, k=2, max_tries=4)
+    return {
+        "corpus_vectors": n_corpus,
+        "n_queries": n_queries,
+        "dim": dim,
+        "lsh_tables_planes": [8, 8],
+        "wall_brute_sec": round(rb["wall"], 3),
+        "wall_lsh_sec": round(rl["wall"], 3),
+        "walls_brute_all": rb["walls_all"],
+        "walls_lsh_all": rl["walls_all"],
+        "steal_brute": rb["steal"],
+        "steal_lsh": rl["steal"],
+        "lsh_speedup": round(rb["wall"] / rl["wall"], 2),
+    }
 
 
 def _burn(_):
@@ -327,23 +442,41 @@ def main() -> None:
         n_env = gen_broker(root)
 
         spark = session(CPUS)
-        queries = time_queries(spark)
+        queries, query_detail = time_queries(spark)
+        crossover = ann_crossover(spark)
+
+        def _gated_e2e(run, label, extra=(), repeats=3):
+            """Min over fresh-checkpoint runs (each needs its own tag — a
+            repeated tag would replay as a no-op); min over all attempts
+            (steal only inflates), steal of the winning run reported."""
+            best = None
+            walls = []
+            for i in range(repeats):
+                s0, c0 = _cpu_times()
+                out = run(spark, root, f"timed-{label}-{i}", *extra)
+                s1, c1 = _cpu_times()
+                steal = (s1 - s0) / max(c1 - c0, 1)
+                wall = out[0] if isinstance(out, tuple) else out
+                walls.append(round(wall, 2))
+                if best is None or wall < best[0]:
+                    best = (wall, steal, out)
+            return best[2], round(best[1], 4), walls
+
         ingest_run(spark, root, "warm")  # steady-state warmup
-        wall_ing = min(
-            ingest_run(spark, root, f"timed{i}") for i in range(2)
-        )
+        wall_ing, steal_ing, walls_ing = _gated_e2e(ingest_run, "ing")
         session_e2e_run(spark, root, "warm")
-        wall_sess, n_sessions = min(
-            session_e2e_run(spark, root, f"timed{i}") for i in range(2)
+        res_sess, steal_sess, walls_sess = _gated_e2e(
+            session_e2e_run, "sess"
         )
+        wall_sess, n_sessions = res_sess
         pairs_e2e_run(spark, root, "warm", impl="state")
-        wall_pairs, n_pairs = min(
-            pairs_e2e_run(spark, root, f"timed{i}", impl="state")
-            for i in range(2)
+        res_pairs, steal_pairs, walls_pairs = _gated_e2e(
+            pairs_e2e_run, "pairs", extra=("state",), repeats=4
         )
+        wall_pairs, n_pairs = res_pairs
         pairs_e2e_run(spark, root, "warm", impl="join")
         # single timed run: this is the documented-slower alternative impl;
-        # the flagship (state) gets the min-of-2 treatment above
+        # the flagship (state) gets the gated treatment above
         wall_pj, n_pj = pairs_e2e_run(spark, root, "timed", impl="join")
         spark.stop()
 
@@ -358,23 +491,31 @@ def main() -> None:
                 sum(queries[n] for n in HEADLINE_EXTRA), 3
             ),
             "queries": queries,
+            "query_detail": query_detail,
+            "ann_crossover": crossover,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "ingest": {
                 "envelopes": n_env,
                 "wall_sec": round(wall_ing, 2),
                 "turns_per_sec": round(n_env / wall_ing, 1),
                 "cores": CPUS,
+                "steal": steal_ing,
+                "walls_all": walls_ing,
             },
             "session_e2e": {
                 "wall_sec": round(wall_sess, 2),
                 "sessions_emitted": n_sessions,
                 "turns_per_sec": round(n_env / wall_sess, 1),
+                "steal": steal_sess,
+                "walls_all": walls_sess,
             },
             "pairs_e2e": {
                 "impl": "applyInPandasWithState",
                 "wall_sec": round(wall_pairs, 2),
                 "pairs_emitted": n_pairs,
                 "turns_per_sec": round(n_env / wall_pairs, 1),
+                "steal": steal_pairs,
+                "walls_all": walls_pairs,
             },
             "pairs_e2e_join": {
                 "impl": "dedup + JVM stream-stream join",
@@ -411,6 +552,8 @@ def main() -> None:
                 "walls_4n_all": r_hi["all_walls"],
                 "steal_frac_n": r_lo["steal_frac"],
                 "steal_frac_4n": r_hi["steal_frac"],
+                "dirty_runs_n": r_lo["dirty_runs"],
+                "dirty_runs_4n": r_hi["dirty_runs"],
                 "rows_per_sec_n": round(SCALE_ROWS / w_lo, 0),
                 "rows_per_sec_4n": round(SCALE_ROWS / w_hi, 0),
                 "efficiency_raw": round(eff, 3),

@@ -56,18 +56,26 @@ def brute_topk(
     The query side is broadcast — no shuffle of the corpus; ranking is one
     window per query id. Ties break on neighbor_id (deterministic).
     """
+    # norms are per-ROW, not per-pair: folding dot(x,x) inside the pair
+    # loop would triple the interpreted-lambda work (ArrayAggregate has no
+    # codegen); precomputing them keeps the identical doubles (same fold
+    # order) so oracle parity is unaffected
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce")
-    )
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
-    )
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -228,20 +236,22 @@ def ivf_topk(
     corpus_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("neighbor_e"),
-    )
+    ).withColumn("_nn", F.sqrt(_dot(F.col("neighbor_e"), F.col("neighbor_e"))))
     query_vecs = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("query_e"),
-    )
+    ).withColumn("_qn", F.sqrt(_dot(F.col("query_e"), F.col("query_e"))))
     scored = (
         corpus_vecs.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(query_vecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_e"), F.col("neighbor_e")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("query_e"), F.col("neighbor_e"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -318,6 +328,7 @@ def lsh_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_impl: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH + exact rerank.
 
@@ -337,9 +348,24 @@ def lsh_topk(
     |queries| × candidate fraction × |corpus|, broadcast-sized whenever the
     query set is) are then broadcast back against the corpus, so each
     side's vectors are read exactly once and never shuffled.
-    """
-    buckets = lsh_buckets_udf(dim, n_tables, n_planes)
 
+    ``bucket_impl``: ``"arrow"`` (default) hashes via the vectorized
+    pandas-UDF matmul — one numpy GEMM per Arrow batch. Measured fastest
+    at every scale tried (the GEMM amortizes the Arrow round-trip within
+    one ~10k-row batch); ``"expr"`` computes the same sign buckets as
+    pure column expressions over the inlined plane literals — zero Python
+    workers, but ArrayAggregate/ZipWith lambdas evaluate interpreted
+    per element (~4× slower measured at sf0.1), so it exists for
+    plan-inspection and Python-less deployments, not the hot path.
+    Bucket values are identical except at measure-zero exact-0
+    projections.
+
+    When LSH pays off: per corpus row, bucketing costs n_tables·n_planes
+    plane-dots while brute costs 3·|queries| dots — LSH can only win once
+    |queries| ≳ n_tables·n_planes/3 AND the bucket fraction
+    (≈ n_tables·2^-n_planes) prunes most of the rerank. bench.py records
+    this crossover explicitly (ann_crossover).
+    """
     corpus_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("neighbor_e"),
@@ -348,6 +374,17 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("query_e"),
     )
+
+    if bucket_impl == "arrow":
+        buckets = lsh_buckets_udf(dim, n_tables, n_planes)
+    else:
+        def buckets(vec_col_: Column) -> Column:
+            return F.array(
+                *[
+                    lsh_bucket(vec_col_, dim, t, n_planes)
+                    for t in range(n_tables)
+                ]
+            )
 
     def bucket_ids(vecs: DataFrame, role: str) -> DataFrame:
         return vecs.select(
@@ -362,14 +399,28 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # per-row norms precomputed before the pair join (see brute_topk)
     scored = (
-        corpus_vecs.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(query_vecs), "query_id")
+        corpus_vecs.withColumn(
+            "_nn", F.sqrt(_dot(F.col("neighbor_e"), F.col("neighbor_e")))
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(
+            F.broadcast(
+                query_vecs.withColumn(
+                    "_qn",
+                    F.sqrt(_dot(F.col("query_e"), F.col("query_e"))),
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(F.col("query_e"), F.col("neighbor_e")), 6
+                _dot(F.col("query_e"), F.col("neighbor_e"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
             ).alias("cosine"),
         )
     )
