@@ -916,6 +916,87 @@ def q_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (windows.asof_join): each purchase attributes to the
+    latest prior-or-same-instant click by the same user — one hash shuffle
+    on user_id + one ordered window pass, no range explosion, no Python.
+    The DuckDB oracle uses its native ASOF LEFT JOIN operator — a fully
+    independent formulation of the same semantics. Clicks are pre-deduped
+    to max(event_id) per (user, ts) so tie-breaking is engine-independent.
+    Gaps are exact epoch-microsecond differences."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events", spread=True)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),  # NTZ parquet, UTC pinned
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = win.asof_join(
+        purchases, clicks, on=["user_id"], right_cols=["click_id"]
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        "click_id",
+        F.unix_micros(F.col("_asof_ts")).alias("click_us"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_asof_ts"))
+        ).alias("gap_us"),
+    )
+
+
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (windows.range_join_within): views by the same
+    user within 2 days after each click, counted and value-summed per
+    click. The band equi-join (each left row probes exactly two interval
+    buckets) replaces the quadratic inequality theta-join; view values are
+    quantized to integer micro-units before summing so the aggregate is
+    order-independent and engine-exact. Zero-view clicks are kept (left
+    outer) with zero counts."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events", spread=True)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("value_micro"),
+    )
+    pairs = win.range_join_within(
+        clicks, views, on=["user_id"], interval_sec=2 * 86400
+    )
+    agg = pairs.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("value_micro").alias("view_value_micros"),
+    )
+    return (
+        clicks.select(
+            "click_id", "user_id", F.unix_micros(F.col("ts")).alias("click_us")
+        )
+        .join(agg.hint("shuffle_hash"), "click_id", "left")
+        .select(
+            "click_id",
+            "user_id",
+            "click_us",
+            F.coalesce(F.col("n_views"), F.lit(0)).alias("n_views"),
+            F.coalesce(F.col("view_value_micros"), F.lit(0)).alias(
+                "view_value_micros"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -979,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_revenue": q_region_supplier_revenue,
         "brand_volume": q_brand_volume,
         "cumulative_spend": q_cumulative_spend,
+        "asof_attribution": q_asof_attribution,
+        "range_join_counts": q_range_join_counts,
     }
 
 
@@ -1906,5 +1989,50 @@ SELECT o_custkey,
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS spend_to_date
 FROM orders
+""",
+        "asof_attribution": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.click_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "range_join_counts": """
+WITH cl AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, ts,
+         CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+  FROM events WHERE event_type = 'view'
+),
+agg AS (
+  SELECT cl.click_id,
+         count(*) AS n_views,
+         CAST(sum(v.value_micro) AS BIGINT) AS view_value_micros
+  FROM cl JOIN v
+    ON cl.user_id = v.user_id
+   AND v.ts > cl.ts
+   AND v.ts <= cl.ts + INTERVAL 2 DAY
+  GROUP BY 1
+)
+SELECT cl.click_id,
+       cl.user_id,
+       epoch_us(cl.ts) AS click_us,
+       COALESCE(agg.n_views, 0) AS n_views,
+       COALESCE(agg.view_value_micros, 0) AS view_value_micros
+FROM cl LEFT JOIN agg USING (click_id)
 """,
     }

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import MapType
 
 _WIN_STRUCTS = {"window", "session_window"}
@@ -251,3 +252,131 @@ def salted_agg(
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("long").alias(count_col))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Event-time AS-OF join: each left row picks the single LATEST right
+    row with ``right_ts <= left_ts`` (``<`` when ``strict``) sharing the
+    ``on`` keys; left rows with no prior right row keep NULLs (left outer
+    semantics). Spark has no ASOF JOIN operator — the common workarounds
+    are a range-exploded theta join (quadratic per key) or per-row Python;
+    this is neither: both sides union into one stream, one hash shuffle on
+    the keys, and one ordered window pass carries the most recent right
+    payload forward (``last(..., ignoreNulls)`` over unbounded-preceding),
+    so the cost is sort-within-partition — the same shape at 10^12 rows.
+
+    Ties: right rows sort before left rows at an equal timestamp (after,
+    when ``strict``), and multiple right rows at the same (key, ts) resolve
+    by the LAST right_cols values in (ts, right_cols...) order — pre-dedupe
+    the right side for engine-independent determinism (DuckDB's ASOF picks
+    an arbitrary tie winner).
+
+    Output: all left columns + the carried ``right_cols`` (default: every
+    non-key, non-ts right column) + ``_asof_ts`` (the matched right_ts).
+    """
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+    carried = list(right_cols) + ["_asof_ts"]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ev_ts"),
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(c) for c in right_cols],
+        F.lit(2 if strict else 0).alias("_side"),
+    )
+    left_cols = left.columns
+    l = left.select(  # noqa: E741
+        "*", F.col(left_ts).alias("_ev_ts"), F.lit(1).alias("_side")
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ev_ts", "_side", *[F.col(c) for c in right_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in carried
+        ],
+    )
+    return out.where(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col(f"_c_{c}").alias(c) for c in carried],
+    )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    interval_sec: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Banded range join: pairs (l, r) sharing ``on`` keys with
+    ``left_ts < right_ts <= left_ts + interval_sec``.
+
+    The naive formulation is an inequality theta-join — a per-key cartesian
+    that Spark executes as BroadcastNestedLoop or a key-cartesian, both
+    quadratic. Banding restores an equi-join: both sides bucket their
+    timestamp by the interval width, each left row probes exactly two
+    buckets (its own and the next — any right row within the interval must
+    land in one of them), and the exact predicate filters inside the join.
+    Cost: 2× left amplification on (key, bucket) short keys, one hash
+    shuffle each side, zero cartesian — the standard interval-join shape
+    (Flink's IntervalJoin materializes the same banding in state).
+
+    Output: all left columns (suffixed ``_l`` on collision) + all right
+    columns (suffixed ``_r`` on collision).
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / interval_sec)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / interval_sec)
+    overlap = set(left.columns) & set(right.columns) - set(on)
+    lsel = left.select(
+        *on,
+        *[
+            F.col(c).alias(f"{c}_l" if c in overlap else c)
+            for c in left.columns
+            if c not in on
+        ],
+        F.explode(F.array(lb, lb + 1)).alias("_band"),
+    )
+    rsel = right.select(
+        *on,
+        *[
+            F.col(c).alias(f"{c}_r" if c in overlap else c)
+            for c in right.columns
+            if c not in on
+        ],
+        rb.alias("_band"),
+    )
+    lt = f"{left_ts}_l" if left_ts in overlap else left_ts
+    rt = f"{right_ts}_r" if right_ts in overlap else right_ts
+    return (
+        # shuffle-hash: both sides can be large and the keys are short —
+        # hash build avoids sorting either side (AQE may still downgrade
+        # to broadcast when one side turns out tiny)
+        lsel.join(rsel.hint("shuffle_hash"), on + ["_band"])
+        .where(
+            (F.col(rt) > F.col(lt))
+            # exact micros arithmetic: second-truncated bounds would
+            # mis-classify pairs within the same second of the window edge
+            & (
+                F.unix_micros(F.col(rt))
+                <= F.unix_micros(F.col(lt)) + interval_sec * 1_000_000
+            )
+        )
+        .drop("_band")
+    )

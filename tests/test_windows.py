@@ -131,3 +131,91 @@ def test_streaming_watermark_applied(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(*) c from sess_test").first().c
     assert n > 0
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row at-or-before each left row, per key; equal
+    timestamps included (excluded under strict); no-prior rows keep NULL;
+    crossing keys never match."""
+    import datetime
+
+    from kafka2iceberg_spark.windows import asof_join
+
+    B = datetime.datetime(2024, 9, 1, 12, 0, 0)
+
+    def t(m):
+        return B + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u1", 1, t(10)), ("u1", 2, t(20)), ("u1", 3, t(5)),
+         ("u2", 4, t(10))],
+        "user string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, t(10)), ("u1", 101, t(15)), ("u3", 102, t(1))],
+        "user string, rid int, ts timestamp",
+    )
+    out = {
+        r.lid: (r.rid, r._asof_ts)
+        for r in asof_join(left, right, on=["user"]).collect()
+    }
+    assert out[1] == (100, t(10))      # equal ts matches
+    assert out[2] == (101, t(15))      # latest prior, not first
+    assert out[3] == (None, None)      # nothing at-or-before
+    assert out[4] == (None, None)      # u3's rows invisible to u2
+    strict = {
+        r.lid: r.rid
+        for r in asof_join(left, right, on=["user"], strict=True).collect()
+    }
+    assert strict[1] is None           # equal ts excluded under strict
+    assert strict[2] == 101
+
+
+def test_asof_join_tie_on_right_ts(spark):
+    """Multiple right rows at one (key, ts): the greatest right_cols value
+    wins (documented deterministic tie-break)."""
+    import datetime
+
+    from kafka2iceberg_spark.windows import asof_join
+
+    B = datetime.datetime(2024, 9, 1)
+    left = spark.createDataFrame(
+        [("u", 1, B + datetime.timedelta(hours=1))],
+        "user string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", 7, B), ("u", 9, B), ("u", 8, B)],
+        "user string, rid int, ts timestamp",
+    )
+    [row] = asof_join(left, right, on=["user"]).collect()
+    assert row.rid == 9
+
+
+def test_range_join_within_band_edges(spark):
+    """Interval edges are exact: a right row at exactly +interval matches,
+    one microsecond later does not; matches crossing the internal band
+    boundary are found (the two-bucket probe is sufficient)."""
+    import datetime
+
+    from kafka2iceberg_spark.windows import range_join_within
+
+    B = datetime.datetime(2024, 9, 1, 0, 0, 0)
+    sec = datetime.timedelta(seconds=1)
+    us = datetime.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [("u", 1, B + 90 * sec)],  # band (100s): bucket 0, probes 0 and 1
+        "user string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, B + 90 * sec),            # equal ts: excluded (>)
+            ("u", 11, B + 95 * sec),            # same bucket: in
+            ("u", 12, B + 150 * sec),           # next bucket: in
+            ("u", 13, B + 190 * sec),           # exactly +interval: in
+            ("u", 14, B + 190 * sec + us),      # 1 us past: out
+            ("x", 15, B + 95 * sec),            # other key: out
+        ],
+        "user string, rid int, ts timestamp",
+    )
+    out = range_join_within(left, right, on=["user"], interval_sec=100)
+    assert sorted(r.rid for r in out.collect()) == [11, 12, 13]
