@@ -57,11 +57,13 @@ def job():
         [F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("m")],
     ).write.format("noop").mode("overwrite").save()
 
-job(); job()  # warm JIT/codegen + shuffle paths fully
+job(); job(); job()  # warm JIT/codegen + shuffle paths fully
 walls = []
-while len(walls) < 8:
+best_age = 0
+while len(walls) < 12:
     t0 = time.monotonic(); job(); walls.append(time.monotonic() - t0)
-    if len(walls) >= 4:
+    best_age = 0 if walls[-1] <= min(walls) else best_age + 1
+    if len(walls) >= 4 and best_age >= 2:
         w = sorted(walls)
         if (w[1] - w[0]) / w[0] < 0.04:  # best wall reproduced -> converged
             break
