@@ -366,8 +366,9 @@ def ann_crossover(spark) -> dict:
 
     The registry ANN queries run 8 queries against a 2,000-vector corpus —
     a regime where brute's single codegen'd pass mathematically wins
-    (bucketing costs n_tables·n_planes plane-dots per corpus row vs
-    brute's 3·|queries| dots). This section measures the regime ANN
+    (bucketing costs n_tables·n_planes=32 plane-dots per corpus row vs
+    brute's ≈|queries|=8 dots with per-row norms precomputed). This
+    section measures the regime ANN
     exists for: a deterministic synthetic corpus (xxhash64-derived
     vectors — no RNG, no external data) with a broadcast-sized but
     non-trivial query set, where bucket pruning (n_planes=8 →
@@ -549,13 +550,16 @@ def main() -> None:
                 }
 
             scaling_passes = 1
-            if (r_lo["wall"] / r_hi["wall"]) / (CPUS / lo) < 0.75:
-                # the two levels were measured minutes apart; a ratio below
-                # the box's established band usually means asymmetric host
-                # weather (bandwidth contention /proc/stat steal can't
-                # see). Re-measure BOTH levels back-to-back once and take
-                # each level's floor over both passes — every wall from
-                # every pass stays in the artifact.
+            _eff1 = (r_lo["wall"] / r_hi["wall"]) / (CPUS / lo)
+            if _eff1 < 0.75 or _eff1 > 1.0:
+                # the two levels were measured minutes apart; a ratio
+                # outside the box's plausible band in EITHER direction
+                # means asymmetric host weather (bandwidth contention
+                # /proc/stat steal can't see) — below 0.75 the hi level
+                # was slowed, above 1.0 (superlinear on one box) the lo
+                # level was. Re-measure BOTH levels back-to-back once and
+                # take each level's floor over both passes — every wall
+                # from every pass stays in the artifact.
                 scaling_passes = 2
                 r_lo = _merge_levels(r_lo, scale_level(lo, SCALE_ROWS))
                 r_hi = _merge_levels(r_hi, scale_level(CPUS, SCALE_ROWS))

@@ -121,6 +121,7 @@ def main(argv: list[str] | None = None) -> None:
                 params.get("ddl.checkpoint", checkpoint + "_ddl"),
                 spec=spec,
                 trigger=trigger,
+                from_kafka=KAFKA_BOOTSTRAP in params,
             )
         )
     if "dlq.location" in params:

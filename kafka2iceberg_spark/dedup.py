@@ -342,28 +342,8 @@ def neardup_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        # shuffle-hash hints: every round repeats these large-large
-        # joins on doc_id — hash build beats sorting both sides per round
-        neigh = (
-            edges.join(labels.hint("shuffle_hash"),
-                       edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("component").alias("n_comp"))
-        )
-        merged = (
-            labels.join(neigh.hint("shuffle_hash"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("n_comp"), F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("n_comp"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        merged = _propagation_round(edges, labels).localCheckpoint(
+            eager=True
         )
         changed = merged.filter(F.col("_changed")).limit(1).count()
         labels = merged.drop("_changed")
@@ -373,6 +353,32 @@ def neardup_components(
         f"neardup_components did not converge in {max_iters} rounds — a "
         "cluster chain is longer than max_iters; raise max_iters (silently "
         "returning partially-merged components would split real clusters)"
+    )
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: the SINGLE definition shared by
+    the executed ``neardup_components`` loop and the plan-audit proxy
+    ``neardup_propagation_round`` — so the audited plan is provably the
+    executed plan. Shuffle-hash hints: every round repeats these
+    large-large joins on doc_id; hash build beats sorting both sides."""
+    neigh = (
+        edges.join(
+            labels.hint("shuffle_hash"), edges["src"] == labels["doc_id"]
+        )
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("component").alias("n_comp"))
+    )
+    return labels.join(neigh.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("n_comp"), F.col("component")),
+        ).alias("component"),
+        (
+            F.coalesce(F.col("n_comp"), F.col("component"))
+            < F.col("component")
+        ).alias("_changed"),
     )
 
 
@@ -403,19 +409,7 @@ def neardup_propagation_round(
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component"))
     )
-    neigh = (
-        edges.join(labels.hint("shuffle_hash"),
-                   edges["src"] == labels["doc_id"])
-        .groupBy(F.col("dst").alias("doc_id"))
-        .agg(F.min("component").alias("n_comp"))
-    )
-    return labels.join(neigh.hint("shuffle_hash"), "doc_id", "left").select(
-        "doc_id",
-        F.least(
-            F.col("component"),
-            F.coalesce(F.col("n_comp"), F.col("component")),
-        ).alias("component"),
-    )
+    return _propagation_round(edges, labels).drop("_changed")
 
 
 def contamination_flags(

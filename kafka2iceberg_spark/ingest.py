@@ -205,7 +205,11 @@ def corrupt_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def ddl_events(
-    raw: DataFrame, spec: TaskSpec | None = None, value_col: str = "value"
+    raw: DataFrame,
+    spec: TaskSpec | None = None,
+    value_col: str = "value",
+    offset_col: str | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """P5 made queryable: ``isDdl=true`` envelopes as typed side rows.
 
@@ -214,7 +218,10 @@ def ddl_events(
     they are projected (database, table, ddl sql, event type, envelope
     epochs, broker coordinates) so a schema change on the source is
     queryable evidence in a side table instead of a silent no-op. With
-    ``spec`` given, only the routed database/table's DDL is kept.
+    ``spec`` given, only the routed database/table's DDL is kept. As with
+    ``parse`` (P12/P13), a real Kafka source supplies broker coordinates
+    natively — pass offset_col='offset', partition_col='partition'; the
+    file-simulated broker carries them inline as ``_offset``/``_partition``.
     """
     env = envelope_schema([])
     df = raw.filter(F.col(value_col).isNotNull()).withColumn(
@@ -225,6 +232,8 @@ def ddl_events(
             (F.col("j.database") == F.lit(spec.source_database))
             & (F.col("j.table") == F.lit(spec.source_table))
         )
+    off = F.col(offset_col) if offset_col else F.col("j._offset")
+    part = F.col(partition_col) if partition_col else F.col("j._partition")
     return df.filter(F.col("j.isDdl")).select(
         F.col("j.database").alias("database"),
         F.col("j.table").alias("table"),
@@ -232,8 +241,8 @@ def ddl_events(
         F.upper(F.trim(F.col("j.type"))).alias("event_type"),
         F.col("j.ts").alias("env_ts"),
         F.col("j.es").alias("env_es"),
-        F.col("j._offset").alias("offset"),
-        F.col("j._partition").alias("partition_idx"),
+        off.cast("long").alias("offset"),
+        part.cast("int").alias("partition_idx"),
     )
 
 

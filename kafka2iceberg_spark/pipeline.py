@@ -211,6 +211,7 @@ def start_ddl_sink(
     checkpoint: str,
     spec=None,
     trigger: dict | None = None,
+    from_kafka: bool = False,
 ):
     """Side query landing ``isDdl=true`` envelopes in their own table.
 
@@ -220,9 +221,12 @@ def start_ddl_sink(
     broker coordinates) with the same exactly-once commit protocol as the
     main sink. Runs off the same raw stream with its own checkpoint.
     """
-    ddl = ingest.ddl_events(raw, spec).withColumn(
-        "ingest_ts", F.current_timestamp()
-    )
+    ddl = ingest.ddl_events(
+        raw,
+        spec,
+        offset_col="offset" if from_kafka else None,
+        partition_col="partition" if from_kafka else None,
+    ).withColumn("ingest_ts", F.current_timestamp())
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         table.commit_append(batch_df, str(batch_id))

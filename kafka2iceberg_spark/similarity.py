@@ -361,11 +361,15 @@ def lsh_topk(
     projections.
 
     When LSH pays off: per corpus row, bucketing costs n_tables·n_planes
-    plane-dots while brute costs 3·|queries| dots — LSH can only win once
-    |queries| ≳ n_tables·n_planes/3 AND the bucket fraction
-    (≈ n_tables·2^-n_planes) prunes most of the rerank. bench.py records
-    this crossover explicitly (ann_crossover).
+    plane-dots while brute (norms precomputed per row) costs ≈|queries|
+    dots — LSH can only win once |queries| ≳ n_tables·n_planes AND the
+    bucket fraction (≈ n_tables·2^-n_planes) prunes most of the rerank.
+    bench.py records this crossover explicitly (ann_crossover).
     """
+    if bucket_impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"bucket_impl must be 'arrow' or 'expr', got {bucket_impl!r}"
+        )
     corpus_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("neighbor_e"),

@@ -277,21 +277,41 @@ def asof_join(
     when ``strict``), and multiple right rows at the same (key, ts) resolve
     by the LAST right_cols values in (ts, right_cols...) order — pre-dedupe
     the right side for engine-independent determinism (DuckDB's ASOF picks
-    an arbitrary tie winner).
+    an arbitrary tie winner). Right rows with a NULL timestamp can never
+    satisfy the as-of predicate and are dropped.
+
+    The right payload is carried as ONE struct, so every output value —
+    including genuine NULLs in the matched row's payload — comes from the
+    same right row (carrying columns independently would let an older
+    row's value leak under a newer row's NULL).
 
     Output: all left columns + the carried ``right_cols`` (default: every
     non-key, non-ts right column) + ``_asof_ts`` (the matched right_ts).
+    Raises if output names collide (a left column named like a carried
+    right column or the reserved ``_asof_ts``/``_ev_ts``/``_side``/``_r``).
     """
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in on and c != right_ts
         ]
-    carried = list(right_cols) + ["_asof_ts"]
-    r = right.select(
+    clash = set(left.columns) & (
+        set(right_cols) | {"_asof_ts", "_ev_ts", "_side", "_r"}
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision on {sorted(clash)}: rename "
+            "or project the left side, or pass explicit right_cols"
+        )
+    # one struct per right row: the window carries the whole matched row,
+    # so a NULL payload value in the latest right row stays NULL instead
+    # of exposing a stale value from an older row
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ev_ts"),
-        F.col(right_ts).alias("_asof_ts"),
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("_asof_ts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("_r"),
         F.lit(2 if strict else 0).alias("_side"),
     )
     left_cols = left.columns
@@ -301,19 +321,18 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ev_ts", "_side", *[F.col(c) for c in right_cols])
+        .orderBy(
+            "_ev_ts", "_side", *[F.col("_r")[c] for c in right_cols]
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in carried
-        ],
+    out = unioned.withColumn(
+        "_c", F.last("_r", ignorenulls=True).over(w)
     )
     return out.where(F.col("_side") == 1).select(
         *left_cols,
-        *[F.col(f"_c_{c}").alias(c) for c in carried],
+        *[F.col("_c")[c].alias(c) for c in right_cols],
+        F.col("_c")["_asof_ts"].alias("_asof_ts"),
     )
 
 

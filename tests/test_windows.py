@@ -219,3 +219,44 @@ def test_range_join_within_band_edges(spark):
     )
     out = range_join_within(left, right, on=["user"], interval_sec=100)
     assert sorted(r.rid for r in out.collect()) == [11, 12, 13]
+
+
+def test_asof_join_null_payload_not_overwritten_by_stale_row(spark):
+    """Code-review regression: the matched (latest) right row's NULL
+    payload must stay NULL — not be papered over by an older row's value
+    (the struct carry guarantees all output values come from one row)."""
+    import datetime
+
+    import pytest
+
+    from kafka2iceberg_spark.windows import asof_join
+
+    B = datetime.datetime(2024, 9, 1)
+
+    def t(m):
+        return B + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u", 1, t(30))], "user string, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", "a", t(10)), ("u", None, t(20))],
+        "user string, val string, ts timestamp",
+    )
+    [row] = asof_join(left, right, on=["user"]).collect()
+    assert row._asof_ts == t(20)
+    assert row.val is None  # NOT 'a'
+
+    # a NULL-ts right row must not fabricate a match
+    right2 = spark.createDataFrame(
+        [("u", "phantom", None)], "user string, val string, ts timestamp"
+    )
+    [row2] = asof_join(left, right2, on=["user"]).collect()
+    assert row2.val is None and row2._asof_ts is None
+
+    # name collisions are rejected, not silently merged
+    right3 = spark.createDataFrame(
+        [("u", 5, t(1))], "user string, lid int, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right3, on=["user"])
