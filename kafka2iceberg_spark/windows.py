@@ -399,3 +399,58 @@ def range_join_within(
         )
         .drop("_band")
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    interval_sec: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming interval join (Flink IntervalJoin analogue): pairs with
+    ``left_ts < right_ts <= left_ts + interval_sec`` sharing the ``on``
+    keys, as a native Spark stream-stream inner join.
+
+    In streaming no banding is needed: the time-range join condition plus
+    both sides' watermarks bound each side's state store — Spark retains
+    a left row only until the watermark passes ``left_ts + interval`` and
+    a right row until its own watermark, exactly the state Flink's
+    IntervalJoin keeps. Matches emit eagerly (inner join), the range
+    condition prunes state continuously, and the output schema matches
+    the batch ``range_join_within`` (overlapping non-key columns suffixed
+    ``_l``/``_r``) so batch and streaming results are directly comparable
+    — tested for parity.
+    """
+    overlap = set(left.columns) & set(right.columns) - set(on)
+
+    def _side(df, ts_col, suffix):
+        out = df.select(
+            *[F.col(k).alias(f"{k}{suffix}__key") for k in on],
+            *[
+                F.col(c).alias(f"{c}{suffix}" if c in overlap else c)
+                for c in df.columns
+                if c not in on
+            ],
+        )
+        t = f"{ts_col}{suffix}" if ts_col in overlap else ts_col
+        return with_watermark(out, t, watermark_delay), t
+
+    lw, lt = _side(left, left_ts, "_l")
+    rw, rt = _side(right, right_ts, "_r")
+    cond = (
+        (F.col(rt) > F.col(lt))
+        & (
+            F.col(rt)
+            <= F.col(lt) + F.expr(f"INTERVAL {interval_sec} SECONDS")
+        )
+    )
+    for k in on:
+        cond = cond & (F.col(f"{k}_l__key") == F.col(f"{k}_r__key"))
+    return (
+        lw.join(rw, cond, "inner")
+        .withColumnsRenamed({f"{k}_l__key": k for k in on})
+        .drop(*[f"{k}_r__key" for k in on])
+    )
