@@ -278,6 +278,75 @@ class IcebergLite:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.manifest_dir, name)
 
+    @staticmethod
+    def _file_stats(path: str) -> dict | None:
+        """Per-file column min/max from the parquet FOOTER (metadata-only
+        read — no data pages touched), recorded into the manifest entry.
+
+        This is Iceberg's manifest-stats mechanism: at 100 TB the planner
+        skips whole files whose [min, max] cannot satisfy a predicate, so
+        a selective scan touches O(matching files), not O(table). Values
+        are normalized JSON-safe: timestamps → ISO strings (lexical order
+        == chronological), bytes decoded as UTF-8 or dropped; columns
+        without comparable stats are simply absent (never pruned on).
+        """
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+
+        def norm(v):
+            import datetime as _dt
+
+            if isinstance(v, bool) or v is None:
+                return None
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat(sep=" ") if isinstance(
+                    v, _dt.datetime
+                ) else v.isoformat()
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, (int, float, str)):
+                return v
+            return None
+
+        mins: dict = {}
+        maxs: dict = {}
+        poison: set = set()  # a row group without comparable stats makes
+        # the whole file's column range unknown — never prune on it
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: not prunable top-level
+                    continue
+                st = col.statistics
+                mn = norm(st.min) if st is not None and st.has_min_max else None
+                mx = norm(st.max) if st is not None and st.has_min_max else None
+                if mn is None or mx is None:
+                    poison.add(name)
+                    continue
+                if name in mins:
+                    mins[name] = min(mins[name], mn)
+                    maxs[name] = max(maxs[name], mx)
+                else:
+                    mins[name], maxs[name] = mn, mx
+        stats = {
+            n: [mins[n], maxs[n]] for n in mins if n not in poison
+        }
+        out = {"rows": md.num_rows}
+        if stats:
+            out["stats"] = stats
+        return out
+
     def _write_manifest(self, files: list[dict]) -> str:
         payload = json.dumps(files, sort_keys=True)
         name = hashlib.md5(payload.encode()).hexdigest()[:20] + ".json"
@@ -334,6 +403,12 @@ class IcebergLite:
         stage = os.path.join(
             self.data_dir, f"b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
+        # INT64 micros, not legacy INT96: INT96 timestamps carry no parquet
+        # min/max statistics, which would blind the manifest-stats pruning
+        # (_file_stats / plan_scan) on every time predicate
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         # cluster rows by partition value before the partitionBy write:
         # one task (→ one file) per date partition instead of
         # tasks × partitions tiny files — at scale this is the difference
@@ -351,7 +426,13 @@ class IcebergLite:
             pval = entry.split("=", 1)[1]
             pdir = os.path.join(stage, entry)
             files = [
-                {"path": os.path.join(pdir, f), "rows": None}
+                {
+                    "path": os.path.join(pdir, f),
+                    **(
+                        self._file_stats(os.path.join(pdir, f))
+                        or {"rows": None}
+                    ),
+                }
                 for f in sorted(os.listdir(pdir))
                 if f.endswith(".parquet")
             ]
@@ -403,6 +484,82 @@ class IcebergLite:
             if paths
             else None
         )
+
+    @staticmethod
+    def _norm_bound(v):
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
+    def plan_scan(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> dict:
+        """File-skipping scan plan: which data files can contain rows with
+        ``lo <= col <= hi`` (either bound optional), judged from manifest
+        min/max stats. Files without stats for ``col`` are conservatively
+        kept. This is the Iceberg planning step that keeps a selective
+        read O(matching files) at 100 TB — no data IO happens here, only
+        manifest JSON already on the driver.
+        """
+        snap = (
+            self.current_snapshot()
+            if version is None
+            else self.snapshot_at(version)
+        )
+        lo_n, hi_n = self._norm_bound(lo), self._norm_bound(hi)
+        paths: list[str] = []
+        total = skipped = 0
+        for files in self.resolve_manifests(snap).values():
+            for f in files:
+                total += 1
+                rng = (f.get("stats") or {}).get(col)
+                keep = True
+                if rng is not None:
+                    mn, mx = rng
+                    try:
+                        if lo_n is not None and mx < lo_n:
+                            keep = False
+                        if hi_n is not None and mn > hi_n:
+                            keep = False
+                    except TypeError:
+                        keep = True  # incomparable bound types: no pruning
+                if keep:
+                    paths.append(f["path"])
+                else:
+                    skipped += 1
+        return {"paths": paths, "files_total": total, "files_skipped": skipped}
+
+    def scan_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read with manifest-stats file skipping + the residual predicate.
+
+        Semantically identical to ``read(spark).where(lo <= col <= hi)``
+        (tested), but only the files whose stats ranges intersect the
+        bounds are opened — the complement of files is never touched.
+        """
+        plan = self.plan_scan(col, lo, hi, version)
+        if not plan["paths"]:
+            empty = self.read(spark, version).limit(0)
+            df = empty
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *plan["paths"]
+            )
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def _save_schema_hint(self, df: DataFrame) -> None:
         p = os.path.join(self.location, "_schema.json")
@@ -611,9 +768,19 @@ class IcebergLite:
             stage = os.path.join(
                 self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
             )
+            # INT64 micros for statable timestamps (see _write_files)
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
             df.coalesce(1).write.parquet(stage, mode="overwrite")
             new_files = [
-                {"path": os.path.join(stage, f), "rows": None}
+                {
+                    "path": os.path.join(stage, f),
+                    **(
+                        self._file_stats(os.path.join(stage, f))
+                        or {"rows": None}
+                    ),
+                }
                 for f in sorted(os.listdir(stage))
                 if f.endswith(".parquet")
             ]

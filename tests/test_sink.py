@@ -261,3 +261,88 @@ def test_crashed_create_self_heals(spark, tmp_path):
         _batch(spark, [("c1", 0, "a", TS, 0, 0, False)]), "0"
     ) is True
     assert t.read(spark).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# manifest column stats + file-skipping scans (Iceberg stats-pruning analogue)
+
+BASE = datetime.datetime(2024, 9, 1, 12, 0, 0)
+
+
+def _stats_batch(spark, lo, hi, day=1):
+    rows = [
+        (f"c{i}", i, f"t{i:04d}",
+         BASE.replace(day=day) + datetime.timedelta(minutes=i))
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+
+
+def test_manifest_entries_carry_footer_stats(spark, tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+    t.commit_append(_stats_batch(spark, 0, 10), "0")
+    files = [
+        f
+        for fs in t.resolve_manifests(t.current_snapshot()).values()
+        for f in fs
+    ]
+    assert files and all(f.get("rows") for f in files)
+    st = files[0]["stats"]
+    assert st["turn_idx"] == [0, 9]
+    assert st["text"] == ["t0000", "t0009"]
+    assert st["ts"][0].startswith("2024-09-01")
+
+
+def test_plan_scan_skips_disjoint_files(spark, tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+    for b, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        t.commit_append(_stats_batch(spark, lo, hi), str(b))
+    plan = t.plan_scan("turn_idx", 12, 14)
+    assert plan["files_total"] >= 3
+    assert plan["files_skipped"] >= 2  # the [0,9] and [20,29] files
+
+    got = sorted(
+        r.turn_idx for r in t.scan_range(spark, "turn_idx", 12, 14).collect()
+    )
+    want = sorted(
+        r.turn_idx
+        for r in t.read(spark)
+        .where("turn_idx between 12 and 14")
+        .collect()
+    )
+    assert got == want == [12, 13, 14]
+    # open-ended bounds
+    assert t.scan_range(spark, "turn_idx", lo=25).count() == 5
+    assert t.plan_scan("turn_idx", lo=25)["files_skipped"] >= 2
+
+
+def test_plan_scan_timestamp_bounds_and_unknown_column(spark, tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_stats_batch(spark, 0, 5, day=1), "0")
+    t.commit_append(_stats_batch(spark, 5, 10, day=2), "1")
+    lo = BASE.replace(day=2)
+    plan = t.plan_scan("ts", lo=lo)
+    assert plan["files_skipped"] >= 1  # day-1 file cannot match
+    assert t.scan_range(spark, "ts", lo=lo).count() == 5
+    # a column with no stats anywhere is never pruned on
+    assert t.plan_scan("nonexistent", 0, 1)["files_skipped"] == 0
+
+
+def test_stats_survive_compaction(spark, tmp_path):
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_stats_batch(spark, 0, 5, day=1), "0")
+    t.commit_append(_stats_batch(spark, 5, 10, day=1), "1")
+    t.commit_append(_stats_batch(spark, 10, 15, day=2), "2")
+    assert t.compact(spark) >= 1
+    files = [
+        f
+        for fs in t.resolve_manifests(t.current_snapshot()).values()
+        for f in fs
+    ]
+    assert all("stats" in f for f in files)
+    # day-2 file still skipped for a day-1-only predicate
+    plan = t.plan_scan("turn_idx", 0, 4)
+    assert plan["files_skipped"] >= 1
+    assert t.scan_range(spark, "turn_idx", 0, 4).count() == 5
