@@ -737,13 +737,27 @@ class IcebergLite:
         return spark.read.option("mergeSchema", "true").parquet(*added)
 
     def compact(
-        self, spark: SparkSession, min_files_per_partition: int = 2
+        self,
+        spark: SparkSession,
+        min_files_per_partition: int = 2,
+        sort_by: list[str] | None = None,
+        target_files: int = 1,
     ) -> int:
-        """Small-file compaction: rewrite partitions holding ≥ N files into
-        one file each, as a new snapshot (Iceberg rewrite_data_files
-        analogue). Streaming appends one file per partition per batch —
-        without periodic compaction a long-lived job's read amplification
-        grows linearly in batches; with it, reads stay O(|partitions|).
+        """Small-file compaction: rewrite partitions holding ≥ N files, as
+        a new snapshot (Iceberg rewrite_data_files analogue). Streaming
+        appends one file per partition per batch — without periodic
+        compaction a long-lived job's read amplification grows linearly in
+        batches; with it, reads stay O(|partitions|).
+
+        ``sort_by`` + ``target_files`` is the SORT/clustering strategy:
+        rows are range-partitioned on the sort key into ``target_files``
+        files per partition, each sorted within. Range partitioning makes
+        the per-file [min, max] key ranges DISJOINT, so the manifest-stats
+        pruning (plan_scan) skips (target_files − 1)/target_files of each
+        partition for a point/range predicate on the key — and the
+        within-file sort tightens parquet row-group stats for the scan's
+        own pushdown. Default (no sort) keeps the bin-pack behavior: one
+        file per partition.
 
         Returns the number of partitions rewritten. Committed batch ids are
         preserved (compaction is a data reorganization, not a new batch), so
@@ -772,7 +786,15 @@ class IcebergLite:
             spark.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
-            df.coalesce(1).write.parquet(stage, mode="overwrite")
+            if sort_by:
+                sort_cols = [F.col(c) for c in sort_by]
+                (
+                    df.repartitionByRange(max(target_files, 1), *sort_cols)
+                    .sortWithinPartitions(*sort_cols)
+                    .write.parquet(stage, mode="overwrite")
+                )
+            else:
+                df.coalesce(1).write.parquet(stage, mode="overwrite")
             new_files = [
                 {
                     "path": os.path.join(stage, f),

@@ -346,3 +346,42 @@ def test_stats_survive_compaction(spark, tmp_path):
     plan = t.plan_scan("turn_idx", 0, 4)
     assert plan["files_skipped"] >= 1
     assert t.scan_range(spark, "turn_idx", 0, 4).count() == 5
+
+
+def test_sorted_compaction_makes_pruning_effective(spark, tmp_path):
+    """SORT-strategy compaction: range-partitioned rewrite gives files
+    DISJOINT key ranges, so a key predicate prunes most of the partition
+    (bin-pack compaction into one file can never skip within it)."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+    # interleaved batches: every file initially spans ~the full key range
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    for b in range(4):
+        chunk = ids[b * 100:(b + 1) * 100]
+        rows = [
+            (f"c{i}", i, f"t{i}", BASE + datetime.timedelta(minutes=i % 60))
+            for i in chunk
+        ]
+        t.commit_append(
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, text string, ts timestamp",
+            ),
+            str(b),
+        )
+    before = t.plan_scan("turn_idx", 10, 20)
+    assert before["files_skipped"] == 0  # interleaved: nothing prunable
+
+    assert t.compact(spark, sort_by=["turn_idx"], target_files=4) == 1
+    after = t.plan_scan("turn_idx", 10, 20)
+    assert after["files_total"] == 4
+    assert after["files_skipped"] >= 2  # disjoint ranges now prune
+    got = sorted(
+        r.turn_idx
+        for r in t.scan_range(spark, "turn_idx", 10, 20).collect()
+    )
+    assert got == list(range(10, 21))
+    assert t.read(spark).count() == 400  # rewrite lost nothing
