@@ -145,6 +145,16 @@ def main(argv: list[str] | None = None) -> None:
             trigger=trigger,
             maintenance_every=int(maint) if maint else None,
             keep_snapshots=int(params.get("maintenance.keep-snapshots", "50")),
+            # maintenance.sort-by=conv_id,turn_idx switches compaction to
+            # the SORT/clustering strategy (file-skipping inside partitions)
+            compact_sort_by=(
+                params["maintenance.sort-by"].split(",")
+                if params.get("maintenance.sort-by")
+                else None
+            ),
+            compact_target_files=int(
+                params.get("maintenance.target-files", "1")
+            ),
         )
     else:
         q = start_append_sink(parsed, table, checkpoint, trigger=trigger)

@@ -127,6 +127,8 @@ def start_upsert_sink(
     spec: TaskSpec | None = None,
     maintenance_every: int | None = None,
     keep_snapshots: int = 50,
+    compact_sort_by: list[str] | None = None,
+    compact_target_files: int = 1,
 ):
     """K2 exactly-once upsert sink as a streaming query.
 
@@ -141,7 +143,10 @@ def start_upsert_sink(
     batches — small-file compaction, then snapshot expiration keeping
     ``keep_snapshots`` versions — inside the same single-writer foreachBatch
     loop, so a long-lived job's read amplification and storage stay bounded
-    without an external maintenance scheduler. Both operations preserve the
+    without an external maintenance scheduler. ``compact_sort_by`` switches
+    compaction to the SORT/clustering strategy (range-partitioned into
+    ``compact_target_files`` within-sorted files per partition — disjoint
+    key ranges, so manifest-stats pruning works inside partitions). Both operations preserve the
     replay guard (compaction carries batch ids; expiration folds them into
     ``inherited_batch_ids``).
     """
@@ -159,7 +164,11 @@ def start_upsert_sink(
         else:
             table.commit_upsert(batch_df, str(batch_id))
         if maintenance_every and (int(batch_id) + 1) % maintenance_every == 0:
-            table.compact(batch_df.sparkSession)
+            table.compact(
+                batch_df.sparkSession,
+                sort_by=compact_sort_by,
+                target_files=compact_target_files,
+            )
             table.expire_snapshots(keep_last=keep_snapshots)
 
     writer = (

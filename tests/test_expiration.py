@@ -196,3 +196,53 @@ def test_hint_loss_after_expiration_recovers_max_version(spark, tmp_path):
         fh.write("garbage")
     t3 = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
     assert t3.current_version() == v_before
+
+
+def test_inline_maintenance_sorted_compaction(spark, tmp_path):
+    """maintenance.sort-by through the streaming sink: periodic compaction
+    rewrites with the SORT strategy and the replay guard survives."""
+    from kafka2iceberg_spark.gen import GenConfig, write_stream_files
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_upsert_sink,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+
+    broker = str(tmp_path / "broker")
+    write_stream_files(
+        GenConfig(n_convs=8, turns_per_conv=8, mega_convs=0, mega_turns=0,
+                  ooo_fraction=0, late_fraction=0, dup_fraction=0,
+                  delete_fraction=0),
+        broker, files=4,
+    )
+    spec = transcript_task()
+    table = IcebergLite(str(tmp_path / "tbl"), pk=spec.primary_keys)
+    q = start_upsert_sink(
+        parsed_stream(
+            file_broker_stream(spark, broker, max_files_per_trigger=1), spec
+        ),
+        table,
+        str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+        maintenance_every=2,
+        compact_sort_by=["turn_idx"],
+        compact_target_files=2,
+    )
+    q.awaitTermination()
+    assert table.read(spark).count() == 64
+    files = [
+        f
+        for fs in table.resolve_manifests(table.current_snapshot()).values()
+        for f in fs
+    ]
+    assert all("stats" in f for f in files)
+    # replay the whole broker on a fresh checkpoint: still 64 rows
+    q2 = start_upsert_sink(
+        parsed_stream(file_broker_stream(spark, broker, 10), spec),
+        table,
+        str(tmp_path / "ck2"),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+    assert table.read(spark).count() == 64
