@@ -148,7 +148,11 @@ def main(argv: list[str] | None = None) -> None:
             # maintenance.sort-by=conv_id,turn_idx switches compaction to
             # the SORT/clustering strategy (file-skipping inside partitions)
             compact_sort_by=(
-                params["maintenance.sort-by"].split(",")
+                [
+                    c.strip()
+                    for c in params["maintenance.sort-by"].split(",")
+                    if c.strip()
+                ]
                 if params.get("maintenance.sort-by")
                 else None
             ),

@@ -39,6 +39,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,6 +280,27 @@ class IcebergLite:
         return os.path.join(self.manifest_dir, name)
 
     @staticmethod
+    @contextmanager
+    def _micros_timestamps(spark: SparkSession):
+        """Scoped INT64-micros parquet timestamps (INT96 carries no
+        min/max statistics, which would blind plan_scan on every time
+        predicate). Restores the previous session value on exit — the
+        embedding application's own writes keep their configured type."""
+        key = "spark.sql.parquet.outputTimestampType"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    @staticmethod
     def _file_stats(path: str) -> dict | None:
         """Per-file column min/max from the parquet FOOTER (metadata-only
         read — no data pages touched), recorded into the manifest entry.
@@ -299,23 +321,7 @@ class IcebergLite:
         except Exception:
             return None
 
-        def norm(v):
-            import datetime as _dt
-
-            if isinstance(v, bool) or v is None:
-                return None
-            if isinstance(v, (_dt.datetime, _dt.date)):
-                return v.isoformat(sep=" ") if isinstance(
-                    v, _dt.datetime
-                ) else v.isoformat()
-            if isinstance(v, bytes):
-                try:
-                    return v.decode("utf-8")
-                except UnicodeDecodeError:
-                    return None
-            if isinstance(v, (int, float, str)):
-                return v
-            return None
+        norm = IcebergLite._norm_stat_value
 
         mins: dict = {}
         maxs: dict = {}
@@ -403,22 +409,17 @@ class IcebergLite:
         stage = os.path.join(
             self.data_dir, f"b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
-        # INT64 micros, not legacy INT96: INT96 timestamps carry no parquet
-        # min/max statistics, which would blind the manifest-stats pruning
-        # (_file_stats / plan_scan) on every time predicate
-        df.sparkSession.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
         # cluster rows by partition value before the partitionBy write:
         # one task (→ one file) per date partition instead of
         # tasks × partitions tiny files — at scale this is the difference
         # between |days| manifest entries and |days|·|shuffle.partitions|.
-        (
-            df.withColumn("_p", self._partition_expr(df))
-            .repartition(F.col("_p"))
-            .write.partitionBy("_p")
-            .parquet(stage, mode="overwrite")
-        )
+        with self._micros_timestamps(df.sparkSession):
+            (
+                df.withColumn("_p", self._partition_expr(df))
+                .repartition(F.col("_p"))
+                .write.partitionBy("_p")
+                .parquet(stage, mode="overwrite")
+            )
         manifests: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(stage)):
             if not entry.startswith("_p="):
@@ -486,14 +487,39 @@ class IcebergLite:
         )
 
     @staticmethod
-    def _norm_bound(v):
+    def _norm_stat_value(v):
+        """THE single normalizer for the stats-pruning comparison domain —
+        used for both manifest stats (write time, _file_stats) and scan
+        bounds (plan time, plan_scan). One implementation, or pruning goes
+        subtly wrong: parquet returns TIMESTAMP(LTZ) stats tz-AWARE while
+        callers pass naive bounds; rendering one with a '+00:00' suffix
+        and the other without made a file whose min equals the hi bound
+        lexically compare greater and get wrongly pruned (silent row
+        loss, caught in review). Datetimes are unified to naive UTC ISO
+        strings (session TZ is pinned UTC, so naive == UTC by contract);
+        bools/unknowns → None (not comparable); bytes must be UTF-8.
+        """
         import datetime as _dt
 
+        if isinstance(v, bool) or v is None:
+            return None
         if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return v.isoformat(sep=" ")
         if isinstance(v, _dt.date):
-            return v.isoformat()
-        return v
+            # same comparison domain as datetimes (midnight — matching
+            # Spark's date→timestamp cast in the residual predicate), so
+            # a date bound against a timestamp column prunes correctly
+            return v.isoformat() + " 00:00:00"
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
 
     def plan_scan(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -510,7 +536,8 @@ class IcebergLite:
             if version is None
             else self.snapshot_at(version)
         )
-        lo_n, hi_n = self._norm_bound(lo), self._norm_bound(hi)
+        lo_n = self._norm_stat_value(lo)
+        hi_n = self._norm_stat_value(hi)
         paths: list[str] = []
         total = skipped = 0
         for files in self.resolve_manifests(snap).values():
@@ -764,10 +791,17 @@ class IcebergLite:
         replay idempotence is unaffected.
         """
         snap = self.current_snapshot()
+        # fixed point: a partition the SORT strategy already rewrote into
+        # target_files files must not re-trigger every maintenance tick
+        # (O(table) rewrite amplification on a long-lived job — review
+        # catch); only rewrite once NEW files arrive on top
+        threshold = min_files_per_partition
+        if sort_by:
+            threshold = max(threshold, target_files + 1)
         todo = {
             pv: files
             for pv, files in self.resolve_manifests(snap).items()
-            if len(files) >= min_files_per_partition
+            if len(files) >= threshold
         }
         if not todo:
             return 0
@@ -782,19 +816,18 @@ class IcebergLite:
             stage = os.path.join(
                 self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
             )
-            # INT64 micros for statable timestamps (see _write_files)
-            spark.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            )
-            if sort_by:
-                sort_cols = [F.col(c) for c in sort_by]
-                (
-                    df.repartitionByRange(max(target_files, 1), *sort_cols)
-                    .sortWithinPartitions(*sort_cols)
-                    .write.parquet(stage, mode="overwrite")
-                )
-            else:
-                df.coalesce(1).write.parquet(stage, mode="overwrite")
+            with self._micros_timestamps(spark):
+                if sort_by:
+                    sort_cols = [F.col(c) for c in sort_by]
+                    (
+                        df.repartitionByRange(
+                            max(target_files, 1), *sort_cols
+                        )
+                        .sortWithinPartitions(*sort_cols)
+                        .write.parquet(stage, mode="overwrite")
+                    )
+                else:
+                    df.coalesce(1).write.parquet(stage, mode="overwrite")
             new_files = [
                 {
                     "path": os.path.join(stage, f),

@@ -375,9 +375,9 @@ def test_sorted_compaction_makes_pruning_effective(spark, tmp_path):
     before = t.plan_scan("turn_idx", 10, 20)
     assert before["files_skipped"] == 0  # interleaved: nothing prunable
 
-    assert t.compact(spark, sort_by=["turn_idx"], target_files=4) == 1
+    assert t.compact(spark, sort_by=["turn_idx"], target_files=3) == 1
     after = t.plan_scan("turn_idx", 10, 20)
-    assert after["files_total"] == 4
+    assert after["files_total"] == 3
     assert after["files_skipped"] >= 2  # disjoint ranges now prune
     got = sorted(
         r.turn_idx
@@ -385,3 +385,60 @@ def test_sorted_compaction_makes_pruning_effective(spark, tmp_path):
     )
     assert got == list(range(10, 21))
     assert t.read(spark).count() == 400  # rewrite lost nothing
+
+
+def test_plan_scan_ltz_timestamp_hi_bound_boundary(spark, tmp_path):
+    """Review regression (silent data loss): TIMESTAMP (LTZ) stats come
+    back tz-aware from the parquet footer while bounds are naive — the
+    file whose min EQUALS the hi bound must not be pruned."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+    rows = [("c", 1, "x", BASE.replace(day=2, hour=0, minute=0, second=0))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    # ts is TIMESTAMP (with local tz) here — the hazardous type
+    t.commit_append(df, "0")
+    hi = datetime.datetime(2024, 9, 2, 0, 0, 0)
+    assert t.plan_scan("ts", hi=hi)["files_skipped"] == 0
+    assert t.scan_range(spark, "ts", hi=hi).count() == 1
+    assert t.scan_range(spark, "ts", lo=hi).count() == 1  # lo boundary too
+    # and a DATE-typed bound against the timestamp column (midnight cast)
+    assert t.scan_range(spark, "ts", hi=datetime.date(2024, 9, 2)).count() == 1
+
+
+def test_sorted_compaction_reaches_fixed_point(spark, tmp_path):
+    """Review regression: a partition already rewritten into target_files
+    sorted files must not re-trigger on the next maintenance tick."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+    for b in range(3):
+        t.commit_append(_stats_batch(spark, b * 10, b * 10 + 10), str(b))
+    assert t.compact(spark, sort_by=["turn_idx"], target_files=2) == 1
+    v = t.current_version()
+    assert t.compact(spark, sort_by=["turn_idx"], target_files=2) == 0
+    assert t.current_version() == v  # no pointless snapshot
+    # new appends push the partition above target_files -> rewrite again
+    t.commit_append(_stats_batch(spark, 30, 40), "3")
+    assert t.compact(spark, sort_by=["turn_idx"], target_files=2) == 1
+
+
+def test_commit_restores_parquet_timestamp_conf(spark, tmp_path):
+    """Review regression: the sink's INT64-micros setting is scoped to its
+    own writes — the embedding application's session config survives."""
+    key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "INT96")
+    try:
+        t = IcebergLite(str(tmp_path / "tbl"), pk=[])
+        t.commit_append(_stats_batch(spark, 0, 5), "0")
+        assert spark.conf.get(key) == "INT96"
+        t.commit_append(_stats_batch(spark, 5, 10), "1")
+        t.compact(spark)
+        assert spark.conf.get(key) == "INT96"
+        # the sink's own files still carried stats despite the INT96 session
+        files = [
+            f
+            for fs in t.resolve_manifests(t.current_snapshot()).values()
+            for f in fs
+        ]
+        assert any("ts" in (f.get("stats") or {}) for f in files)
+    finally:
+        spark.conf.unset(key)
