@@ -246,6 +246,123 @@ def ddl_events(
     )
 
 
+def pk_mismatch_envelopes(
+    raw: DataFrame, spec: TaskSpec, value_col: str = "value"
+) -> DataFrame:
+    """Envelopes whose ``pkNames`` disagree with the configured primary
+    keys, for observability (the reference parses pkNames but never
+    validates them — a silently mis-keyed upstream topic corrupts the
+    upsert keying with no signal). Routed db/table only; envelopes
+    without pkNames are NOT flagged (Canal omits it for some sources).
+    Output: (database, table, pk_names, expected_pk, offset,
+    partition_idx) — route to a side table or ``observe`` a count.
+    """
+    env = envelope_schema([])
+    expected = F.array(
+        *[F.lit(c) for c in sorted(spec.primary_keys)]
+    )
+    df = raw.filter(F.col(value_col).isNotNull()).withColumn(
+        "j", F.from_json(F.col(value_col).cast("string"), env)
+    )
+    return (
+        df.filter(
+            (F.col("j.database") == F.lit(spec.source_database))
+            & (F.col("j.table") == F.lit(spec.source_table))
+            & F.col("j.pkNames").isNotNull()
+            & (F.array_sort(F.col("j.pkNames")) != expected)
+        )
+        .select(
+            F.col("j.database").alias("database"),
+            F.col("j.table").alias("table"),
+            F.col("j.pkNames").alias("pk_names"),
+            expected.alias("expected_pk"),
+            F.col("j._offset").alias("offset"),
+            F.col("j._partition").alias("partition_idx"),
+        )
+    )
+
+
+def update_diffs(
+    raw: DataFrame,
+    spec: TaskSpec,
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC field-level diffs from UPDATE envelopes' ``old`` array.
+
+    Canal UPDATE envelopes carry, per data[] element, a parallel old[]
+    element holding ONLY the columns that changed (pre-image). The
+    reference parses and discards it; this surfaces it as one row per
+    changed field — the audit-log / slowly-changing-dimension feed a
+    CDC consumer usually has to reconstruct with a self-join over
+    snapshots. Declarative shape: zip data[] with old[] by position
+    (arrays_zip), explode once, then one output row per configured
+    field present in the old image. Output: (pk..., field, old_value,
+    new_value, offset, partition_idx) with values as wire strings
+    ('null' normalized to NULL).
+    """
+    payload_fields = sorted(
+        {ref.split(".", 1)[1] for ref in spec.ref_map.values() if "." in ref}
+    )
+    env = envelope_schema(payload_fields)
+    df = (
+        raw.filter(F.col(value_col).isNotNull())
+        .withColumn("j", F.from_json(F.col(value_col).cast("string"), env))
+        .filter(
+            (F.col("j.database") == F.lit(spec.source_database))
+            & (F.col("j.table") == F.lit(spec.source_table))
+            & (F.upper(F.trim(F.col("j.type"))) == "UPDATE")
+            & F.col("j.old").isNotNull()
+        )
+        .select(
+            F.explode(F.arrays_zip("j.data", "j.old")).alias("z"),
+            F.col("j._offset").alias("offset"),
+            F.col("j._partition").alias("partition_idx"),
+        )
+    )
+    pk_leafs = {
+        f.name: (f.ref.split(".", 1)[1] if "." in f.ref else f.ref)
+        for f in spec.ordered_fields
+        if f.is_primary_key
+    }
+    pk_cols = [
+        _null_lit(F.col(f"z.data.{leaf}")).alias(name)
+        for name, leaf in pk_leafs.items()
+    ]
+    diffs = []
+    for f in spec.ordered_fields:
+        if f.is_primary_key:
+            continue
+        leaf = f.ref.split(".", 1)[1] if "." in f.ref else f.ref
+        diffs.append(
+            F.when(
+                F.col(f"z.old.{leaf}").isNotNull(),
+                F.struct(
+                    F.lit(f.name).alias("field"),
+                    _null_lit(F.col(f"z.old.{leaf}")).alias("old_value"),
+                    _null_lit(F.col(f"z.data.{leaf}")).alias("new_value"),
+                ),
+            )
+        )
+    return (
+        df.select(
+            *pk_cols,
+            F.explode(
+                F.filter(F.array(*diffs), lambda d: d.isNotNull())
+            ).alias("d"),
+            "offset",
+            "partition_idx",
+        )
+        .select(
+            *pk_leafs.keys(),
+            F.col("d.field").alias("field"),
+            F.col("d.old_value").alias("old_value"),
+            F.col("d.new_value").alias("new_value"),
+            "offset",
+            "partition_idx",
+        )
+    )
+
+
 def violations(parsed: DataFrame, spec: TaskSpec) -> DataFrame:
     """Dead-letter variant of P8: rows violating not-null, for metrics."""
     if not spec.not_null_cols:

@@ -234,3 +234,45 @@ def test_corrupt_envelopes_detected_not_silent(spark):
     # the full parse still processes the valid row and drops the garbage
     out = ingest.parse(raw, SPEC).collect()
     assert len(out) == 1 and out[0].conv_id == "c00042"
+
+
+def test_pk_mismatch_envelopes_flagged(spark):
+    """pkNames disagreeing with the configured PK is observable (the
+    reference parses pkNames and never validates — a mis-keyed topic
+    corrupts upserts silently)."""
+    ok = dict(GOLDEN)  # pkNames = [conv_id, turn_idx] matches spec
+    bad = dict(GOLDEN, pkNames=["conv_id"], _offset=9)
+    missing = dict(GOLDEN, pkNames=None, _offset=10)  # Canal may omit: ok
+    out = ingest.pk_mismatch_envelopes(
+        _raw(spark, [ok, bad, missing]), SPEC
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pk_names"] == ["conv_id"]
+    assert out[0]["expected_pk"] == ["conv_id", "turn_idx"]
+    assert out[0]["offset"] == 9
+    # order-insensitive: reversed pkNames is NOT a mismatch
+    swapped = dict(GOLDEN, pkNames=["turn_idx", "conv_id"])
+    assert not ingest.pk_mismatch_envelopes(_raw(spark, [swapped]), SPEC).count()
+
+
+def test_update_diffs_from_old_array(spark):
+    """UPDATE envelopes' old[] pre-images become per-field diff rows;
+    unchanged fields (absent from old[]) produce no rows."""
+    upd = dict(
+        GOLDEN,
+        type="UPDATE",
+        old=[{"text": "previous words", "tool": "calc"}],
+    )
+    ins = dict(GOLDEN)  # INSERT: no diffs
+    rows = sorted(
+        (r.field, r.old_value, r.new_value)
+        for r in ingest.update_diffs(_raw(spark, [upd, ins]), SPEC).collect()
+    )
+    assert rows == [
+        ("text", "previous words", "the plan shuffles once"),
+        ("tool", "calc", None),  # textual "null" new value -> SQL NULL
+    ]
+    [r] = ingest.update_diffs(_raw(spark, [upd]), SPEC).select(
+        "conv_id", "turn_idx"
+    ).distinct().collect()
+    assert (r.conv_id, r.turn_idx) == ("c00042", "7")
