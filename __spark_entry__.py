@@ -468,6 +468,122 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _envelope_spec() -> TaskSpec:
+    """Shared task spec for the Canal-envelope gate queries."""
+    return TaskSpec(
+        source_database="chat",
+        source_table="transcripts",
+        fields=[
+            FieldSpec("conv_id", 1, "string", is_primary_key=True),
+            FieldSpec("turn_idx", 2, "int", is_primary_key=True),
+            FieldSpec("role", 3, "string"),
+            FieldSpec("text", 4, "string"),
+            FieldSpec("tool", 5, "string"),
+            FieldSpec("ts", 6, "timestamp"),
+        ],
+    )
+
+
+def q_pk_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF-adjacent] pkNames validation: envelopes whose declared primary
+    keys disagree with the configured ones are surfaced for observability
+    (the reference parses pkNames at FlatMessage but never checks them).
+    Deterministic corruption: every 7th turn declares pkNames=['conv_id']
+    (flagged); every 11th omits pkNames entirely (Canal does for some
+    sources — must NOT be flagged)."""
+    from kafka2iceberg_spark.ingest import pk_mismatch_envelopes
+
+    t = _tx(spark, sf_dir)
+    pk_names = (
+        F.when(F.col("turn_idx") % 11 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("turn_idx") % 7 == 0, F.array(F.lit("conv_id")))
+        .otherwise(F.array(F.lit("turn_idx"), F.lit("conv_id")))
+    )
+    env = t.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("conv_id"),
+                        F.col("turn_idx").cast("string").alias("turn_idx"),
+                        F.col("role"),
+                        F.col("text"),
+                        F.coalesce(F.col("tool"), F.lit("null")).alias("tool"),
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    )
+                ).alias("data"),
+                pk_names.alias("pkNames"),
+                F.lit("chat").alias("database"),
+                F.lit("transcripts").alias("table"),
+                F.lit("INSERT").alias("type"),
+                F.lit(False).alias("isDdl"),
+                F.unix_millis("ts").alias("ts"),
+                F.col("turn_idx").cast("long").alias("_offset"),
+                (F.expr("CAST(substring(conv_id, 6, 20) AS INT)") % 4).alias(
+                    "_partition"
+                ),
+            )
+        ).alias("value")
+    )
+    out = pk_mismatch_envelopes(env, _envelope_spec())
+    return out.select(
+        "database",
+        F.col("table").alias("src_table"),
+        F.array_join("pk_names", ",").alias("pk_names"),
+        F.array_join("expected_pk", ",").alias("expected_pk"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("partition_idx").cast("int").alias("partition_idx"),
+    )
+
+
+def q_update_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[REF-adjacent] CDC field-level diffs from the UPDATE envelopes' old[]
+    pre-image array (parsed-then-discarded by the reference). Every 3rd turn
+    is an UPDATE; its old image carries reversed text when turn_idx is even
+    and role='draft' when turn_idx % 5 == 0 — one output row per changed
+    field, values as wire strings with 'null' normalized."""
+    from kafka2iceberg_spark.ingest import update_diffs
+
+    t = _tx(spark, sf_dir)
+    base = t.filter((F.col("turn_idx") % 3 == 0) & (F.col("turn_idx") > 0))
+    env = base.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("conv_id"),
+                        F.col("turn_idx").cast("string").alias("turn_idx"),
+                        F.col("role"),
+                        F.col("text"),
+                        F.coalesce(F.col("tool"), F.lit("null")).alias("tool"),
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    )
+                ).alias("data"),
+                F.array(
+                    F.struct(
+                        F.when(
+                            F.col("turn_idx") % 2 == 0, F.reverse(F.col("text"))
+                        ).alias("text"),
+                        F.when(F.col("turn_idx") % 5 == 0, F.lit("draft")).alias(
+                            "role"
+                        ),
+                    )
+                ).alias("old"),
+                F.lit("chat").alias("database"),
+                F.lit("transcripts").alias("table"),
+                F.lit("UPDATE").alias("type"),
+                F.lit(False).alias("isDdl"),
+                F.unix_millis("ts").alias("ts"),
+                F.col("turn_idx").cast("long").alias("_offset"),
+                (F.expr("CAST(substring(conv_id, 6, 20) AS INT)") % 4).alias(
+                    "_partition"
+                ),
+            )
+        ).alias("value")
+    )
+    return update_diffs(env, _envelope_spec())
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -1025,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_rollup": q_role_rollup,
         "streaming_ingest_e2e": q_streaming_e2e,
         "envelope_roundtrip": q_envelope_roundtrip,
+        "pk_mismatch": q_pk_mismatch,
+        "update_diffs": q_update_diffs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -1449,6 +1567,44 @@ SELECT conv_id,
        CAST(CAST(substr(conv_id, 6) AS INT) % 4 AS INT) AS partition_idx,
        (turn_idx % 13 = 0) AS is_cdc_delete
 FROM transcripts
+""",
+        "pk_mismatch": f"""
+WITH {_TX}
+SELECT 'chat' AS database,
+       'transcripts' AS src_table,
+       'conv_id' AS pk_names,
+       'conv_id,turn_idx' AS expected_pk,
+       CAST(turn_idx AS BIGINT) AS offset,
+       CAST(CAST(substr(conv_id, 6) AS INT) % 4 AS INT) AS partition_idx
+FROM transcripts
+WHERE turn_idx % 7 = 0 AND turn_idx % 11 <> 0
+""",
+        "update_diffs": f"""
+WITH {_TX},
+u AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(turn_idx AS BIGINT) AS "offset",
+         CAST(CAST(substr(conv_id, 6) AS INT) % 4 AS INT) AS partition_idx
+  FROM transcripts WHERE turn_idx % 3 = 0 AND turn_idx > 0
+)
+SELECT conv_id,
+       CAST(turn_idx AS VARCHAR) AS turn_idx,
+       'text' AS field,
+       CASE WHEN lower(trim(reverse(text))) = 'null' THEN NULL
+            ELSE reverse(text) END AS old_value,
+       CASE WHEN lower(trim(text)) = 'null' THEN NULL ELSE text END
+         AS new_value,
+       u."offset", partition_idx
+FROM u WHERE turn_idx % 2 = 0
+UNION ALL
+SELECT conv_id,
+       CAST(turn_idx AS VARCHAR) AS turn_idx,
+       'role' AS field,
+       'draft' AS old_value,
+       CASE WHEN lower(trim(role)) = 'null' THEN NULL ELSE role END
+         AS new_value,
+       u."offset", partition_idx
+FROM u WHERE turn_idx % 5 = 0
 """,
         "text_quality": f"""
 WITH n0 AS (
