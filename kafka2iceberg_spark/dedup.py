@@ -168,9 +168,12 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     mh_cols = [f"mh{i}" for i in range(N_PERMS)]
+    # Candidate generation is id-only: band rows carry just (id, band,
+    # digest) so the self-join shuffles 3 short columns per (doc, band)
+    # instead of the full N_PERMS signature ×N_BANDS — at corpus scale the
+    # signature matrix never rides the candidate shuffle.
     bands = sig.select(
         F.col(id_col),
-        *mh_cols,
         F.explode(
             F.array(
                 *[
@@ -192,11 +195,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(F.col(id_col), *mh_cols, "bb.band", "bb.bh")
+    ).select(F.col(id_col), "bb.band", "bb.bh")
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -206,14 +209,18 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            *[
-                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
-                for i in range(N_PERMS)
-            ],
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = sum(F.col(f"eq{i}") for i in range(N_PERMS)) / F.lit(float(N_PERMS))
+    # Rejoin the signature matrix once per side, keyed on id — two
+    # hash joins over the surviving candidate pairs only.
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    cand = cand_ids.join(sa, "doc_a").join(sb, "doc_b")
+    est = sum(
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int")
+        for i in range(N_PERMS)
+    ) / F.lit(float(N_PERMS))
     return cand.select(
         "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
