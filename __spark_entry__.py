@@ -612,6 +612,113 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TRAIN] PII scrub: deterministic emails/IPs/phones are injected into
+    every 3rd/4th/5th document, then counted (pre-redaction) and replaced
+    with typed placeholders. Single codegen'd projection, no shuffle."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10.2."),
+                (did % 250).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(100) + did % 900).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + did % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    return t.select(
+        "doc_id",
+        *tx.pii_counts(F.col("t")),
+        F.substring(F.md5(tx.redact_pii(F.col("t"))), 1, 16).alias(
+            "redacted_hash"
+        ),
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TRAIN] Overlapping token-window chunking (24-token chunks, 8-token
+    overlap) — the context-window shaping step before packing; chunk
+    content rides as a 64-bit hash so downstream dedup shuffles short
+    keys."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return tx.chunk_documents(d, chunk_tokens=24, overlap=8)
+
+
+def q_top_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[TRAIN] Per-doc top-3 distinguishing terms by (tf desc, df asc,
+    token) — the integer-exact core of TF-IDF keyword extraction (no
+    transcendentals, so the oracle matches bit-for-bit). Shape: one
+    doc-term aggregate, one vocabulary aggregate, an equi-join keyed on
+    token, and a per-doc window — each stage partial-aggregated and
+    shuffle-balanced on short keys."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_missing_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[NORTH-adjacent CEP] Unanswered user turns: after dropping tool
+    turns, a user turn immediately followed by another user turn in the
+    same conversation means the first got no assistant reply. One lag
+    window partitioned by conv_id — single hash shuffle, no global sort."""
+    t = _tx(spark, sf_dir).where(F.col("role") != "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.lag("turn_idx").over(w).alias("prev_turn_idx"),
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .where((F.col("role") == "user") & (F.col("prev_role") == "user"))
+        .select(
+            "conv_id",
+            F.col("prev_turn_idx").cast("long").alias("asked_turn"),
+            F.col("turn_idx").cast("long").alias("next_user_turn"),
+        )
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style corpus-quality rule flags + composite keep decision."""
     d = _read(spark, sf_dir, "documents", spread=True)
@@ -1146,6 +1253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
+        "doc_chunks": q_doc_chunks,
+        "top_rare_terms": q_top_rare_terms,
+        "missing_replies": q_missing_replies,
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
         "ivf_assign": q_ivf_assign,
@@ -1637,6 +1748,96 @@ FROM m
         "lang_id": _lang_sql(),
         "doc_fingerprint": f"""
 SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp FROM documents
+""",
+        "pii_redact": r"""
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' from 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+              || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+    AS n_ip,
+  CAST(len(regexp_extract_all(t,
+    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+  substr(md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g')
+  ), 1, 16) AS redacted_hash
+FROM t
+""",
+        "top_rare_terms": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+tk AS (
+  SELECT doc_id, unnest(string_split(n, ' ')) AS token
+  FROM n0 WHERE n <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+    ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY tf.tf DESC, dfq.df ASC, tf.token
+    ) AS rnk
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+        "missing_replies": f"""
+WITH {_TX},
+nt AS (SELECT * FROM transcripts WHERE role <> 'tool'),
+lg AS (
+  SELECT conv_id, turn_idx, role,
+    LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_turn_idx,
+    LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM nt
+)
+SELECT conv_id,
+       CAST(prev_turn_idx AS BIGINT) AS asked_turn,
+       CAST(turn_idx AS BIGINT) AS next_user_turn
+FROM lg WHERE role = 'user' AND prev_role = 'user'
+""",
+        "doc_chunks": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+t AS (
+  SELECT doc_id,
+    CASE WHEN n = '' THEN []::VARCHAR[] ELSE string_split(n, ' ') END AS toks
+  FROM n0
+),
+s AS (SELECT doc_id, toks, len(toks) AS k FROM t),
+c AS (
+  SELECT doc_id, toks, k, unnest(range(0, k, 16)) AS cs
+  FROM s WHERE k > 0
+)
+SELECT doc_id,
+  CAST(cs // 16 AS BIGINT) AS chunk_idx,
+  CAST(cs AS BIGINT) AS chunk_start,
+  CAST(least(24, k - cs) AS BIGINT) AS chunk_len,
+  substr(md5(array_to_string(toks[cs + 1 : cs + 24], ' ')), 1, 16)
+    AS chunk_hash
+FROM c
 """,
         "gopher_rules": f"""
 WITH n0 AS (SELECT doc_id, text, {_NORM} AS n FROM documents),

@@ -64,11 +64,15 @@ HEADLINE = [
     "nation_revenue",
 ]
 
-# round-2 additions — timed and reported per-query, summed separately
+# round-2+ additions — timed and reported per-query, summed separately
+# (keeps the 15-query HEADLINE total comparable across rounds)
 HEADLINE_EXTRA = [
     "ann_ivf_topk",
     "region_supplier_revenue",
     "cumulative_spend",
+    "doc_chunks",
+    "top_rare_terms",
+    "missing_replies",
 ]
 
 SCALE_GEN = dict(

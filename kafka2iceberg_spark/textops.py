@@ -315,3 +315,106 @@ def fingerprint(c: Column) -> Column:
     with ~2^-64 false-positive probability; grouping on it is one shuffle.
     """
     return F.substring(F.md5(norm_text(c)), 1, 16)
+
+
+# --------------------------------------------------------------- PII scrub
+
+# Pattern order matters: emails first (their local/domain parts contain
+# digit runs a later pattern could half-match), then IPv4, then phones.
+# Only syntax shared verbatim by Java regex (Spark) and RE2 (DuckDB) —
+# explicit classes and bounded repetition, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (
+        "ip",
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+        "<IP>",
+    ),
+    ("phone", "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b", "<PHONE>"),
+]
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-kind PII match counts (computed on the RAW text, pre-redaction).
+
+    JVM regexp_count — codegen'd, zero Python. DuckDB mirror:
+    ``len(regexp_extract_all(text, pattern))``.
+    """
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every PII match with its typed placeholder, in PII_PATTERNS
+    order. A training-corpus scrub this shape runs as a single codegen'd
+    projection — no shuffle, no Python; the only cost is the text scan."""
+    out = c
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split each document into overlapping token-window chunks for
+    context-window-bounded training: starts at 0, step (chunk_tokens -
+    overlap), one output row per chunk with a portable content hash.
+
+    Embarrassingly parallel — sequence() + explode inside one codegen'd
+    stage, no shuffle; output rows carry a 64-bit hash instead of the
+    chunk text so downstream exact-dedup of chunks shuffles short keys.
+    Empty documents produce zero chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    d = docs.withColumn("_n", norm_text(F.col(text_col))).withColumn(
+        "_toks",
+        F.when(F.col("_n") == "", F.array().cast("array<string>")).otherwise(
+            F.split(F.col("_n"), " ")
+        ),
+    )
+    k = F.size(F.col("_toks"))
+    starts = F.when(
+        k > 0, F.sequence(F.lit(0), k - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select(
+            F.col(id_col),
+            F.col("_toks"),
+            k.alias("_k"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.least(F.lit(chunk_tokens), F.col("_k") - F.col("chunk_start"))
+            .cast("long")
+            .alias("chunk_len"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("_toks"),
+                            F.col("chunk_start") + 1,
+                            F.lit(chunk_tokens),
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                16,
+            ).alias("chunk_hash"),
+        )
+    )

@@ -264,3 +264,59 @@ def test_contamination_verbatim_and_disjoint(spark):
     assert out[1][0] is True and out[1][1] >= 4  # sliding 5-grams overlap
     assert out[2] == (False, 0)
     assert out[3] == (False, 0)
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (1, "mail me at alice.b+x@mail.example.org or bob@ex.io today"),
+        (2, "server 192.168.1.250 then call 555-123-4567 ok"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *tx.pii_counts(F.col("text")),
+            tx.redact_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2 and out[1]["n_ip"] == 0
+    assert out[1]["clean"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out[2]["n_ip"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["clean"] == "server <IP> then call <PHONE> ok"
+    assert out[3]["clean"] == "no pii here at all"
+    assert out[4]["n_email"] == out[4]["n_ip"] == out[4]["n_phone"] == 0
+    # idempotent: placeholders contain no redactable spans
+    again = df.select(
+        tx.redact_pii(tx.redact_pii(F.col("text"))).alias("c2"),
+        tx.redact_pii(F.col("text")).alias("c1"),
+    ).collect()
+    assert all(r["c1"] == r["c2"] for r in again)
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    words = " ".join(f"w{i}" for i in range(50))
+    rows = [(1, words), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty doc -> no chunks; short doc -> one chunk of its own length
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 3
+    # 50 tokens, step 12: starts 0,12,24,36,48
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [0, 12, 24, 36, 48]
+    assert [r["chunk_len"] for r in c1] == [16, 16, 16, 14, 2]
+    # consecutive full chunks overlap by `overlap` tokens
+    assert c1[1]["chunk_start"] == c1[0]["chunk_start"] + (16 - 4)
+    # every token is covered: union of [start, start+len) == [0, 50)
+    covered = set()
+    for r in c1:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(50))
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_tokens=8, overlap=8)
