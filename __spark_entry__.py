@@ -357,6 +357,44 @@ def q_topk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enriched_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment: broadcast LEFT join facts→dim, rollup after.
+
+    Batch twin of ``pipeline.start_enriched_sink`` (the Flink
+    broadcast-state analogue): a deterministic tool dimension (owner team
+    derived from the tool id) is broadcast-LEFT-joined into the transcript
+    stream — unmatched (non-tool) turns surface with the '<none>' owner
+    instead of being dropped. At 10^12 turns the fact side never shuffles:
+    the dim rides the broadcast, the only exchange is the final group-by.
+    """
+    from kafka2iceberg_spark.pipeline import enrich_with_dim
+
+    t = _tx(spark, sf_dir)
+    dim = (
+        t.where(F.col("tool").isNotNull())
+        .select("tool")
+        .distinct()
+        .withColumn(
+            "owner",
+            F.concat(
+                F.lit("team_"),
+                (F.substring("tool", 6, 1).cast("int") % 3).cast("string"),
+            ),
+        )
+    )
+    return (
+        enrich_with_dim(t, dim, on="tool")
+        .groupBy(
+            "role",
+            F.coalesce(F.col("dim_owner"), F.lit("<none>")).alias("owner"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
 def q_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation over (role, tool) with grouping-level markers."""
     t = _tx(spark, sf_dir)
@@ -1246,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_flags": q_late_data,
         "topk_turns": q_topk_turns,
         "role_rollup": q_role_rollup,
+        "enriched_turns": q_enriched_turns,
         "streaming_ingest_e2e": q_streaming_e2e,
         "envelope_roundtrip": q_envelope_roundtrip,
         "pk_mismatch": q_pk_mismatch,
@@ -1803,6 +1842,21 @@ r AS (
 SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3
+""",
+        "enriched_turns": f"""
+WITH {_TX},
+dim AS (
+  SELECT DISTINCT tool,
+         'team_' || CAST(CAST(substr(tool, 6, 1) AS INT) % 3 AS VARCHAR)
+           AS owner
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT t.role AS role,
+       coalesce(d.owner, '<none>') AS owner,
+       count(*) AS n,
+       count(DISTINCT t.conv_id) AS n_convs
+FROM transcripts t LEFT JOIN dim d ON t.tool = d.tool
+GROUP BY 1, 2
 """,
         "missing_replies": f"""
 WITH {_TX},

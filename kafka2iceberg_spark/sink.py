@@ -106,9 +106,20 @@ def dedup_batch(
     Ordering uses whichever of ``order_cols`` exist (offset is per-Kafka-
     partition monotonic and the producer keys by conv_id, so offset order IS
     per-key arrival order — the reference's upsert relies on the same fact).
+
+    Tables not fed from a partitioned log (dimension tables, side tables)
+    lack the lineage columns; for them the replay-drop step is skipped and,
+    with no order column at all, in-batch PK collisions collapse
+    arbitrarily (callers should send one row per PK per batch).
     """
-    d = df.dropDuplicates(["partition_idx", "offset"])
-    avail = [c for c in order_cols if c in df.columns] or ["offset"]
+    d = (
+        df.dropDuplicates(["partition_idx", "offset"])
+        if "partition_idx" in df.columns and "offset" in df.columns
+        else df
+    )
+    avail = [c for c in order_cols if c in df.columns]
+    if not avail:
+        return d.dropDuplicates(list(pk))
     w = Window.partitionBy(*pk).orderBy(
         *[F.col(c).desc_nulls_last() for c in avail]
     )
@@ -657,14 +668,20 @@ class IcebergLite:
 
         Only the batch's affected date partitions are rewritten; everything
         else carries forward by manifest reference — Iceberg CoW at scale.
+
+        Works for non-CDC tables too (dimension/side tables without an
+        ``is_cdc_delete`` column): every batch row is then an upsert.
         """
         self.create()
         if str(batch_id) in self.committed_batches():
             return False
         spark = df.sparkSession
+        has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            self._save_schema_hint(batch.drop("is_cdc_delete"))
+            self._save_schema_hint(
+                batch.drop("is_cdc_delete") if has_cdc else batch
+            )
             affected = {
                 r["_p"]
                 for r in batch.select(
@@ -672,8 +689,10 @@ class IcebergLite:
                 ).distinct().collect()
             }
             current = self.read_partitions(spark, affected)
-            upserts = batch.filter(~F.col("is_cdc_delete")).drop(
-                "is_cdc_delete"
+            upserts = (
+                batch.filter(~F.col("is_cdc_delete")).drop("is_cdc_delete")
+                if has_cdc
+                else batch
             )
             deletes = batch.select(*self.pk).distinct()
             if current is not None:
