@@ -73,6 +73,7 @@ HEADLINE_EXTRA = [
     "doc_chunks",
     "top_rare_terms",
     "missing_replies",
+    "enriched_turns",
 ]
 
 SCALE_GEN = dict(

@@ -43,11 +43,99 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot version first (optimistic
     concurrency). Refresh to the current snapshot and retry the commit."""
+
+
+class SchemaEvolutionError(TypeError):
+    """A batch column's type is incompatible with the table's committed
+    schema and no widening promotion exists (e.g. string -> int). Raised at
+    COMMIT time — never deferred to a read-time parquet decode failure."""
+
+
+#: Widening promotion lattice (Iceberg-style type evolution, matching what
+#: Spark 4's vectorized parquet reader can promote when handed an explicit
+#: wider read schema — SPARK-40876): integral chain byte<short<int<long,
+#: float<double, and {byte,short,int}->{float,double}. long->double is
+#: deliberately NOT allowed (lossy past 2^53, and Iceberg forbids it).
+_INT_CHAIN = ["byte", "short", "integer", "long"]
+_FLOAT_CHAIN = ["float", "double"]
+
+
+def _widen_type(old: T.DataType, new: T.DataType, path: str) -> T.DataType:
+    """Least upper bound of two types in the widening lattice, or raise."""
+    if old == new:
+        return old
+    on, nn = old.typeName(), new.typeName()
+    if on in _INT_CHAIN and nn in _INT_CHAIN:
+        return (
+            old if _INT_CHAIN.index(on) >= _INT_CHAIN.index(nn) else new
+        )
+    if {on, nn} <= set(_FLOAT_CHAIN):
+        return T.DoubleType()
+    # small-integral + float family -> double (int->float would be lossy)
+    ints, floats = set(_INT_CHAIN[:3]), set(_FLOAT_CHAIN)
+    if (on in ints and nn in floats) or (on in floats and nn in ints):
+        return T.DoubleType()
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        return widen_schema(old, new, path)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return T.ArrayType(
+            _widen_type(old.elementType, new.elementType, path + "[]"),
+            old.containsNull or new.containsNull,
+        )
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        if old.keyType != new.keyType:
+            raise SchemaEvolutionError(
+                f"{path}: map key type {old.keyType.simpleString()} -> "
+                f"{new.keyType.simpleString()} is not a widening promotion"
+            )
+        return T.MapType(
+            old.keyType,
+            _widen_type(old.valueType, new.valueType, path + "{}"),
+            old.valueContainsNull or new.valueContainsNull,
+        )
+    raise SchemaEvolutionError(
+        f"{path}: {old.simpleString()} -> {new.simpleString()} is not a"
+        " widening promotion (allowed: byte<short<int<long, float<double,"
+        " small-int->double, add-column)"
+    )
+
+
+def widen_schema(
+    old: T.StructType, new: T.StructType, path: str = ""
+) -> T.StructType:
+    """Reconcile a batch schema against the table schema: the supremum in
+    the widening lattice. Table field order is preserved; net-new batch
+    fields are appended (Iceberg add-column). A field missing from the
+    batch stays (null-filled at read), so columns never disappear."""
+    new_by_name = {f.name: f for f in new.fields}
+    fields: list[T.StructField] = []
+    for f in old.fields:
+        nf = new_by_name.pop(f.name, None)
+        if nf is None:
+            fields.append(
+                T.StructField(f.name, f.dataType, True, f.metadata)
+            )
+        else:
+            fields.append(
+                T.StructField(
+                    f.name,
+                    _widen_type(
+                        f.dataType, nf.dataType, f"{path}.{f.name}".lstrip(".")
+                    ),
+                    f.nullable or nf.nullable,
+                    f.metadata,
+                )
+            )
+    for f in new.fields:  # preserve batch-side order for appended columns
+        if f.name in new_by_name:
+            fields.append(T.StructField(f.name, f.dataType, True, f.metadata))
+    return T.StructType(fields)
 
 
 #: Partition value for rows whose partition source column is NULL. The same
@@ -479,7 +567,7 @@ class IcebergLite:
                         [], StructType.fromJson(json.load(fh))
                     )
             raise FileNotFoundError("empty table with no schema hint")
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_files(spark, paths, snap)
 
     def read_partitions(
         self, spark: SparkSession, pvals: set[str]
@@ -491,11 +579,7 @@ class IcebergLite:
             if pv in pvals
             for f in self._load_manifest(ref)
         ]
-        return (
-            spark.read.option("mergeSchema", "true").parquet(*paths)
-            if paths
-            else None
-        )
+        return self._read_files(spark, paths, snap) if paths else None
 
     @staticmethod
     def _norm_stat_value(v):
@@ -586,24 +670,78 @@ class IcebergLite:
         bounds are opened — the complement of files is never touched.
         """
         plan = self.plan_scan(col, lo, hi, version)
+        snap = (
+            self.snapshot_at(version)
+            if version is not None
+            else self.current_snapshot()
+        )
         if not plan["paths"]:
             empty = self.read(spark, version).limit(0)
             df = empty
         else:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *plan["paths"]
-            )
+            df = self._read_files(spark, plan["paths"], snap)
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.where(F.col(col) <= F.lit(hi))
         return df
 
-    def _save_schema_hint(self, df: DataFrame) -> None:
+    def _save_schema_hint(self, schema: T.StructType) -> None:
+        """Persist the reconciled schema for the empty-table read path.
+        Overwritten whenever evolution changes it (unlike snapshots, the
+        hint is advisory — the snapshot's ``schema`` field is the truth)."""
         p = os.path.join(self.location, "_schema.json")
-        if not os.path.exists(p):
-            with open(p, "w") as fh:
-                json.dump(df.schema.jsonValue(), fh)
+        payload = schema.jsonValue()
+        if os.path.exists(p):
+            with open(p) as fh:
+                if json.load(fh) == payload:
+                    return
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.rename(tmp, p)
+
+    def table_schema(self, snap: dict | None = None) -> T.StructType | None:
+        """The authoritative committed schema carried by the snapshot chain
+        (None for pre-evolution tables, which fall back to mergeSchema)."""
+        if snap is None:
+            try:
+                snap = self.current_snapshot()
+            except FileNotFoundError:
+                return None
+        js = snap.get("schema")
+        return T.StructType.fromJson(js) if js else None
+
+    def _read_files(
+        self, spark: SparkSession, paths: list[str], snap: dict | None = None
+    ) -> DataFrame:
+        """Read data files under the snapshot's committed schema.
+
+        With an authoritative schema the parquet reader gets it EXPLICITLY:
+        files written before a widening (int when the table is now long) are
+        promoted in the vectorized decoder, files written before an
+        add-column are null-filled, and Spark skips the mergeSchema
+        footer-reading planning job entirely. Pre-evolution snapshots (no
+        schema field) keep the old mergeSchema behavior."""
+        schema = self.table_schema(snap)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    @staticmethod
+    def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` onto the reconciled schema: cast widened columns,
+        null-fill columns the batch lacks, order columns canonically. Used
+        at write time so every NEW file is already in the table's current
+        types (old files are promoted at read)."""
+        cols = []
+        have = set(df.columns)
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def _lineage_record(self, df_cached: DataFrame, batch_id: str) -> dict:
         """One aggregation job: per-(kafka)partition offset ranges + counts;
@@ -641,9 +779,18 @@ class IcebergLite:
             return False
         df = df.cache()
         try:
-            self._save_schema_hint(df)
-            new = self._write_files(df, str(batch_id))
             snap = self.current_snapshot()
+            base = self.table_schema(snap)
+            # schema reconciliation (Iceberg type evolution): the batch may
+            # widen a column (int->long mid-stream) or add one; incompatible
+            # changes raise HERE, not as a read-time decode failure
+            reconciled = (
+                widen_schema(base, df.schema) if base is not None else df.schema
+            )
+            self._save_schema_hint(reconciled)
+            new = self._write_files(
+                self._conform(df, reconciled), str(batch_id)
+            )
             manifests = dict(snap["manifests"])
             for pv, files in new.items():
                 if pv in manifests:
@@ -655,6 +802,7 @@ class IcebergLite:
                     "version": snap["version"] + 1,
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
+                    "schema": reconciled.jsonValue(),
                     "manifests": manifests,
                     "lineage": [self._lineage_record(df, batch_id)],
                 }
@@ -679,9 +827,7 @@ class IcebergLite:
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            self._save_schema_hint(
-                batch.drop("is_cdc_delete") if has_cdc else batch
-            )
+            snap = self.current_snapshot()
             affected = {
                 r["_p"]
                 for r in batch.select(
@@ -694,25 +840,32 @@ class IcebergLite:
                 if has_cdc
                 else batch
             )
+            # schema evolution (reference addSignTime analogue,
+            # ConnectionUtils.java:54-61, plus Iceberg type widening): the
+            # batch may add columns OR widen one (int->long mid-stream);
+            # reconcile to the lattice supremum, conform both sides, and
+            # commit the new schema with the snapshot
+            base = self.table_schema(snap)
+            if base is None and current is not None:
+                base = current.schema
+            reconciled = (
+                widen_schema(base, upserts.schema)
+                if base is not None
+                else upserts.schema
+            )
+            self._save_schema_hint(reconciled)
+            upserts = self._conform(upserts, reconciled)
             deletes = batch.select(*self.pk).distinct()
             if current is not None:
                 # equality delete: drop current rows whose PK appears in the
                 # batch (either replaced or deleted), then add the upserts
-                survivors = current.join(
-                    F.broadcast(deletes), on=self.pk, how="left_anti"
-                )
-                # schema evolution (reference addSignTime analogue,
-                # ConnectionUtils.java:54-61): a batch may carry columns the
-                # table lacks (or vice versa after a spec change) — union by
-                # name with missing columns null-filled, like Iceberg's
-                # add-column evolution
-                merged = survivors.unionByName(
-                    upserts, allowMissingColumns=True
-                )
+                survivors = self._conform(
+                    current, reconciled
+                ).join(F.broadcast(deletes), on=self.pk, how="left_anti")
+                merged = survivors.unionByName(upserts)
             else:
                 merged = upserts
             new = self._write_files(merged, str(batch_id))
-            snap = self.current_snapshot()
             manifests = {
                 pv: ref
                 for pv, ref in snap["manifests"].items()
@@ -726,6 +879,7 @@ class IcebergLite:
                     "version": snap["version"] + 1,
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
+                    "schema": reconciled.jsonValue(),
                     "manifests": manifests,
                     "lineage": [self._lineage_record(batch, batch_id)],
                 }
@@ -780,7 +934,10 @@ class IcebergLite:
             prev = snap
         if not added:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*added)
+        # prev is snapshot_at(to_version) here — read the incremental files
+        # under the schema committed AT the range's end, so a consumer sees
+        # widened/added columns exactly as of the version it caught up to
+        return self._read_files(spark, added, prev)
 
     def compact(
         self,
@@ -826,12 +983,11 @@ class IcebergLite:
             return 0
         manifests = dict(snap["manifests"])
         for pv, files in todo.items():
-            # mergeSchema: a partition may hold files appended before and
-            # after an add-column evolution — picking one file's schema
-            # would silently drop the evolved columns on rewrite
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[f["path"] for f in files]
-            )
+            # committed schema (or mergeSchema for pre-evolution tables): a
+            # partition may hold files appended before and after an
+            # add-column/widening evolution — picking one file's schema
+            # would silently drop or narrow the evolved columns on rewrite
+            df = self._read_files(spark, [f["path"] for f in files], snap)
             stage = os.path.join(
                 self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
             )
@@ -866,6 +1022,7 @@ class IcebergLite:
                 "parent": snap["snapshot_id"],
                 "batch_id": None,  # not a data batch — replay guard unaffected
                 "compaction": sorted(todo),
+                "schema": snap.get("schema"),  # reorg, not an evolution
                 "manifests": manifests,
                 "lineage": [],
             }

@@ -177,3 +177,137 @@ def test_mid_stream_new_envelope_field_flows_without_restart(spark, tmp_path):
     # the UPDATE re-delivery backfilled turn 0 through the upsert path
     assert rows[0].sign_time is not None
     assert table.current_version() >= 2  # really multiple micro-batches
+
+
+# -- type-widening evolution (Iceberg type promotion; SPARK-40876 reads) ----
+
+
+def _wbatch(spark, lo, hi, amount_type="int", score_type="float"):
+    rows = [
+        (f"c{i % 2}", i, BASE + datetime.timedelta(minutes=i), i * 10, i / 4)
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"conv_id string, turn_idx int, ts timestamp, "
+        f"amount {amount_type}, score {score_type}",
+    )
+
+
+def test_widen_lattice_unit():
+    from pyspark.sql import types as T
+
+    from kafka2iceberg_spark.sink import SchemaEvolutionError, widen_schema
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.FloatType()),
+            T.StructField("c", T.ShortType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.DoubleType()),  # small-int -> double ok
+            T.StructField("d", T.StringType()),  # add-column
+        ]
+    )
+    w = widen_schema(old, new)
+    assert [f.dataType.simpleString() for f in w.fields] == [
+        "bigint", "double", "double", "string",
+    ]
+    # narrowing direction resolves to the WIDER side, not the new side
+    assert widen_schema(new, old)["a"].dataType == T.LongType()
+    # incompatible: string -> int
+    bad = T.StructType([T.StructField("d", T.IntegerType())])
+    try:
+        widen_schema(new, bad)
+        assert False, "expected SchemaEvolutionError"
+    except SchemaEvolutionError:
+        pass
+    # long + double has no lossless supremum
+    try:
+        widen_schema(
+            T.StructType([T.StructField("x", T.LongType())]),
+            T.StructType([T.StructField("x", T.DoubleType())]),
+        )
+        assert False, "expected SchemaEvolutionError"
+    except SchemaEvolutionError:
+        pass
+
+
+def test_widen_int_to_long_append_midstream(spark, tmp_path):
+    """A mid-stream int->long widening on an APPEND table: old narrow files
+    are promoted by the explicit read schema, no restart, no rewrite."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_wbatch(spark, 0, 4), "0")
+    t.commit_append(
+        _wbatch(spark, 4, 8, amount_type="long", score_type="double"), "1"
+    )
+
+    df = t.read(spark)
+    dt = dict(df.dtypes)
+    assert dt["amount"] == "bigint" and dt["score"] == "double"
+    got = {r.turn_idx: (r.amount, r.score) for r in df.collect()}
+    assert got == {i: (i * 10, i / 4) for i in range(8)}
+    # compaction rewrites mixed narrow/wide files under the committed schema
+    assert t.compact(spark, min_files_per_partition=2) >= 1
+    df2 = t.read(spark)
+    assert dict(df2.dtypes)["amount"] == "bigint"
+    assert {r.turn_idx: r.amount for r in df2.collect()} == {
+        i: i * 10 for i in range(8)
+    }
+
+
+def test_widen_upsert_merges_across_types(spark, tmp_path):
+    """CoW upsert across a widening: survivors (narrow files) and the wide
+    batch conform to the supremum before the merge union."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    t.commit_upsert(_wbatch(spark, 0, 6), "0")
+    wide = _wbatch(spark, 3, 9, amount_type="long", score_type="double")
+    wide = wide.withColumn("amount", F.col("amount") + 1)
+    t.commit_upsert(wide, "1")
+
+    df = t.read(spark)
+    assert dict(df.dtypes)["amount"] == "bigint"
+    got = {r.turn_idx: r.amount for r in df.collect()}
+    assert got == {**{i: i * 10 for i in range(3)},
+                   **{i: i * 10 + 1 for i in range(3, 9)}}
+    # time travel to the pre-widening version still reads the NARROW schema
+    pre = t.read(spark, version=1)
+    assert dict(pre.dtypes)["amount"] == "int"
+
+
+def test_incompatible_change_rejected_at_commit(spark, tmp_path):
+    """string->int is not a widening: the commit raises SchemaEvolutionError
+    and the table is untouched (no new snapshot version)."""
+    from kafka2iceberg_spark.sink import SchemaEvolutionError
+
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_wbatch(spark, 0, 4), "0")
+    v = t.current_version()
+    bad = _wbatch(spark, 4, 8).withColumn(
+        "amount", F.col("amount").cast("string")
+    )
+    try:
+        t.commit_append(bad, "1")
+        assert False, "expected SchemaEvolutionError"
+    except SchemaEvolutionError:
+        pass
+    assert t.current_version() == v
+    assert t.read(spark).count() == 4
+
+
+def test_incremental_read_promotes_to_range_end_schema(spark, tmp_path):
+    """read_appends_between spanning a widening returns the schema committed
+    at the range END — a catching-up consumer sees one coherent type."""
+    t = IcebergLite(str(tmp_path / "tbl"), pk=[], partition_field="ts")
+    t.commit_append(_wbatch(spark, 0, 3), "0")
+    v1 = t.current_version()
+    t.commit_append(_wbatch(spark, 3, 6), "1")
+    t.commit_append(_wbatch(spark, 6, 9, amount_type="long"), "2")
+    inc = t.read_appends_between(spark, v1, t.current_version())
+    assert dict(inc.dtypes)["amount"] == "bigint"
+    assert {r.turn_idx for r in inc.collect()} == set(range(3, 9))
