@@ -277,6 +277,67 @@ def q_dedup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 via the MERGE-ON-READ table path: the same synthetic CDC
+    stream as ``dedup_upsert``, committed as two real micro-batches with
+    ``strategy="mor"`` (O(batch) appends + equality-delete files, no
+    partition rewrites) and read back through the sequence-scoped
+    reconciling scan. Same oracle as the CoW twin — strategy must not
+    change the answer. Reference parity: Kafka2IcebergApp.java:95-113
+    upsert semantics under Iceberg v2 row-level deletes."""
+    import shutil
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    t = (
+        _tx(spark, sf_dir)
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("uid", F.expr("CAST(substring(conv_id, 6, 20) AS LONG)"))
+    )
+    part = (F.col("uid") % 4).cast("int")
+
+    def ev(df: DataFrame, text, off, del_: bool) -> DataFrame:
+        return df.select(
+            "conv_id",
+            "turn_idx",
+            text.alias("text"),
+            off.cast("long").alias("offset"),
+            part.alias("partition_idx"),
+            F.lit(del_).alias("is_cdc_delete"),
+        )
+
+    base_off = F.col("uid") * 1_000_000 + F.col("turn_idx") * 2
+    batch1 = ev(t, F.col("text"), base_off, False).unionByName(
+        ev(t.where(F.col("turn_idx") % 7 == 0), F.col("text"), base_off,
+           False)
+    )
+    batch2 = ev(
+        t.where(F.col("turn_idx") % 5 == 0),
+        F.concat(F.lit("upd:"), F.col("text")),
+        base_off + 1, False,
+    ).unionByName(
+        ev(t.where(F.col("turn_idx") % 13 == 0), F.col("text"),
+           F.col("uid") * 1_000_000 + 900_000 + F.col("turn_idx"), True)
+    )
+    work = tempfile.mkdtemp(prefix="morq-")
+    try:
+        table = IcebergLite(
+            f"{work}/t", pk=["conv_id", "turn_idx"], partition_field=None
+        )
+        table.commit_upsert(batch1, "0", strategy="mor")
+        table.commit_upsert(batch2, "1", strategy="mor")
+        # eager localCheckpoint: materialize + truncate lineage so the
+        # result outlives the temp table's files
+        return (
+            table.read(spark)
+            .select("conv_id", "turn_idx", "text", "offset")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.salted_agg(_tx(spark, sf_dir), "conv_id", 8)
 
@@ -1279,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_funnel": q_corpus_clean,
         "conversation_stats": q_conv_stats,
         "dedup_upsert": q_dedup_upsert,
+        "dedup_upsert_mor": q_dedup_upsert_mor,
         "salted_conv_counts": q_salted_counts,
         "cep_pattern": q_cep_pattern,
         "late_data_flags": q_late_data,
@@ -1597,6 +1659,23 @@ SELECT conv_id,
 FROM transcripts GROUP BY conv_id
 """,
         "dedup_upsert": f"""
+WITH {_TX},
+t AS (SELECT conv_id, turn_idx, text, CAST(substr(conv_id, 6) AS BIGINT) AS uid FROM transcripts),
+ev AS (
+  SELECT conv_id, turn_idx, text, CAST(uid * 1000000 + turn_idx * 2 AS BIGINT) AS off, false AS del FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, text, CAST(uid * 1000000 + turn_idx * 2 AS BIGINT), false FROM t WHERE turn_idx % 7 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, 'upd:' || text, CAST(uid * 1000000 + turn_idx * 2 + 1 AS BIGINT), false FROM t WHERE turn_idx % 5 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, text, CAST(uid * 1000000 + 900000 + turn_idx AS BIGINT), true FROM t WHERE turn_idx % 13 = 0
+),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY off DESC) AS rn FROM ev)
+SELECT conv_id, turn_idx, text, off AS offset FROM w WHERE rn = 1 AND NOT del
+""",
+        # the MOR table path must give the SAME answer as the CoW dedup —
+        # an independent last-writer-wins replay over the event stream
+        "dedup_upsert_mor": f"""
 WITH {_TX},
 t AS (SELECT conv_id, turn_idx, text, CAST(substr(conv_id, 6) AS BIGINT) AS uid FROM transcripts),
 ev AS (

@@ -129,8 +129,15 @@ def start_upsert_sink(
     keep_snapshots: int = 50,
     compact_sort_by: list[str] | None = None,
     compact_target_files: int = 1,
+    strategy: str = "cow",
 ):
     """K2 exactly-once upsert sink as a streaming query.
+
+    ``strategy="mor"`` switches the per-batch commit to merge-on-read:
+    O(batch) appends + equality-delete files instead of CoW partition
+    rewrites — the scale choice for fast triggers against a huge table.
+    The maintenance tick then also materializes outstanding deletes, so
+    read-side reconciliation cost stays bounded by the maintenance window.
 
     With ``dead_letter`` (requires ``spec``), rows violating not-null
     constraints are routed to a side table instead of failing the query
@@ -159,11 +166,13 @@ def start_upsert_sink(
                 c = F.col(name).isNotNull()
                 cond = c if cond is None else (cond & c)
             clean = batch_df.filter(cond) if cond is not None else batch_df
-            table.commit_upsert(clean, str(batch_id))
+            table.commit_upsert(clean, str(batch_id), strategy=strategy)
             dead_letter.commit_append(bad, str(batch_id))
         else:
-            table.commit_upsert(batch_df, str(batch_id))
+            table.commit_upsert(batch_df, str(batch_id), strategy=strategy)
         if maintenance_every and (int(batch_id) + 1) % maintenance_every == 0:
+            if strategy == "mor":
+                table.materialize_deletes(batch_df.sparkSession)
             table.compact(
                 batch_df.sparkSession,
                 sort_by=compact_sort_by,
@@ -492,12 +501,17 @@ def run_ingest_once(
     table: IcebergLite,
     checkpoint: str,
     max_files_per_trigger: int = 2,
+    strategy: str = "cow",
 ) -> None:
     """Process everything currently in the broker dir, then stop (used by
     tests and the bench; availableNow gives deterministic micro-batching)."""
     raw = file_broker_stream(spark, stream_dir, max_files_per_trigger)
     parsed = parsed_stream(raw, spec)
     q = start_upsert_sink(
-        parsed, table, checkpoint, trigger={"availableNow": True}
+        parsed,
+        table,
+        checkpoint,
+        trigger={"availableNow": True},
+        strategy=strategy,
     )
     q.awaitTermination()

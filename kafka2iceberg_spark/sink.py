@@ -144,6 +144,22 @@ def widen_schema(
 #: agree — a null-ts upsert/delete hits the same partition it was written to.
 NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+#: Stage directories are named ``s{seq:08d}-...`` — the commit's data
+#: sequence number, recoverable per-row from the file path alone.
+_SEQ_RE = r"/s(\d{8})-"
+
+
+def _file_seq_col():
+    """Row's data sequence number from its file path (codegen'd, no joins).
+    Files written before sequencing existed carry no marker → -1, i.e.
+    older than every sequenced commit — exactly the right MOR semantics."""
+    return F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), _SEQ_RE, 1), F.lit("")
+        ).cast("long"),
+        F.lit(-1),
+    )
+
 
 def have_iceberg(spark: SparkSession) -> bool:
     try:
@@ -503,10 +519,19 @@ class IcebergLite:
             )
         return F.lit("all")
 
-    def _write_files(self, df: DataFrame, batch_id: str) -> dict[str, list[dict]]:
-        """Write batch data as immutable parquet, return partition→files."""
+    def _write_files(
+        self, df: DataFrame, batch_id: str, seq: int = 0
+    ) -> dict[str, list[dict]]:
+        """Write batch data as immutable parquet, return partition→files.
+
+        The commit's data SEQUENCE NUMBER is encoded in the stage directory
+        name (``s{seq:08d}-``), so readers recover each row's sequence with
+        one codegen'd ``regexp_extract(input_file_name())`` — no per-file
+        joins, no manifest lookups on the hot path. Sequence ordering is
+        what merge-on-read equality deletes are scoped by (Iceberg's
+        data_sequence_number)."""
         stage = os.path.join(
-            self.data_dir, f"b{batch_id}-{uuid.uuid4().hex[:8]}"
+            self.data_dir, f"s{seq:08d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
         # cluster rows by partition value before the partitionBy write:
         # one task (→ one file) per date partition instead of
@@ -567,7 +592,9 @@ class IcebergLite:
                         [], StructType.fromJson(json.load(fh))
                     )
             raise FileNotFoundError("empty table with no schema hint")
-        return self._read_files(spark, paths, snap)
+        return self._apply_equality_deletes(
+            spark, self._read_files(spark, paths, snap), snap
+        )
 
     def read_partitions(
         self, spark: SparkSession, pvals: set[str]
@@ -579,7 +606,11 @@ class IcebergLite:
             if pv in pvals
             for f in self._load_manifest(ref)
         ]
-        return self._read_files(spark, paths, snap) if paths else None
+        if not paths:
+            return None
+        return self._apply_equality_deletes(
+            spark, self._read_files(spark, paths, snap), snap
+        )
 
     @staticmethod
     def _norm_stat_value(v):
@@ -679,7 +710,9 @@ class IcebergLite:
             empty = self.read(spark, version).limit(0)
             df = empty
         else:
-            df = self._read_files(spark, plan["paths"], snap)
+            df = self._apply_equality_deletes(
+                spark, self._read_files(spark, plan["paths"], snap), snap
+            )
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -743,6 +776,51 @@ class IcebergLite:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    def _apply_equality_deletes(
+        self, spark: SparkSession, df: DataFrame, snap: dict
+    ) -> DataFrame:
+        """Merge-on-read scan: drop rows superseded by equality deletes.
+
+        Iceberg v2 semantics — a delete at sequence S covers data rows of
+        the same PK with sequence < S. One aggregation over the delete
+        files (max delete sequence per PK) + one join against the scan;
+        the join is broadcast while the outstanding delete set is small
+        (it grows per MOR commit and resets at compaction/materialize, so
+        steady-state with maintenance it stays a dimension-sized side).
+        Rows' own sequences come from the file path — no per-file plans."""
+        refs = snap.get("delete_manifests") or []
+        if not refs or not self.pk:
+            return df
+        entries = [f for ref in refs for f in self._load_manifest(ref)]
+        if not entries:
+            return df
+        schema = self.table_schema(snap)
+        if schema is not None:
+            pk_set = set(self.pk)
+            reader = spark.read.schema(
+                T.StructType([f for f in schema.fields if f.name in pk_set])
+            )
+        else:
+            reader = spark.read.option("mergeSchema", "true")
+        deletes = (
+            reader.parquet(*[e["path"] for e in entries])
+            .withColumn("_del_seq", _file_seq_col())
+            .groupBy(*self.pk)
+            .agg(F.max("_del_seq").alias("_del_seq"))
+        )
+        if sum(e.get("rows") or 0 for e in entries) <= 5_000_000:
+            deletes = F.broadcast(deletes)
+        out_cols = df.columns  # join(on=pk) reorders; restore the schema
+        return (
+            df.withColumn("_seq", _file_seq_col())
+            .join(deletes, on=self.pk, how="left")
+            .where(
+                F.col("_del_seq").isNull()
+                | (F.col("_seq") >= F.col("_del_seq"))
+            )
+            .select(*out_cols)
+        )
+
     def _lineage_record(self, df_cached: DataFrame, batch_id: str) -> dict:
         """One aggregation job: per-(kafka)partition offset ranges + counts;
         total rows derived from the same result (no second count job)."""
@@ -789,7 +867,9 @@ class IcebergLite:
             )
             self._save_schema_hint(reconciled)
             new = self._write_files(
-                self._conform(df, reconciled), str(batch_id)
+                self._conform(df, reconciled),
+                str(batch_id),
+                snap["version"] + 1,
             )
             manifests = dict(snap["manifests"])
             for pv, files in new.items():
@@ -804,6 +884,7 @@ class IcebergLite:
                     "batch_id": str(batch_id),
                     "schema": reconciled.jsonValue(),
                     "manifests": manifests,
+                    "delete_manifests": snap.get("delete_manifests") or [],
                     "lineage": [self._lineage_record(df, batch_id)],
                 }
             )
@@ -811,11 +892,20 @@ class IcebergLite:
         finally:
             df.unpersist()
 
-    def commit_upsert(self, df: DataFrame, batch_id: str) -> bool:
-        """K2+K3: idempotent equality-upsert commit (copy-on-write MERGE).
+    def commit_upsert(
+        self, df: DataFrame, batch_id: str, strategy: str = "cow"
+    ) -> bool:
+        """K2+K3: idempotent equality-upsert commit.
 
-        Only the batch's affected date partitions are rewritten; everything
-        else carries forward by manifest reference — Iceberg CoW at scale.
+        ``strategy="cow"`` (default): copy-on-write MERGE — only the
+        batch's affected date partitions are rewritten; everything else
+        carries forward by manifest reference. Reads stay join-free.
+
+        ``strategy="mor"``: merge-on-read — the commit is O(batch) (no
+        partition rewrite, no existing-data read); readers reconcile via
+        equality-delete files until compaction/materialize folds them in.
+        The right trade for high-frequency streaming triggers against a
+        huge table, where CoW's per-batch partition rewrite dominates.
 
         Works for non-CDC tables too (dimension/side tables without an
         ``is_cdc_delete`` column): every batch row is then an upsert.
@@ -823,6 +913,10 @@ class IcebergLite:
         self.create()
         if str(batch_id) in self.committed_batches():
             return False
+        if strategy == "mor":
+            return self._commit_upsert_mor(df, batch_id)
+        if strategy != "cow":
+            raise ValueError(f"unknown upsert strategy {strategy!r}")
         spark = df.sparkSession
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
@@ -865,7 +959,7 @@ class IcebergLite:
                 merged = survivors.unionByName(upserts)
             else:
                 merged = upserts
-            new = self._write_files(merged, str(batch_id))
+            new = self._write_files(merged, str(batch_id), snap["version"] + 1)
             manifests = {
                 pv: ref
                 for pv, ref in snap["manifests"].items()
@@ -880,6 +974,11 @@ class IcebergLite:
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
                     "schema": reconciled.jsonValue(),
+                    # outstanding MOR deletes still cover the partitions this
+                    # CoW merge did NOT touch; the rewritten partitions' rows
+                    # get sequence V+1 (> every delete), so double-application
+                    # is impossible
+                    "delete_manifests": snap.get("delete_manifests") or [],
                     "manifests": manifests,
                     "lineage": [self._lineage_record(batch, batch_id)],
                 }
@@ -887,6 +986,186 @@ class IcebergLite:
             return True
         finally:
             batch.unpersist()
+
+    def _commit_upsert_mor(self, df: DataFrame, batch_id: str) -> bool:
+        """Merge-on-read upsert: append data files + one equality-delete
+        file, both at sequence V+1. Cost is O(batch) — the existing table
+        is never read and no partition is rewritten, which is what keeps a
+        per-trigger streaming upsert viable against a 100 TB table. Readers
+        drop rows whose PK has a NEWER delete (``_apply_equality_deletes``);
+        every upsert row is paired with a same-sequence delete of its PK, so
+        the newest version of each PK survives and older ones die — Iceberg
+        v2 row-level-delete semantics (reference parity: same committed rows
+        as the CoW MERGE for the same stream, tested)."""
+        if not self.pk:
+            raise ValueError(
+                "merge-on-read needs equality-delete keys: table has no pk"
+            )
+        spark = df.sparkSession
+        has_cdc = "is_cdc_delete" in df.columns
+        batch = dedup_batch(df, self.pk).cache()
+        try:
+            snap = self.current_snapshot()
+            seq = snap["version"] + 1
+            upserts = (
+                batch.filter(~F.col("is_cdc_delete")).drop("is_cdc_delete")
+                if has_cdc
+                else batch
+            )
+            base = self.table_schema(snap)
+            reconciled = (
+                widen_schema(base, upserts.schema)
+                if base is not None
+                else upserts.schema
+            )
+            self._save_schema_hint(reconciled)
+            upserts = self._conform(upserts, reconciled)
+            new = self._write_files(upserts, str(batch_id), seq)
+            manifests = dict(snap["manifests"])
+            for pv, files in new.items():
+                if pv in manifests:
+                    files = self._load_manifest(manifests[pv]) + files
+                manifests[pv] = self._write_manifest(files)
+            # ONE equality-delete file per commit: every PK the batch
+            # touched (upserted OR cdc-deleted), written small and compact
+            pk_set = set(self.pk)
+            dkeys = self._conform(
+                batch.select(*self.pk).distinct(),
+                T.StructType(
+                    [f for f in reconciled.fields if f.name in pk_set]
+                ),
+            )
+            dstage = os.path.join(
+                self.data_dir, f"s{seq:08d}-deletes-{uuid.uuid4().hex[:8]}"
+            )
+            with self._micros_timestamps(spark):
+                dkeys.coalesce(1).write.parquet(dstage, mode="overwrite")
+            dentries = [
+                {
+                    "path": os.path.join(dstage, f),
+                    **(
+                        self._file_stats(os.path.join(dstage, f))
+                        or {"rows": None}
+                    ),
+                }
+                for f in sorted(os.listdir(dstage))
+                if f.endswith(".parquet")
+            ]
+            self._write_snapshot(
+                {
+                    "snapshot_id": uuid.uuid4().hex,
+                    "version": seq,
+                    "parent": snap["snapshot_id"],
+                    "batch_id": str(batch_id),
+                    "schema": reconciled.jsonValue(),
+                    "manifests": manifests,
+                    "delete_manifests": (snap.get("delete_manifests") or [])
+                    + [self._write_manifest(dentries)],
+                    "lineage": [self._lineage_record(batch, batch_id)],
+                }
+            )
+            return True
+        finally:
+            batch.unpersist()
+
+    def materialize_deletes(self, spark: SparkSession) -> int:
+        """Fold outstanding equality deletes into the data (Iceberg
+        ``rewrite_position_delete_files`` / major-compaction analogue).
+
+        One distributed pass finds the partitions that actually hold
+        superseded rows (scan + delete join, partition recovered from the
+        file path); only those partitions are rewritten, then the delete
+        manifests are CLEARED. Partitions without droppable rows are
+        untouched — their surviving rows survive on sequence order alone.
+        Returns the number of partitions rewritten. Run it from the
+        single-writer maintenance loop like ``compact``."""
+        snap = self.current_snapshot()
+        refs = snap.get("delete_manifests") or []
+        if not refs or not self.pk:
+            return 0
+        seq = snap["version"] + 1
+        by_part = self.resolve_manifests(snap)
+        all_paths = [f["path"] for files in by_part.values() for f in files]
+        if all_paths:
+            scan = self._read_files(spark, all_paths, snap)
+            entries = [f for r in refs for f in self._load_manifest(r)]
+            schema = self.table_schema(snap)
+            pk_set = set(self.pk)
+            reader = (
+                spark.read.schema(
+                    T.StructType(
+                        [f for f in schema.fields if f.name in pk_set]
+                    )
+                )
+                if schema is not None
+                else spark.read.option("mergeSchema", "true")
+            )
+            dagg = (
+                reader.parquet(*[e["path"] for e in entries])
+                .withColumn("_del_seq", _file_seq_col())
+                .groupBy(*self.pk)
+                .agg(F.max("_del_seq").alias("_del_seq"))
+            )
+            # file-derived columns (_seq, partition value) must be computed
+            # BEFORE the join — input_file_name() is per-source
+            doomed = (
+                scan.withColumn("_seq", _file_seq_col())
+                .withColumn(
+                    "_pv",
+                    F.regexp_extract(
+                        F.input_file_name(), r"/_p=([^/]+)/", 1
+                    ),
+                )
+                .join(F.broadcast(dagg), on=self.pk, how="inner")
+                .where(F.col("_seq") < F.col("_del_seq"))
+            )
+            affected = {
+                r["_pv"] for r in doomed.select("_pv").distinct().collect()
+            }
+        else:
+            affected = set()
+        manifests = dict(snap["manifests"])
+        for pv in sorted(affected):
+            files = by_part[pv]
+            df = self._apply_equality_deletes(
+                spark,
+                self._read_files(spark, [f["path"] for f in files], snap),
+                snap,
+            )
+            stage = os.path.join(
+                self.data_dir,
+                f"s{seq:08d}-materialize-{uuid.uuid4().hex[:8]}",
+                f"_p={pv}",
+            )
+            with self._micros_timestamps(spark):
+                df.coalesce(1).write.parquet(stage, mode="overwrite")
+            manifests[pv] = self._write_manifest(
+                [
+                    {
+                        "path": os.path.join(stage, f),
+                        **(
+                            self._file_stats(os.path.join(stage, f))
+                            or {"rows": None}
+                        ),
+                    }
+                    for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet")
+                ]
+            )
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": seq,
+                "parent": snap["snapshot_id"],
+                "batch_id": None,  # reorg — replay guard unaffected
+                "materialize": sorted(affected),
+                "schema": snap.get("schema"),
+                "manifests": manifests,
+                "delete_manifests": [],
+                "lineage": [],
+            }
+        )
+        return len(affected)
 
     def read_appends_between(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -986,10 +1265,19 @@ class IcebergLite:
             # committed schema (or mergeSchema for pre-evolution tables): a
             # partition may hold files appended before and after an
             # add-column/widening evolution — picking one file's schema
-            # would silently drop or narrow the evolved columns on rewrite
-            df = self._read_files(spark, [f["path"] for f in files], snap)
+            # would silently drop or narrow the evolved columns on rewrite.
+            # Outstanding MOR deletes are APPLIED during the rewrite (the
+            # rewritten files get a sequence newer than every delete, which
+            # would otherwise stop covering their superseded rows).
+            df = self._apply_equality_deletes(
+                spark,
+                self._read_files(spark, [f["path"] for f in files], snap),
+                snap,
+            )
             stage = os.path.join(
-                self.data_dir, f"compact-{uuid.uuid4().hex[:8]}", f"_p={pv}"
+                self.data_dir,
+                f"s{snap['version'] + 1:08d}-compact-{uuid.uuid4().hex[:8]}",
+                f"_p={pv}",
             )
             with self._micros_timestamps(spark):
                 if sort_by:
@@ -1024,6 +1312,9 @@ class IcebergLite:
                 "compaction": sorted(todo),
                 "schema": snap.get("schema"),  # reorg, not an evolution
                 "manifests": manifests,
+                # deletes stay: partitions below the file-count threshold
+                # were not rewritten and still need them at read
+                "delete_manifests": snap.get("delete_manifests") or [],
                 "lineage": [],
             }
         )
@@ -1091,7 +1382,10 @@ class IcebergLite:
                 snap = self.snapshot_at(i)
             except FileNotFoundError:
                 continue  # hole from a prior deeper expiration
-            for ref in snap["manifests"].values():
+            refs = list(snap["manifests"].values()) + list(
+                snap.get("delete_manifests") or []
+            )
+            for ref in refs:
                 if isinstance(ref, str):
                     live_manifests.add(ref)
                 for f in self._load_manifest(ref):
