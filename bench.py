@@ -174,17 +174,42 @@ def gen_broker(root: str) -> int:
     )
 
 
-def ingest_run(spark, root: str, tag: str) -> float:
+def ingest_run(spark, root: str, tag: str, strategy: str = "cow") -> float:
     from kafka2iceberg_spark.pipeline import run_ingest_once
     from kafka2iceberg_spark.schema import transcript_task
     from kafka2iceberg_spark.sink import IcebergLite
 
     spec = transcript_task()
-    table = IcebergLite(f"{root}/tbl-{tag}", pk=spec.primary_keys)
+    table = IcebergLite(f"{root}/tbl-{strategy}-{tag}", pk=spec.primary_keys)
     t0 = time.monotonic()
     run_ingest_once(
-        spark, f"{root}/broker", spec, table, f"{root}/ckpt-{tag}",
+        spark, f"{root}/broker", spec, table, f"{root}/ckpt-{strategy}-{tag}",
         max_files_per_trigger=FILES_PER_TRIGGER,
+        strategy=strategy,
+    )
+    return time.monotonic() - t0
+
+
+def ingest_multibatch_run(
+    spark, root: str, tag: str, strategy: str
+) -> float:
+    """Steady-streaming shape: 8 micro-batches, each committing against
+    the table accumulated by its predecessors. This is where commit
+    strategy matters — CoW re-reads + rewrites every affected partition
+    per batch (cost grows with the table), MOR appends O(batch) and
+    defers reconciliation to readers/maintenance."""
+    from kafka2iceberg_spark.pipeline import run_ingest_once
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    spec = transcript_task()
+    table = IcebergLite(f"{root}/mb-{strategy}-{tag}", pk=spec.primary_keys)
+    t0 = time.monotonic()
+    run_ingest_once(
+        spark, f"{root}/broker", spec, table,
+        f"{root}/mb-ckpt-{strategy}-{tag}",
+        max_files_per_trigger=max(BROKER_FILES // 8, 1),
+        strategy=strategy,
     )
     return time.monotonic() - t0
 
@@ -476,6 +501,13 @@ def main() -> None:
 
         ingest_run(spark, root, "warm")  # steady-state warmup
         wall_ing, steal_ing, walls_ing = _gated_e2e(ingest_run, "ing")
+        ingest_multibatch_run(spark, root, "warm", "cow")
+        wall_mbc, steal_mbc, walls_mbc = _gated_e2e(
+            ingest_multibatch_run, "mb-cow", extra=("cow",)
+        )
+        wall_mbm, steal_mbm, walls_mbm = _gated_e2e(
+            ingest_multibatch_run, "mb-mor", extra=("mor",)
+        )
         session_e2e_run(spark, root, "warm")
         res_sess, steal_sess, walls_sess = _gated_e2e(
             session_e2e_run, "sess"
@@ -513,6 +545,22 @@ def main() -> None:
                 "cores": CPUS,
                 "steal": steal_ing,
                 "walls_all": walls_ing,
+            },
+            "ingest_multibatch": {
+                "shape": "8 micro-batches against the accumulating table",
+                "cow": {
+                    "wall_sec": round(wall_mbc, 2),
+                    "turns_per_sec": round(n_env / wall_mbc, 1),
+                    "steal": steal_mbc,
+                    "walls_all": walls_mbc,
+                },
+                "mor": {
+                    "wall_sec": round(wall_mbm, 2),
+                    "turns_per_sec": round(n_env / wall_mbm, 1),
+                    "steal": steal_mbm,
+                    "walls_all": walls_mbm,
+                },
+                "mor_speedup_vs_cow": round(wall_mbc / wall_mbm, 2),
             },
             "session_e2e": {
                 "wall_sec": round(wall_sess, 2),
