@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None) -> None:
             compact_target_files=int(
                 params.get("maintenance.target-files", "1")
             ),
+            # upsert.strategy=mor switches per-batch commits to
+            # merge-on-read (O(batch) appends + equality-delete files);
+            # maintenance then also materializes outstanding deletes
+            strategy=params.get("upsert.strategy", "cow"),
         )
     else:
         q = start_append_sink(parsed, table, checkpoint, trigger=trigger)

@@ -311,3 +311,62 @@ def test_incremental_read_promotes_to_range_end_schema(spark, tmp_path):
     inc = t.read_appends_between(spark, v1, t.current_version())
     assert dict(inc.dtypes)["amount"] == "bigint"
     assert {r.turn_idx for r in inc.collect()} == set(range(3, 9))
+
+
+def test_spec_widening_restart_streaming(spark, tmp_path):
+    """Upstream ``ALTER TABLE ... MODIFY turn_idx BIGINT`` analogue: the job
+    restarts with a widened task spec and the SAME checkpoint/table. The
+    sink reconciles int->long at the first wide commit; the narrow files
+    written before the restart are promoted at read — no backfill, no
+    restartable error."""
+    import dataclasses
+    import json
+    import os
+
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_upsert_sink,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    with open(f"{broker}/b0.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps(_mid_stream_envelope(
+                "c1", i, f"2024-09-01 10:0{i}:00", offset=i)) + "\n")
+    os.utime(f"{broker}/b0.jsonl", (1_000_000, 1_000_000))
+
+    spec_narrow = transcript_task()
+    table = IcebergLite(str(tmp_path / "tbl"), pk=spec_narrow.primary_keys)
+    q = start_upsert_sink(
+        parsed_stream(file_broker_stream(spark, broker), spec_narrow),
+        table, str(tmp_path / "ck"), trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    assert dict(table.read(spark).dtypes)["turn_idx"] == "int"
+
+    # upstream ALTER: restart with turn_idx widened to bigint, plus late
+    # traffic carrying values only a long can hold
+    with open(f"{broker}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps(_mid_stream_envelope(
+            "c1", 2**40, "2024-09-01 10:09:00", offset=9)) + "\n")
+    os.utime(f"{broker}/b1.jsonl", (1_000_100, 1_000_100))
+    spec_wide = dataclasses.replace(
+        spec_narrow,
+        fields=[
+            dataclasses.replace(f, type="bigint")
+            if f.name == "turn_idx" else f
+            for f in spec_narrow.fields
+        ],
+    )
+    q = start_upsert_sink(
+        parsed_stream(file_broker_stream(spark, broker), spec_wide),
+        table, str(tmp_path / "ck"), trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+    df = table.read(spark)
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    assert {r.turn_idx for r in df.collect()} == {0, 1, 2, 2**40}
