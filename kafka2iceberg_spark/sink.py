@@ -882,6 +882,7 @@ class IcebergLite:
                     "version": snap["version"] + 1,
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
+                    "commit_kind": "append",
                     "schema": reconciled.jsonValue(),
                     "manifests": manifests,
                     "delete_manifests": snap.get("delete_manifests") or [],
@@ -973,6 +974,7 @@ class IcebergLite:
                     "version": snap["version"] + 1,
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
+                    "commit_kind": "upsert-cow",
                     "schema": reconciled.jsonValue(),
                     # outstanding MOR deletes still cover the partitions this
                     # CoW merge did NOT touch; the rewritten partitions' rows
@@ -1057,6 +1059,7 @@ class IcebergLite:
                     "version": seq,
                     "parent": snap["snapshot_id"],
                     "batch_id": str(batch_id),
+                    "commit_kind": "upsert-mor",
                     "schema": reconciled.jsonValue(),
                     "manifests": manifests,
                     "delete_manifests": (snap.get("delete_manifests") or [])
@@ -1187,6 +1190,22 @@ class IcebergLite:
         Cost: per step, only partitions whose manifest NAME changed are
         opened — untouched partitions share the same manifest file.
         """
+        added = self.added_files_between(from_version, to_version)
+        if not added:
+            return None
+        # read the incremental files under the schema committed AT the
+        # range's end, so a consumer sees widened/added columns exactly as
+        # of the version it caught up to
+        return self._read_files(
+            spark, added, self.snapshot_at(to_version)
+        )
+
+    def added_files_between(
+        self, from_version: int, to_version: int
+    ) -> list[str]:
+        """Data-file paths added by DATA snapshots in (from, to] — the
+        shared walk behind the incremental batch read and the streaming
+        table source."""
         added: list[str] = []
         seen: set[str] = set()
         prev = self.snapshot_at(from_version)
@@ -1211,12 +1230,7 @@ class IcebergLite:
                             seen.add(p)
                             added.append(p)
             prev = snap
-        if not added:
-            return None
-        # prev is snapshot_at(to_version) here — read the incremental files
-        # under the schema committed AT the range's end, so a consumer sees
-        # widened/added columns exactly as of the version it caught up to
-        return self._read_files(spark, added, prev)
+        return added
 
     def compact(
         self,
