@@ -1206,7 +1206,17 @@ class IcebergLite:
         """Data-file paths added by DATA snapshots in (from, to] — the
         shared walk behind the incremental batch read and the streaming
         table source."""
-        added: list[str] = []
+        return [
+            p for p, _v in self.added_files_with_versions(
+                from_version, to_version
+            )
+        ]
+
+    def added_files_with_versions(
+        self, from_version: int, to_version: int
+    ) -> list[tuple[str, int]]:
+        """(data-file path, committing version) pairs added in (from, to]."""
+        added: list[tuple[str, int]] = []
         seen: set[str] = set()
         prev = self.snapshot_at(from_version)
         for v in range(from_version + 1, to_version + 1):
@@ -1228,8 +1238,29 @@ class IcebergLite:
                         p = f["path"]
                         if p not in prev_paths and p not in seen:
                             seen.add(p)
-                            added.append(p)
+                            added.append((p, v))
             prev = snap
+        return added
+
+    def added_delete_files_with_versions(
+        self, from_version: int, to_version: int
+    ) -> list[tuple[str, int]]:
+        """(equality-delete-file path, committing version) pairs added in
+        (from, to] — the changelog stream's DELETE event source. A
+        materialize snapshot clears the manifest list without adding files,
+        so the per-step diff naturally yields nothing there."""
+        added: list[tuple[str, int]] = []
+        prev_refs = set(
+            self.snapshot_at(from_version).get("delete_manifests") or []
+        )
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot_at(v)
+            refs = snap.get("delete_manifests") or []
+            for ref in refs:
+                if ref not in prev_refs:
+                    for f in self._load_manifest(ref):
+                        added.append((f["path"], v))
+            prev_refs = set(refs)
         return added
 
     def compact(

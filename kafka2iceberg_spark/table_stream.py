@@ -39,7 +39,9 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
@@ -51,10 +53,23 @@ from .sink import IcebergLite
 FORMAT_NAME = "iceberglite"
 
 
+#: Changelog metadata columns (Iceberg changelog-scan analogue).
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
 class _FilesPartition(InputPartition):
-    def __init__(self, path: str, schema_json: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        change_type: str | None = None,
+        version: int | None = None,
+    ) -> None:
         self.path = path
         self.schema_json = schema_json
+        self.change_type = change_type  # None = plain append scan
+        self.version = version
 
 
 def _arrow_schema(spark_schema: T.StructType):
@@ -79,10 +94,12 @@ def _conform_arrow_table(table, target):
 
 class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, location: str, schema: T.StructType,
-                 starting_version: int | None) -> None:
+                 starting_version: int | None,
+                 changelog: bool = False) -> None:
         self._table = IcebergLite(location, pk=[])
         self._schema = schema
         self._start = starting_version
+        self._changelog = changelog
 
     def initialOffset(self) -> dict:
         if self._start is not None:
@@ -118,13 +135,28 @@ class _TableStreamReader(DataSourceStreamReader):
         # batch that introduced it
         snap = self._table.snapshot_at(hi)
         schema = self._table.table_schema(snap) or self._schema
+        schema = T.StructType(
+            [f for f in schema.fields
+             if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)]
+        )
         sj = json.dumps(schema.jsonValue())
-        return [
-            _FilesPartition(p, sj)
-            for p in self._table.added_files_between(lo, hi)
+        if not self._changelog:
+            return [
+                _FilesPartition(p, sj)
+                for p in self._table.added_files_between(lo, hi)
+            ]
+        parts = [
+            _FilesPartition(p, sj, "insert", v)
+            for p, v in self._table.added_files_with_versions(lo, hi)
         ]
+        parts += [
+            _FilesPartition(p, sj, "delete", v)
+            for p, v in self._table.added_delete_files_with_versions(lo, hi)
+        ]
+        return parts
 
     def read(self, partition: _FilesPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         target = _arrow_schema(
@@ -133,11 +165,19 @@ class _TableStreamReader(DataSourceStreamReader):
         pf = pq.ParquetFile(partition.path)
         want = [n for n in target.names if n in pf.schema_arrow.names]
         for batch in pf.iter_batches(columns=want):
-            import pyarrow as pa
-
-            yield from _conform_arrow_table(
-                pa.Table.from_batches([batch]), target
-            ).to_batches()
+            # equality-delete files hold only PK columns; the conform step
+            # null-fills the rest — a changelog DELETE event is the key
+            out = _conform_arrow_table(pa.Table.from_batches([batch]), target)
+            if partition.change_type is not None:
+                n = len(out)
+                out = out.append_column(
+                    CHANGE_TYPE_COL,
+                    pa.array([partition.change_type] * n, pa.string()),
+                ).append_column(
+                    COMMIT_VERSION_COL,
+                    pa.array([partition.version] * n, pa.int64()),
+                )
+            yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in Spark's offset checkpoint
@@ -164,32 +204,86 @@ class IcebergLiteDataSource(DataSource):
             raise ValueError("iceberglite source requires option 'location'")
         return loc
 
+    def _changelog(self) -> bool:
+        return str(self.options.get("changelog", "false")).lower() == "true"
+
     def schema(self) -> T.StructType:
         t = IcebergLite(self._location(), pk=[])
         schema = t.table_schema()
-        if schema is not None:
-            return schema
-        hint = os.path.join(self._location(), "_schema.json")
-        if os.path.exists(hint):
+        if schema is None:
+            hint = os.path.join(self._location(), "_schema.json")
+            if not os.path.exists(hint):
+                raise ValueError(
+                    f"table at {self._location()} has no committed schema yet"
+                )
             with open(hint) as fh:
-                return T.StructType.fromJson(json.load(fh))
-        raise ValueError(
-            f"table at {self._location()} has no committed schema yet"
-        )
+                schema = T.StructType.fromJson(json.load(fh))
+        if self._changelog():
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
+                    T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema: T.StructType) -> _TableStreamReader:
         sv = self.options.get("startingversion")
         return _TableStreamReader(
-            self._location(), schema, int(sv) if sv is not None else None
+            self._location(),
+            schema,
+            int(sv) if sv is not None else None,
+            changelog=self._changelog(),
         )
 
 
 def table_stream(
-    spark: SparkSession, location: str, starting_version: int | None = None
+    spark: SparkSession,
+    location: str,
+    starting_version: int | None = None,
+    changelog: bool = False,
 ) -> DataFrame:
-    """Convenience: register the source (idempotent) and open the stream."""
+    """Convenience: register the source (idempotent) and open the stream.
+
+    ``changelog=True`` emits CDC events instead of a plain append scan
+    (Iceberg changelog-scan analogue): every row carries ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``; DELETE events are the
+    equality-delete keys with non-key columns NULL. A MOR upsert appears
+    as delete+insert of the same PK at the same version — the standard
+    upsert changelog encoding."""
     spark.dataSource.register(IcebergLiteDataSource)
     reader = spark.readStream.format(FORMAT_NAME).option("location", location)
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if changelog:
+        reader = reader.option("changelog", "true")
     return reader.load()
+
+
+def apply_changelog(
+    batch_df: DataFrame, table: IcebergLite, batch_id: str
+) -> bool:
+    """Fold a changelog micro-batch into a downstream replica table.
+
+    Per PK keep the newest event — ordered by ``_commit_version``, insert
+    beating delete WITHIN a version (a MOR upsert's delete only covers
+    OLDER sequences, so its same-version insert survives) — then commit it
+    as an upsert with deletes mapped to ``is_cdc_delete``. Chaining
+    ``table_stream(..., changelog=True)`` through this in a foreachBatch
+    makes the replica converge to the source table exactly, including CDC
+    deletes."""
+    pk = table.pk
+    w = Window.partitionBy(*pk).orderBy(
+        F.col(COMMIT_VERSION_COL).desc(),
+        (F.col(CHANGE_TYPE_COL) == "insert").desc(),
+    )
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn(
+            "is_cdc_delete", F.col(CHANGE_TYPE_COL) == F.lit("delete")
+        )
+        .drop("_rn", CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+    )
+    return table.commit_upsert(latest, batch_id)
