@@ -1109,6 +1109,11 @@ class IcebergLite:
                 .groupBy(*self.pk)
                 .agg(F.max("_del_seq").alias("_del_seq"))
             )
+            # broadcast only while the delete debt is dimension-sized —
+            # a long-deferred materialize over a huge debt must fall back
+            # to a shuffled hash join, not OOM the driver
+            if sum(e.get("rows") or 0 for e in entries) <= 5_000_000:
+                dagg = F.broadcast(dagg)
             # file-derived columns (_seq, partition value) must be computed
             # BEFORE the join — input_file_name() is per-source
             doomed = (
@@ -1119,7 +1124,7 @@ class IcebergLite:
                         F.input_file_name(), r"/_p=([^/]+)/", 1
                     ),
                 )
-                .join(F.broadcast(dagg), on=self.pk, how="inner")
+                .join(dagg, on=self.pk, how="inner")
                 .where(F.col("_seq") < F.col("_del_seq"))
             )
             affected = {
