@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from . import partition_spec as PS
+
 class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot version first (optimistic
     concurrency). Refresh to the current snapshot and retry the commit."""
@@ -143,6 +145,19 @@ def widen_schema(
 #: partition values, the manifest keys, and the on-disk directory names all
 #: agree — a null-ts upsert/delete hits the same partition it was written to.
 NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _validate_spec(fields: list["PS.PartitionField"]) -> None:
+    """Multi-field partition values are '_'-joined; time/bucket transforms
+    never produce '_' so they can prefix unambiguously, but identity /
+    truncate over free strings could — those must come LAST so the value
+    splits deterministically at plan time."""
+    for f in fields[:-1]:
+        if f.transform in ("identity", "truncate"):
+            raise ValueError(
+                f"partition field {f} must be last in a multi-field spec "
+                "(identity/truncate values may contain the field separator)"
+            )
 
 #: Stage directories are named ``s{seq:08d}-...`` — the commit's data
 #: sequence number, recoverable per-row from the file path alone.
@@ -242,10 +257,18 @@ class IcebergLite:
         location: str,
         pk: list[str],
         partition_field: str | None = "ts",  # partitioned by days(ts)
+        partition_spec: list[str] | None = None,  # e.g. ["day(ts)", "bucket(16, conv_id)"]
     ) -> None:
         self.location = location
         self.pk = list(pk)
         self.partition_field = partition_field
+        # explicit hidden-partitioning spec (Iceberg transforms); None keeps
+        # the legacy days(partition_field) layout as spec 0
+        self._ctor_spec = (
+            PS.parse_spec(partition_spec) if partition_spec else None
+        )
+        if self._ctor_spec:
+            _validate_spec(self._ctor_spec)
         self.data_dir = os.path.join(location, "data")
         self.meta_dir = os.path.join(location, "metadata")
         self.manifest_dir = os.path.join(self.meta_dir, "manifests")
@@ -261,17 +284,22 @@ class IcebergLite:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         if self.current_version() is None:
+            v0 = {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": 0,
+                "parent": None,
+                "batch_id": None,
+                "manifests": {},
+                "lineage": [],
+            }
+            if self._ctor_spec:
+                # explicit hidden-partitioning spec: registered as spec 1
+                # (spec 0 stays the legacy bare-value day layout, so the
+                # two can never produce colliding partition values)
+                v0["partition_specs"] = {"1": PS.spec_to_json(self._ctor_spec)}
+                v0["default_spec_id"] = 1
             try:
-                self._write_snapshot(
-                    {
-                        "snapshot_id": uuid.uuid4().hex,
-                        "version": 0,
-                        "parent": None,
-                        "batch_id": None,
-                        "manifests": {},
-                        "lineage": [],
-                    }
-                )
+                self._write_snapshot(v0)
             except CommitConflict:
                 pass  # another writer created the (identical, empty) v0
 
@@ -333,6 +361,18 @@ class IcebergLite:
         snapshot file.
         """
         v = snap["version"]
+        if "partition_specs" not in snap and v > 0:
+            # spec registry rides every snapshot (Iceberg table metadata
+            # keeps all specs + default-spec-id); commit kinds that don't
+            # change it inherit from the parent — which, at commit time, is
+            # always the still-retained current head
+            try:
+                parent = self.snapshot_at(v - 1)
+            except FileNotFoundError:
+                parent = {}
+            if "partition_specs" in parent:
+                snap["partition_specs"] = parent["partition_specs"]
+                snap["default_spec_id"] = parent.get("default_spec_id", 0)
         path = os.path.join(self.meta_dir, f"v{v}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -511,13 +551,155 @@ class IcebergLite:
 
     # -- data ---------------------------------------------------------------
 
+    def _legacy_spec(self) -> list[PS.PartitionField]:
+        """Spec 0: the constructor's days(partition_field) layout (bare
+        partition values, kept byte-identical for existing tables)."""
+        if self.partition_field:
+            return [PS.PartitionField("day", self.partition_field)]
+        return []
+
+    def spec_registry(self, snap: dict | None = None) -> tuple[dict[int, list], int]:
+        """(spec_id -> fields) for every spec the table has ever had, plus
+        the current default spec id — Iceberg's partition-specs metadata."""
+        if snap is None:
+            try:
+                snap = self.current_snapshot()
+            except FileNotFoundError:
+                snap = {}
+        reg: dict[int, list] = {0: self._legacy_spec()}
+        for sid, js in (snap.get("partition_specs") or {}).items():
+            reg[int(sid)] = PS.spec_from_json(js)
+        default = snap.get("default_spec_id")
+        if default is None:
+            default = 1 if (self._ctor_spec and 1 in reg) else 0
+        return reg, int(default)
+
+    def current_spec(self) -> tuple[int, list]:
+        reg, default = self.spec_registry()
+        return default, reg[default]
+
+    def evolve_partition_spec(self, fields: list[str]) -> int:
+        """Change the table's partition layout WITHOUT rewriting any data
+        (Iceberg partition-spec evolution). Existing files stay under their
+        original spec's values; new commits write under the new spec; scan
+        planning prunes each partition against the spec that produced it.
+        Metadata-only commit — O(1) regardless of table size, which is the
+        whole point at 100 TB (vs an O(table) re-layout rewrite)."""
+        parsed = PS.parse_spec(fields)
+        _validate_spec(parsed)
+        self.create()
+        snap = self.current_snapshot()
+        reg_json = dict(snap.get("partition_specs") or {})
+        new_id = max([int(k) for k in reg_json] + [0]) + 1
+        reg_json[str(new_id)] = PS.spec_to_json(parsed)
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": snap["version"] + 1,
+                "parent": snap["snapshot_id"],
+                "batch_id": None,
+                "commit_kind": "evolve-spec",
+                "schema": snap.get("schema"),
+                "manifests": snap["manifests"],
+                "delete_manifests": snap.get("delete_manifests") or [],
+                "lineage": [],
+                "partition_specs": reg_json,
+                "default_spec_id": new_id,
+            }
+        )
+        return new_id
+
     def _partition_expr(self, df: DataFrame):
-        if self.partition_field and self.partition_field in df.columns:
-            return F.coalesce(
-                F.to_date(F.col(self.partition_field)).cast("string"),
-                F.lit(NULL_PARTITION),
+        sid, fields = self.current_spec()
+        if sid == 0:
+            # legacy layout, byte-identical to pre-evolution tables
+            if self.partition_field and self.partition_field in df.columns:
+                return F.coalesce(
+                    F.to_date(F.col(self.partition_field)).cast("string"),
+                    F.lit(NULL_PARTITION),
+                )
+            return F.lit("all")
+        missing = [f.source for f in fields if f.source not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition spec {sid} needs column(s) {missing} absent from batch"
             )
-        return F.lit("all")
+        return F.concat(
+            F.lit(PS.pval_prefix(sid)), PS.spec_expr(fields, df, NULL_PARTITION)
+        )
+
+    def prune_partitions(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        snap: dict | None = None,
+    ) -> dict:
+        """Partition-level pruning across ALL specs the table has lived
+        under: each manifest's partition value is judged against the spec
+        that wrote it (Iceberg residual evaluation). Range bounds prune
+        order-preserving transforms (day/month/hour/truncate/identity);
+        an equality bound (lo == hi) additionally prunes hash buckets.
+        Metadata-only — no file IO."""
+        if snap is None:
+            snap = self.current_snapshot()
+        reg, _ = self.spec_registry(snap)
+        keep: set[str] = set()
+        total = pruned = 0
+        # transformed bounds per (spec_id, field index), evaluated once
+        bounds_cache: dict[tuple[int, int], tuple] = {}
+        for pval in snap["manifests"]:
+            total += 1
+            sid = PS.spec_id_of_pval(pval)
+            fields = reg.get(sid)
+            rel = [
+                (i, f) for i, f in enumerate(fields or []) if f.source == col
+            ]
+            if not fields or not rel or pval == "all":
+                keep.add(pval)  # spec can't prune on this column
+                continue
+            raw = PS.strip_prefix(pval)
+            vals = (
+                [raw]
+                if len(fields) == 1
+                else raw.split("_", len(fields) - 1)
+            )
+            if len(vals) != len(fields):
+                keep.add(pval)
+                continue
+            ok = True
+            for i, f in rel:
+                if (sid, i) not in bounds_cache:
+                    bounds_cache[(sid, i)] = (
+                        PS.transform_literal(spark, f, lo),
+                        PS.transform_literal(spark, f, hi),
+                    )
+                lo_t, hi_t = bounds_cache[(sid, i)]
+                if not PS.field_may_match(f, vals[i], lo_t, hi_t, NULL_PARTITION):
+                    ok = False
+                    break
+            if ok:
+                keep.add(pval)
+            else:
+                pruned += 1
+        return {"partitions": keep, "total": total, "pruned": pruned}
+
+    def read_partition_range(
+        self, spark: SparkSession, col: str, lo=None, hi=None
+    ) -> DataFrame:
+        """Semantically ``read().where(lo <= col <= hi)``, but partitions
+        whose transformed values cannot intersect the bounds are never
+        listed, let alone read — hidden-partitioning query routing."""
+        plan = self.prune_partitions(spark, col, lo, hi)
+        df = self.read_partitions(spark, plan["partitions"])
+        if df is None:
+            df = self.read(spark).limit(0)
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def _write_files(
         self, df: DataFrame, batch_id: str, seq: int = 0
@@ -595,6 +777,13 @@ class IcebergLite:
         return self._apply_equality_deletes(
             spark, self._read_files(spark, paths, snap), snap
         )
+
+    def meta_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Queryable metadata table (Iceberg ``table$snapshots`` etc.):
+        one of snapshots / history / partitions / manifests / files."""
+        from .metadata_tables import meta_table
+
+        return meta_table(self, spark, name)
 
     def read_partitions(
         self, spark: SparkSession, pvals: set[str]
@@ -968,6 +1157,27 @@ class IcebergLite:
             }
             for pv, files in new.items():
                 manifests[pv] = self._write_manifest(files)
+            delete_manifests = list(snap.get("delete_manifests") or [])
+            # partition-spec evolution: rows for this batch's PKs may still
+            # live under OLD-spec partition values the current-spec
+            # ``affected`` set can't name. Rewriting every legacy partition
+            # would be O(table); instead cover them with one equality-delete
+            # file at seq V+1 (applies only to seq < V+1, so this commit's
+            # own rewritten rows are untouched) — CoW for the current
+            # layout, MOR across layouts, folded in by compaction.
+            sid, _ = self.current_spec()
+            if any(
+                PS.spec_id_of_pval(pv) != sid
+                for pv in snap["manifests"]
+                if pv not in affected
+            ):
+                delete_manifests.append(
+                    self._write_manifest(
+                        self._write_delete_entries(
+                            spark, batch, reconciled, snap["version"] + 1
+                        )
+                    )
+                )
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
@@ -980,7 +1190,7 @@ class IcebergLite:
                     # CoW merge did NOT touch; the rewritten partitions' rows
                     # get sequence V+1 (> every delete), so double-application
                     # is impossible
-                    "delete_manifests": snap.get("delete_manifests") or [],
+                    "delete_manifests": delete_manifests,
                     "manifests": manifests,
                     "lineage": [self._lineage_record(batch, batch_id)],
                 }
@@ -988,6 +1198,30 @@ class IcebergLite:
             return True
         finally:
             batch.unpersist()
+
+    def _write_delete_entries(
+        self, spark: SparkSession, batch: DataFrame, reconciled, seq: int
+    ) -> list[dict]:
+        """Write one equality-delete parquet covering the batch's distinct
+        PKs at sequence ``seq``; returns its manifest entries."""
+        pk_set = set(self.pk)
+        dkeys = self._conform(
+            batch.select(*self.pk).distinct(),
+            T.StructType([f for f in reconciled.fields if f.name in pk_set]),
+        )
+        dstage = os.path.join(
+            self.data_dir, f"s{seq:08d}-deletes-{uuid.uuid4().hex[:8]}"
+        )
+        with self._micros_timestamps(spark):
+            dkeys.coalesce(1).write.parquet(dstage, mode="overwrite")
+        return [
+            {
+                "path": os.path.join(dstage, f),
+                **(self._file_stats(os.path.join(dstage, f)) or {"rows": None}),
+            }
+            for f in sorted(os.listdir(dstage))
+            if f.endswith(".parquet")
+        ]
 
     def _commit_upsert_mor(self, df: DataFrame, batch_id: str) -> bool:
         """Merge-on-read upsert: append data files + one equality-delete
@@ -1030,29 +1264,7 @@ class IcebergLite:
                 manifests[pv] = self._write_manifest(files)
             # ONE equality-delete file per commit: every PK the batch
             # touched (upserted OR cdc-deleted), written small and compact
-            pk_set = set(self.pk)
-            dkeys = self._conform(
-                batch.select(*self.pk).distinct(),
-                T.StructType(
-                    [f for f in reconciled.fields if f.name in pk_set]
-                ),
-            )
-            dstage = os.path.join(
-                self.data_dir, f"s{seq:08d}-deletes-{uuid.uuid4().hex[:8]}"
-            )
-            with self._micros_timestamps(spark):
-                dkeys.coalesce(1).write.parquet(dstage, mode="overwrite")
-            dentries = [
-                {
-                    "path": os.path.join(dstage, f),
-                    **(
-                        self._file_stats(os.path.join(dstage, f))
-                        or {"rows": None}
-                    ),
-                }
-                for f in sorted(os.listdir(dstage))
-                if f.endswith(".parquet")
-            ]
+            dentries = self._write_delete_entries(spark, batch, reconciled, seq)
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
