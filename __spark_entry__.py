@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka2iceberg_spark import cep
 from kafka2iceberg_spark import dedup as dd
 from kafka2iceberg_spark import multimodal as mm
 from kafka2iceberg_spark import similarity as sim
@@ -374,6 +375,25 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_us",
         "end_us",
         (F.col("end_us") - F.col("start_us")).alias("span_us"),
+    )
+
+
+def q_cep_match_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length CEP: every greedy non-overlapping 'user followed by
+    one-or-more assistant exchanges' run per conversation (MATCH_RECOGNIZE
+    analogue; flink-cep is declared but unused in the reference pom.xml:
+    276-281). One conv_id shuffle; regexp runs JVM-side on the folded
+    role string."""
+    return cep.match_extract(_tx(spark, sf_dir), "u(?:au)+")
+
+
+def q_cep_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation CEP pattern profile: complete tool round-trips
+    ('utu') and assistant-exchange runs ('u(?:au)+'), with the longest run
+    length of each — zeros when absent, every conversation kept."""
+    return cep.match_counts(
+        _tx(spark, sf_dir),
+        {"tool_trips": "utu", "assist_runs": "u(?:au)+"},
     )
 
 
@@ -1343,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_upsert_mor": q_dedup_upsert_mor,
         "salted_conv_counts": q_salted_counts,
         "cep_pattern": q_cep_pattern,
+        "cep_match_extract": q_cep_match_extract,
+        "cep_sequence_counts": q_cep_sequence_counts,
         "late_data_flags": q_late_data,
         "topk_turns": q_topk_turns,
         "role_rollup": q_role_rollup,
@@ -1743,6 +1765,48 @@ SELECT conv_id, turn_idx AS start_turn, start_us, end_us,
 FROM l
 WHERE role = 'user' AND r1 = 'tool' AND r2 = 'user'
   AND i2 = turn_idx + 2
+""",
+        "cep_match_extract": f"""
+WITH {_TX},
+s AS (
+  SELECT conv_id,
+         string_agg(CASE role WHEN 'user' THEN 'u' WHEN 'tool' THEN 't'
+                    ELSE 'a' END, '' ORDER BY turn_idx) AS role_str
+  FROM transcripts GROUP BY conv_id
+),
+m AS (
+  SELECT conv_id, regexp_extract_all(role_str, 'u(?:au)+') AS ms FROM s
+),
+u AS (
+  SELECT conv_id,
+         generate_subscripts(ms, 1) - 1 AS match_seq,
+         unnest(ms) AS match_str
+  FROM m
+)
+SELECT conv_id, CAST(match_seq AS INT) AS match_seq, match_str,
+       CAST(length(match_str) AS INT) AS match_len
+FROM u
+""",
+        "cep_sequence_counts": f"""
+WITH {_TX},
+s AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         string_agg(CASE role WHEN 'user' THEN 'u' WHEN 'tool' THEN 't'
+                    ELSE 'a' END, '' ORDER BY turn_idx) AS role_str
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(len(regexp_extract_all(role_str, 'utu')) AS INT) AS tool_trips,
+       CAST(COALESCE(list_aggregate(list_transform(
+            regexp_extract_all(role_str, 'utu'), x -> length(x)), 'max'), 0)
+            AS INT) AS longest_tool_trips,
+       CAST(len(regexp_extract_all(role_str, 'u(?:au)+')) AS INT)
+            AS assist_runs,
+       CAST(COALESCE(list_aggregate(list_transform(
+            regexp_extract_all(role_str, 'u(?:au)+'), x -> length(x)),
+            'max'), 0) AS INT) AS longest_assist_runs
+FROM s
 """,
         "late_data_flags": f"""
 WITH {_TX},

@@ -1,0 +1,210 @@
+"""MATCH_RECOGNIZE-style sequence CEP over conversation transcripts.
+
+The reference declares a flink-cep dependency it never uses (pom.xml:276-281);
+the repo's existing ``cep_pattern`` query covers the fixed-length triple case
+with lead() windows. This module generalizes to *variable-length* patterns —
+"user, then one-or-more assistant exchanges", "a complete tool round-trip" —
+the way Flink CEP / SQL MATCH_RECOGNIZE express them, but Spark-first:
+
+  1. Each turn's role is encoded as one character (user=u, assistant=a,
+     tool=t) and each conversation's turns are folded into a single ordered
+     role string: ``collect_list(struct(turn_idx, chr))`` → ``array_sort`` →
+     ``array_join(transform(...))``.  ONE hash shuffle on conv_id; everything
+     else is whole-stage codegen.  At 10^12 turns this is the same shuffle
+     every session/window op already pays, and the folded string costs one
+     byte per turn.
+  2. Pattern matching runs JVM-side with ``regexp_count`` /
+     ``regexp_extract_all`` — greedy, non-overlapping, leftmost — which have
+     identical semantics in java.util.regex (Spark), RE2 (DuckDB oracle), and
+     Python ``re.finditer`` (the positional variant).  Patterns must therefore
+     avoid constructs RE2 lacks (no lookahead/backrefs); quantifiers and
+     alternation are fine.
+  3. ``match_spans`` adds match *positions* (start/end turn_idx), which no
+     SQL regexp API exposes: one Arrow-vectorized ``mapInPandas`` over the
+     already-folded per-conversation rows (U1 surface — one python eval over
+     |convs| rows, never |turns|).
+
+Non-overlap caveat (pinned by tests): adjacent occurrences that share a
+boundary turn collapse into the leftmost match — "ututu" yields ONE ``utu``
+— identically in all three engines, which is what makes the oracle exact.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "ROLE_CHARS",
+    "compile_pattern",
+    "role_sequence",
+    "match_extract",
+    "match_counts",
+    "match_spans",
+]
+
+ROLE_CHARS = {"user": "u", "assistant": "a", "tool": "t"}
+
+#: Named steps a human-readable pattern may use, mapping to role chars.
+_STEP_CHARS = {**ROLE_CHARS, "any": "[uat]"}
+
+
+def compile_pattern(steps: str) -> str:
+    """'user tool+ user' → 'ut+u'.  Each whitespace-separated step is a role
+    name (or ``any``) with an optional trailing quantifier (``+ * ?`` or
+    ``{m,n}``).  Parenthesized char-level regex is also accepted verbatim."""
+    out = []
+    for step in steps.split():
+        m = re.fullmatch(r"([a-z_]+)([+*?]|\{[\d,]+\})?", step)
+        if not m or m.group(1) not in _STEP_CHARS:
+            # verbatim fragment (already char-level regex)
+            out.append(step)
+            continue
+        out.append(_STEP_CHARS[m.group(1)] + (m.group(2) or ""))
+    return "".join(out)
+
+
+def _role_char() -> Column:
+    return (
+        F.when(F.col("role") == "user", F.lit("u"))
+        .when(F.col("role") == "tool", F.lit("t"))
+        .otherwise(F.lit("a"))
+    )
+
+
+def role_sequence(t: DataFrame) -> DataFrame:
+    """Fold each conversation into (conv_id, n_turns, role_str, turns).
+
+    ``turns`` keeps the sorted turn_idx array so positional variants can map
+    string offsets back to turn ids without re-reading the table.  Single
+    shuffle; array ops are codegen'd, no Python.
+    """
+    pair = F.struct(F.col("turn_idx").alias("i"), _role_char().alias("c"))
+    g = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(pair)).alias("seq")
+    )
+    return g.select(
+        "conv_id",
+        F.size("seq").cast("int").alias("n_turns"),
+        F.array_join(F.transform("seq", lambda x: x["c"]), "").alias(
+            "role_str"
+        ),
+        F.transform("seq", lambda x: x["i"]).alias("turns"),
+    )
+
+
+def match_extract(t: DataFrame, pattern: str) -> DataFrame:
+    """All non-overlapping matches of ``pattern`` per conversation:
+    (conv_id, match_seq, match_str, match_len).  Entirely JVM-side."""
+    seq = role_sequence(t)
+    return seq.select(
+        "conv_id",
+        F.posexplode(
+            F.regexp_extract_all("role_str", F.lit(pattern), F.lit(0))
+        ).alias("match_seq", "match_str"),
+    ).select(
+        "conv_id",
+        F.col("match_seq").cast("int").alias("match_seq"),
+        "match_str",
+        F.length("match_str").cast("int").alias("match_len"),
+    )
+
+
+def match_counts(t: DataFrame, patterns: dict[str, str]) -> DataFrame:
+    """One row per conversation with a count column per named pattern plus
+    ``longest_<name>`` (longest matched run, 0 when none).  All conversations
+    are kept — a conv with no matches reports zeros."""
+    seq = role_sequence(t)
+    cols = [F.col("conv_id"), F.col("n_turns")]
+    for name, pat in patterns.items():
+        cols.append(
+            F.regexp_count("role_str", F.lit(pat)).cast("int").alias(name)
+        )
+        cols.append(
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.regexp_extract_all(
+                            "role_str", F.lit(pat), F.lit(0)
+                        ),
+                        F.length,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias(f"longest_{name}")
+        )
+    return seq.select(*cols)
+
+
+_SPAN_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("match_seq", IntegerType()),
+        StructField("start_turn", IntegerType()),
+        StructField("end_turn", IntegerType()),
+        StructField("match_len", IntegerType()),
+        StructField("span_us", LongType()),
+    ]
+)
+
+
+def match_spans(
+    t: DataFrame, pattern: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Positional matches: (conv_id, match_seq, start_turn, end_turn,
+    match_len, span_us).  The only Python stage is ONE ``mapInPandas`` over
+    per-conversation folded rows (|convs| rows, Arrow batches); re.finditer
+    shares non-overlapping greedy semantics with regexp_count, which the
+    tests pin by cross-checking against :func:`match_extract`."""
+    pair = F.struct(
+        F.col("turn_idx").alias("i"),
+        _role_char().alias("c"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+    folded = (
+        t.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(pair)).alias("seq"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform("seq", lambda x: x["c"]), "").alias(
+                "role_str"
+            ),
+            F.transform("seq", lambda x: x["i"]).alias("turns"),
+            F.transform("seq", lambda x: x["us"]).alias("tss"),
+        )
+    )
+    rx = re.compile(pattern)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in _SPAN_SCHEMA.fields
+            }
+            for conv, s, turns, tss in zip(
+                pdf["conv_id"], pdf["role_str"], pdf["turns"], pdf["tss"]
+            ):
+                for k, m in enumerate(rx.finditer(s)):
+                    out["conv_id"].append(conv)
+                    out["match_seq"].append(k)
+                    out["start_turn"].append(int(turns[m.start()]))
+                    out["end_turn"].append(int(turns[m.end() - 1]))
+                    out["match_len"].append(m.end() - m.start())
+                    out["span_us"].append(
+                        int(tss[m.end() - 1]) - int(tss[m.start()])
+                    )
+            yield pd.DataFrame(out)
+
+    return folded.mapInPandas(run, _SPAN_SCHEMA)

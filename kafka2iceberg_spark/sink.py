@@ -341,12 +341,192 @@ class IcebergLite:
             v += 1
         return v
 
-    def current_snapshot(self) -> dict:
+    def metadata_head(self) -> dict:
+        """Newest committed snapshot file — the table-metadata head. With
+        branches in play this may be a branch/tag commit; content readers
+        want :meth:`current_snapshot` (the ``main`` ref) instead."""
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.location}")
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
             return json.load(fh)
+
+    def refs(self, meta: dict | None = None) -> dict[str, dict]:
+        """Named refs (Iceberg branch/tag registry): name -> {version,
+        type}. Refs ride every snapshot like the partition-spec registry;
+        legacy linear tables resolve to {main -> newest}."""
+        if meta is None:
+            meta = self.metadata_head()
+        refs = meta.get("refs") or {
+            "main": {"version": meta["version"], "type": "branch"}
+        }
+        return {k: dict(v) for k, v in refs.items()}
+
+    def current_snapshot(self) -> dict:
+        """Head CONTENT snapshot of the ``main`` branch (what readers,
+        compaction, and incremental consumers follow). Equal to the
+        metadata head unless a branch/tag commit is newer."""
+        meta = self.metadata_head()
+        mv = self.refs(meta)["main"]["version"]
+        return meta if mv == meta["version"] else self.snapshot_at(mv)
+
+    def head_snapshot(self, branch: str = "main") -> dict:
+        """Head content snapshot of a named branch or tag."""
+        meta = self.metadata_head()
+        refs = self.refs(meta)
+        if branch not in refs:
+            raise KeyError(
+                f"no ref {branch!r} at {self.location}; have {sorted(refs)}"
+            )
+        ev = refs[branch]["version"]
+        return meta if ev == meta["version"] else self.snapshot_at(ev)
+
+    def head_version(self, branch: str = "main") -> int | None:
+        """Version the named ref points at (None for an uncreated table).
+        Incremental consumers track THIS, not ``current_version`` — branch
+        commits advance the metadata head but not ``main``."""
+        if self.current_version() is None:
+            return None
+        refs = self.refs()
+        if branch not in refs:
+            raise KeyError(
+                f"no ref {branch!r} at {self.location}; have {sorted(refs)}"
+            )
+        return refs[branch]["version"]
+
+    def _commit_meta(self, branch: str = "main") -> tuple[int, dict, dict]:
+        """Allocate (new_version, content_base, refs_after) for a commit on
+        ``branch``. Version numbers are table-global (every snapshot of
+        every branch gets a unique, monotonically increasing number — the
+        Iceberg sequence-number rule), so concurrent writers on ANY refs
+        collide on the same next version and optimistic concurrency keeps
+        working. A commit to an unknown branch forks it from main's head."""
+        meta = self.metadata_head()
+        refs = self.refs(meta)
+        entry = refs.get(branch)
+        if entry is None:
+            entry = {"version": refs["main"]["version"], "type": "branch"}
+        if entry.get("type") != "branch":
+            raise ValueError(f"cannot commit to {branch!r}: it is a tag")
+        base = (
+            meta
+            if entry["version"] == meta["version"]
+            else self.snapshot_at(entry["version"])
+        )
+        v_new = meta["version"] + 1
+        refs[branch] = {"version": v_new, "type": "branch"}
+        return v_new, base, refs
+
+    def _commit_refs_only(self, refs: dict, kind: str) -> None:
+        """Metadata-only commit that changes the ref registry (create
+        branch/tag, fast-forward, rollback). Content (``manifests``) carries
+        the main head's so time travel to this version still resolves, but
+        no ref ever points AT a refs-only snapshot except through the
+        explicit version it names."""
+        meta = self.metadata_head()
+        main = self.current_snapshot()
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": meta["version"] + 1,
+                "parent": meta["snapshot_id"],
+                "parent_version": meta["version"],
+                "batch_id": None,
+                "commit_kind": kind,
+                "ref": "_meta",
+                "refs": refs,
+                "schema": main.get("schema"),
+                "manifests": main["manifests"],
+                "delete_manifests": main.get("delete_manifests") or [],
+                "lineage": [],
+            }
+        )
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork a writable branch at main's head (or an explicit retained
+        version). O(1) metadata — no data is copied; the branch head SHARES
+        the fork point's manifests, exactly Iceberg's branch semantics."""
+        if name == "main":
+            raise ValueError("main already exists")
+        refs = self.refs()
+        at = refs["main"]["version"] if version is None else int(version)
+        self.snapshot_at(at)  # must be retained
+        refs[name] = {"version": at, "type": "branch"}
+        self._commit_refs_only(refs, f"create-branch:{name}")
+        return at
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer to a snapshot (Iceberg tag). Tagged
+        versions are protected from ``expire_snapshots`` until the tag is
+        dropped — an audit/reproducibility pin at zero storage cost."""
+        refs = self.refs()
+        at = refs["main"]["version"] if version is None else int(version)
+        self.snapshot_at(at)
+        refs[name] = {"version": at, "type": "tag"}
+        self._commit_refs_only(refs, f"tag:{name}")
+        return at
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(name)
+        del refs[name]
+        self._commit_refs_only(refs, f"drop-ref:{name}")
+
+    def is_ancestor(self, ancestor_version: int, version: int) -> bool:
+        """True iff ``ancestor_version`` is on ``version``'s parent chain
+        (inclusive). Legacy snapshots without ``parent_version`` fall back
+        to the linear version-1 rule they were written under."""
+        v = version
+        while v is not None and v >= ancestor_version:
+            if v == ancestor_version:
+                return True
+            snap = self.snapshot_at(v)
+            pv = snap.get("parent_version")
+            v = (v - 1 if v > 0 else None) if pv is None else int(pv)
+            if v is not None and v >= snap["version"]:
+                raise ValueError("cyclic parent chain")
+        return False
+
+    def fast_forward(self, from_branch: str, to_branch: str = "main") -> int:
+        """Write-audit-publish: move ``to_branch`` (main) to
+        ``from_branch``'s head. Requires main's head to be an ancestor of
+        the branch head (Iceberg's fast-forward rule) so publishing never
+        silently drops commits that landed on main after the fork. O(1)
+        metadata — the audited data files become live on main with no
+        rewrite."""
+        refs = self.refs()
+        for r in (from_branch, to_branch):
+            if r not in refs:
+                raise KeyError(r)
+        src, dst = refs[from_branch], refs[to_branch]
+        if not self.is_ancestor(dst["version"], src["version"]):
+            raise CommitConflict(
+                f"{to_branch} (v{dst['version']}) advanced since "
+                f"{from_branch} forked (head v{src['version']}); "
+                "rebase the branch before publishing"
+            )
+        refs[to_branch] = {"version": src["version"], "type": "branch"}
+        self._commit_refs_only(
+            refs, f"fast-forward:{to_branch}<-{from_branch}"
+        )
+        return src["version"]
+
+    def rollback(self, version: int) -> int:
+        """Point main back at a retained older snapshot (Iceberg
+        ``rollback_to_snapshot``). Metadata-only; newer snapshots stay
+        retained (and replayable) until expiration."""
+        refs = self.refs()
+        self.snapshot_at(version)
+        if not self.is_ancestor(version, refs["main"]["version"]):
+            raise ValueError(
+                f"v{version} is not on main's history"
+            )
+        refs["main"] = {"version": int(version), "type": "branch"}
+        self._commit_refs_only(refs, f"rollback:{version}")
+        return int(version)
 
     def _write_snapshot(self, snap: dict) -> None:
         """Atomic commit with optimistic concurrency.
@@ -588,15 +768,20 @@ class IcebergLite:
         parsed = PS.parse_spec(fields)
         _validate_spec(parsed)
         self.create()
-        snap = self.current_snapshot()
-        reg_json = dict(snap.get("partition_specs") or {})
+        v_new, snap, refs = self._commit_meta("main")
+        # the spec registry is table-global (rides the metadata head, not
+        # any one branch) — extend whatever the newest snapshot carries
+        reg_json = dict(self.metadata_head().get("partition_specs") or {})
         new_id = max([int(k) for k in reg_json] + [0]) + 1
         reg_json[str(new_id)] = PS.spec_to_json(parsed)
         self._write_snapshot(
             {
                 "snapshot_id": uuid.uuid4().hex,
-                "version": snap["version"] + 1,
+                "version": v_new,
                 "parent": snap["snapshot_id"],
+                "parent_version": snap["version"],
+                "ref": "main",
+                "refs": refs,
                 "batch_id": None,
                 "commit_kind": "evolve-spec",
                 "schema": snap.get("schema"),
@@ -747,17 +932,27 @@ class IcebergLite:
                 manifests[pval] = files
         return manifests
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read a committed snapshot (current, or time-travel to ``version``).
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
+        """Read a committed snapshot (main's head, time-travel to
+        ``version``, or a named ``branch``/tag head).
 
         Snapshot files are immutable and every version's manifest is
         retained, so reading an old version is just resolving its file list
-        — Iceberg's ``VERSION AS OF`` semantics.
+        — Iceberg's ``VERSION AS OF`` / ``branch_<name>`` semantics.
         """
+        if version is not None and branch is not None:
+            raise ValueError("pass version OR branch, not both")
         snap = (
-            self.current_snapshot()
-            if version is None
-            else self.snapshot_at(version)
+            self.snapshot_at(version)
+            if version is not None
+            else self.head_snapshot(branch)
+            if branch is not None
+            else self.current_snapshot()
         )
         paths = [
             f["path"]
@@ -1039,14 +1234,22 @@ class IcebergLite:
 
     # -- commits ------------------------------------------------------------
 
-    def commit_append(self, df: DataFrame, batch_id: str) -> bool:
-        """K1: append commit. Returns False if batch already committed."""
+    def commit_append(
+        self, df: DataFrame, batch_id: str, branch: str = "main"
+    ) -> bool:
+        """K1: append commit. Returns False if batch already committed.
+
+        ``branch`` targets a named branch head instead of main (Iceberg
+        branch write / the WAP staging step): content builds on the branch's
+        head while main stays untouched until :meth:`fast_forward`. The
+        replay guard is table-global across refs, matching Iceberg's
+        wap.id-based dedup."""
         self.create()
         if str(batch_id) in self.committed_batches():
             return False
         df = df.cache()
         try:
-            snap = self.current_snapshot()
+            v_new, snap, refs = self._commit_meta(branch)
             base = self.table_schema(snap)
             # schema reconciliation (Iceberg type evolution): the batch may
             # widen a column (int->long mid-stream) or add one; incompatible
@@ -1058,7 +1261,7 @@ class IcebergLite:
             new = self._write_files(
                 self._conform(df, reconciled),
                 str(batch_id),
-                snap["version"] + 1,
+                v_new,
             )
             manifests = dict(snap["manifests"])
             for pv, files in new.items():
@@ -1068,8 +1271,11 @@ class IcebergLite:
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
-                    "version": snap["version"] + 1,
+                    "version": v_new,
                     "parent": snap["snapshot_id"],
+                    "parent_version": snap["version"],
+                    "ref": branch,
+                    "refs": refs,
                     "batch_id": str(batch_id),
                     "commit_kind": "append",
                     "schema": reconciled.jsonValue(),
@@ -1111,7 +1317,7 @@ class IcebergLite:
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            snap = self.current_snapshot()
+            v_new, snap, refs = self._commit_meta("main")
             affected = {
                 r["_p"]
                 for r in batch.select(
@@ -1149,7 +1355,7 @@ class IcebergLite:
                 merged = survivors.unionByName(upserts)
             else:
                 merged = upserts
-            new = self._write_files(merged, str(batch_id), snap["version"] + 1)
+            new = self._write_files(merged, str(batch_id), v_new)
             manifests = {
                 pv: ref
                 for pv, ref in snap["manifests"].items()
@@ -1174,15 +1380,18 @@ class IcebergLite:
                 delete_manifests.append(
                     self._write_manifest(
                         self._write_delete_entries(
-                            spark, batch, reconciled, snap["version"] + 1
+                            spark, batch, reconciled, v_new
                         )
                     )
                 )
             self._write_snapshot(
                 {
                     "snapshot_id": uuid.uuid4().hex,
-                    "version": snap["version"] + 1,
+                    "version": v_new,
                     "parent": snap["snapshot_id"],
+                    "parent_version": snap["version"],
+                    "ref": "main",
+                    "refs": refs,
                     "batch_id": str(batch_id),
                     "commit_kind": "upsert-cow",
                     "schema": reconciled.jsonValue(),
@@ -1241,8 +1450,7 @@ class IcebergLite:
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            snap = self.current_snapshot()
-            seq = snap["version"] + 1
+            seq, snap, refs = self._commit_meta("main")
             upserts = (
                 batch.filter(~F.col("is_cdc_delete")).drop("is_cdc_delete")
                 if has_cdc
@@ -1270,6 +1478,9 @@ class IcebergLite:
                     "snapshot_id": uuid.uuid4().hex,
                     "version": seq,
                     "parent": snap["snapshot_id"],
+                    "parent_version": snap["version"],
+                    "ref": "main",
+                    "refs": refs,
                     "batch_id": str(batch_id),
                     "commit_kind": "upsert-mor",
                     "schema": reconciled.jsonValue(),
@@ -1298,7 +1509,7 @@ class IcebergLite:
         refs = snap.get("delete_manifests") or []
         if not refs or not self.pk:
             return 0
-        seq = snap["version"] + 1
+        seq, snap, crefs = self._commit_meta("main")
         by_part = self.resolve_manifests(snap)
         all_paths = [f["path"] for files in by_part.values() for f in files]
         if all_paths:
@@ -1377,6 +1588,9 @@ class IcebergLite:
                 "snapshot_id": uuid.uuid4().hex,
                 "version": seq,
                 "parent": snap["snapshot_id"],
+                "parent_version": snap["version"],
+                "ref": "main",
+                "refs": crefs,
                 "batch_id": None,  # reorg — replay guard unaffected
                 "materialize": sorted(affected),
                 "schema": snap.get("schema"),
@@ -1429,14 +1643,44 @@ class IcebergLite:
             )
         ]
 
+    def lineage_versions(
+        self, from_version: int, to_version: int
+    ) -> list[int]:
+        """Versions on ``to_version``'s ancestry chain in (from, to],
+        oldest first — the true commit lineage even when branch snapshots
+        interleave version numbers (table-global numbering). Legacy
+        snapshots without ``parent_version`` fall back to the linear
+        version-1 rule they were written under. Raises when
+        ``from_version`` is not an ancestor (e.g. across a rollback): an
+        incremental consumer cannot diff across divergent history."""
+        chain: list[int] = []
+        v = to_version
+        while v > from_version:
+            snap = self.snapshot_at(v)
+            chain.append(v)
+            pv = snap.get("parent_version")
+            pv = (v - 1) if pv is None else int(pv)
+            if pv >= v:
+                raise ValueError(f"cyclic parent chain at v{v}")
+            v = pv
+        if v != from_version:
+            raise ValueError(
+                f"v{from_version} is not an ancestor of v{to_version} at"
+                f" {self.location}: incremental read crosses divergent"
+                " history (rollback or branch switch) — restart the"
+                " consumer from a snapshot on the new lineage"
+            )
+        return list(reversed(chain))
+
     def added_files_with_versions(
         self, from_version: int, to_version: int
     ) -> list[tuple[str, int]]:
-        """(data-file path, committing version) pairs added in (from, to]."""
+        """(data-file path, committing version) pairs added in (from, to]
+        along the commit lineage."""
         added: list[tuple[str, int]] = []
         seen: set[str] = set()
         prev = self.snapshot_at(from_version)
-        for v in range(from_version + 1, to_version + 1):
+        for v in self.lineage_versions(from_version, to_version):
             snap = self.snapshot_at(v)
             if snap.get("batch_id") is not None:
                 prev_refs = prev["manifests"]
@@ -1470,7 +1714,7 @@ class IcebergLite:
         prev_refs = set(
             self.snapshot_at(from_version).get("delete_manifests") or []
         )
-        for v in range(from_version + 1, to_version + 1):
+        for v in self.lineage_versions(from_version, to_version):
             snap = self.snapshot_at(v)
             refs = snap.get("delete_manifests") or []
             for ref in refs:
@@ -1507,7 +1751,7 @@ class IcebergLite:
         preserved (compaction is a data reorganization, not a new batch), so
         replay idempotence is unaffected.
         """
-        snap = self.current_snapshot()
+        v_new, snap, crefs = self._commit_meta("main")
         # fixed point: a partition the SORT strategy already rewrote into
         # target_files files must not re-trigger every maintenance tick
         # (O(table) rewrite amplification on a long-lived job — review
@@ -1538,7 +1782,7 @@ class IcebergLite:
             )
             stage = os.path.join(
                 self.data_dir,
-                f"s{snap['version'] + 1:08d}-compact-{uuid.uuid4().hex[:8]}",
+                f"s{v_new:08d}-compact-{uuid.uuid4().hex[:8]}",
                 f"_p={pv}",
             )
             with self._micros_timestamps(spark):
@@ -1568,8 +1812,11 @@ class IcebergLite:
         self._write_snapshot(
             {
                 "snapshot_id": uuid.uuid4().hex,
-                "version": snap["version"] + 1,
+                "version": v_new,
                 "parent": snap["snapshot_id"],
+                "parent_version": snap["version"],
+                "ref": "main",
+                "refs": crefs,
                 "batch_id": None,  # not a data batch — replay guard unaffected
                 "compaction": sorted(todo),
                 "schema": snap.get("schema"),  # reorg, not an evolution
@@ -1615,10 +1862,17 @@ class IcebergLite:
             os.path.join(self.meta_dir, f"v{oldest_keep}.json")
         ):
             oldest_keep += 1
+        # refs (branch heads + tags) pin their snapshots regardless of the
+        # retention window — Iceberg retains referenced snapshots until the
+        # ref is dropped; without this a tag older than keep_last would
+        # dangle and its files would be GC'd from under it
+        protected = {int(e["version"]) for e in self.refs().values()}
         # 1. fold expiring batch ids forward
         inherited: set[str] = set()
         expiring: list[int] = []
         for i in range(0, oldest_keep):
+            if i in protected:
+                continue
             try:
                 snap = self.snapshot_at(i)
             except FileNotFoundError:
@@ -1639,7 +1893,7 @@ class IcebergLite:
         # 2. reference sets over RETAINED snapshots only
         live_files: set[str] = set()
         live_manifests: set[str] = set()
-        for i in range(oldest_keep, v + 1):
+        for i in sorted(set(range(oldest_keep, v + 1)) | protected):
             try:
                 snap = self.snapshot_at(i)
             except FileNotFoundError:

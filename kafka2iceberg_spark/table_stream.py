@@ -105,12 +105,20 @@ class _TableStreamReader(DataSourceStreamReader):
         if self._start is not None:
             return {"version": int(self._start)}
         # default "latest": stream only commits made after the query starts
-        v = self._table.current_version()
+        v = self._head()
         return {"version": int(v if v is not None else 0)}
 
     def latestOffset(self) -> dict:
-        v = self._table.current_version()
+        v = self._head()
         return {"version": int(v if v is not None else 0)}
+
+    def _head(self) -> int | None:
+        """MAIN's head, not the metadata head: commits staged on a WAP/audit
+        branch must not stream to consumers until they are fast-forwarded
+        onto main."""
+        if self._table.current_version() is None:
+            return None
+        return self._table.head_version("main")
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
@@ -122,7 +130,7 @@ class _TableStreamReader(DataSourceStreamReader):
         # snapshots. Append and MOR commits are true row-adds and stream
         # exactly. (Snapshots older than commit-kind tagging pass through —
         # legacy tables keep the plain append-scan behavior.)
-        for v in range(lo + 1, hi + 1):
+        for v in self._table.lineage_versions(lo, hi):
             s = self._table.snapshot_at(v)
             if s.get("commit_kind") == "upsert-cow":
                 raise ValueError(

@@ -1,0 +1,128 @@
+"""MATCH_RECOGNIZE-style CEP: declarative regexp path vs positional
+mapInPandas path, greedy/non-overlap semantics pinned on handcrafted
+conversations, and the full-table twins on the driver transcripts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import cep
+from kafka2iceberg_spark.transcripts import transcripts
+
+
+def _mini(spark, seqs: dict[str, str]):
+    """Build a transcripts-shaped df from {conv_id: role_char_string}."""
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    names = {"u": "user", "a": "assistant", "t": "tool"}
+    for conv, s in seqs.items():
+        for i, c in enumerate(s):
+            rows.append(
+                (
+                    conv,
+                    i,
+                    names[c],
+                    f"{conv}:{i}",
+                    None,
+                    base + dt.timedelta(minutes=i),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_compile_pattern():
+    assert cep.compile_pattern("user tool+ user") == "ut+u"
+    assert cep.compile_pattern("user (?:au)+") == "u(?:au)+"
+    assert cep.compile_pattern("user any* assistant") == "u[uat]*a"
+    assert cep.compile_pattern("tool{2,3}") == "t{2,3}"
+
+
+def test_role_sequence_orders_turns(spark):
+    df = _mini(spark, {"c1": "uta", "c2": "ua"})
+    # shuffle input row order: role_sequence must sort by turn_idx
+    got = {
+        r["conv_id"]: (r["role_str"], r["n_turns"], list(r["turns"]))
+        for r in cep.role_sequence(df.orderBy(F.rand(7))).collect()
+    }
+    assert got == {"c1": ("uta", 3, [0, 1, 2]), "c2": ("ua", 2, [0, 1])}
+
+
+def test_non_overlapping_greedy_semantics(spark):
+    # "ututu": ONE utu (shared boundary turn collapses); greedy (?:au)+
+    df = _mini(spark, {"c1": "ututu", "c2": "uauauautuua"})
+    trips = {
+        r["conv_id"]: (r["tool_trips"], r["assist_runs"],
+                       r["longest_assist_runs"])
+        for r in cep.match_counts(
+            df, {"tool_trips": "utu", "assist_runs": "u(?:au)+"}
+        ).collect()
+    }
+    assert trips["c1"] == (1, 0, 0)
+    # c2: 'uauauau' greedy run of 7, then utu at offset 6? no — scan
+    # resumes after the consumed run; remaining 'tuua' holds no match.
+    assert trips["c2"] == (1, 1, 7)
+
+
+def test_match_extract_matches_spans(spark):
+    df = _mini(
+        spark,
+        {"c1": "uauauautuua", "c2": "utuau", "c3": "ttt", "c4": "uau"},
+    )
+    pat = "u(?:au)+"
+    ext = sorted(
+        (r["conv_id"], r["match_seq"], r["match_str"], r["match_len"])
+        for r in cep.match_extract(df, pat).collect()
+    )
+    spans = sorted(
+        (r["conv_id"], r["match_seq"], r["start_turn"], r["end_turn"],
+         r["match_len"], r["span_us"])
+        for r in cep.match_spans(df, pat).collect()
+    )
+    # same matches, same lengths, via two independent code paths
+    assert [(c, s, ln) for c, s, _m, ln in ext] == [
+        (c, s, ln) for c, s, _st, _en, ln, _sp in spans
+    ]
+    # positions map back to real turn ids and event-time spans
+    by_key = {(c, s): (st, en, sp) for c, s, st, en, _l, sp in spans}
+    st, en, sp = by_key[("c2", 0)]
+    assert (st, en) == (2, 4)  # 'uau' inside 'utuau'
+    assert sp == 2 * 60_000_000  # two 1-minute turn gaps
+    st, en, sp = by_key[("c1", 0)]
+    assert (st, en, sp) == (0, 6, 6 * 60_000_000)
+
+
+def test_match_spans_empty_pattern_hits(spark):
+    df = _mini(spark, {"c1": "aaa"})
+    assert cep.match_spans(df, "utu").count() == 0
+
+
+def test_counts_keep_matchless_conversations(spark):
+    df = _mini(spark, {"c1": "aaa", "c2": "utu"})
+    got = {
+        r["conv_id"]: (r["tool_trips"], r["longest_tool_trips"])
+        for r in cep.match_counts(df, {"tool_trips": "utu"}).collect()
+    }
+    assert got == {"c1": (0, 0), "c2": (1, 3)}
+
+
+def test_full_table_twins_agree(spark, sf_dir):
+    """Declarative extract vs positional spans on the driver transcripts:
+    identical (conv, seq, len) multisets — the regexp_count JVM path and
+    re.finditer Arrow path implement the same NFA semantics."""
+    t = transcripts(spark, sf_dir)
+    pat = "u(?:au)+"
+    ext = sorted(
+        (r["conv_id"], r["match_seq"], r["match_len"])
+        for r in cep.match_extract(t, pat).collect()
+    )
+    spans = sorted(
+        (r["conv_id"], r["match_seq"], r["match_len"])
+        for r in cep.match_spans(t, pat).collect()
+    )
+    assert ext and ext == spans
