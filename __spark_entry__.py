@@ -29,6 +29,7 @@ from kafka2iceberg_spark import cep
 from kafka2iceberg_spark import dedup as dd
 from kafka2iceberg_spark import multimodal as mm
 from kafka2iceberg_spark import similarity as sim
+from kafka2iceberg_spark import sketches as sk
 from kafka2iceberg_spark import textops as tx
 from kafka2iceberg_spark import windows as win
 from kafka2iceberg_spark.config import FieldSpec, TaskSpec
@@ -908,6 +909,41 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate per order priority — a
+    mergeable 4096-register sketch instead of an exact COUNT(DISTINCT)
+    shuffle. Engine-portable: md5 register hashing, bin()-length ranks,
+    exact BIGINT register sums (sketches.py); the reference has no
+    aggregation surface at all (SURVEY.md §2.1)."""
+    orders = _read(spark, sf_dir, "orders")
+    return sk.hll_estimate(
+        orders, F.col("o_custkey").cast("string"), group=["o_orderpriority"]
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-part estimate over lineitem: the 256
+    smallest md5 hashes of l_partkey; per-partition partial top-K, no full
+    shuffle of the distinct domain."""
+    li = _read(spark, sf_dir, "lineitem")
+    return sk.kmv_estimate(li, F.col("l_partkey").cast("string"), k=256)
+
+
+def q_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over document tokens: a 4x1024 counter
+    matrix (map-side partial agg, <= 4096 shuffled rows per partition)
+    probed with the exact top-15 tokens; est_count >= exact_n by the
+    classic CM overestimate bound."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    cands = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(15)
+    est = sk.countmin_heavy_hitters(toks, cands.select("token"))
+    return cands.join(est, "token").select("token", "exact_n", "est_count")
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF codebook build + nearest-centroid assignment (exact integer L2)."""
     emb = _read(spark, sf_dir, "embeddings", spread=True)
@@ -1387,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_bin_stats": q_pack_bin_stats,
         "vocab_topk": q_vocab_topk,
+        "hll_distinct": q_hll_distinct,
+        "kmv_distinct": q_kmv_distinct,
+        "countmin_hitters": q_countmin_hitters,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -2093,6 +2132,96 @@ tok0 AS (SELECT unnest(string_split(n, ' ')) AS token FROM normd),
 counts AS (SELECT token, count(*) AS n FROM tok0 WHERE token <> '' GROUP BY token),
 r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
 SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+""",
+        # HLL replay: identical register hashing (md5 60-bit, top 12 bits ->
+        # register, bin()-length rank), exact BIGINT register sums, and the
+        # same linear-counting correction. The alpha*m^2 literal is the
+        # Python double repr, bit-identical on DuckDB's parser.
+        "hll_distinct": f"""
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority,
+         CAST(h >> 48 AS INT) AS register,
+         CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0 THEN 49
+              ELSE 49 - length(bin(h & ((CAST(1 AS BIGINT) << 48) - 1)))
+              END AS INT) AS rank
+  FROM h
+),
+m AS (
+  SELECT o_orderpriority, register, max(rank) AS max_rank
+  FROM r GROUP BY 1, 2
+),
+a AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS INT) AS occupied,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - max_rank)) AS BIGINT)
+             AS occupied_sum
+  FROM m GROUP BY 1
+),
+e AS (
+  SELECT *,
+         {sk._hll_alpha(4096) * 4096 * 4096!r}
+           / (CAST(occupied_sum AS DOUBLE) / 562949953421312.0
+              + CAST(4096 - occupied AS DOUBLE)) AS raw
+  FROM a
+)
+SELECT o_orderpriority,
+       occupied AS occupied_registers,
+       CAST(4096 - occupied AS INT) AS empty_registers,
+       occupied_sum,
+       round(CASE WHEN raw <= 10240.0 AND occupied < 4096
+                  THEN 4096.0 * ln(4096.0 / CAST(4096 - occupied AS DOUBLE))
+                  ELSE raw END, 3) AS estimate
+FROM e
+""",
+        "kmv_distinct": """
+WITH h AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM lineitem
+),
+k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+a AS (SELECT max(h) AS kth_hash, CAST(count(*) AS INT) AS sketch_size FROM k)
+SELECT kth_hash, sketch_size,
+       round(CASE WHEN sketch_size < 256 THEN CAST(sketch_size AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0
+                       / CAST(kth_hash AS DOUBLE) END, 3) AS estimate
+FROM a
+""",
+        "countmin_hitters": f"""
+WITH normd AS (SELECT {_NORM} AS n FROM documents),
+tok0 AS (
+  SELECT unnest(string_split(n, ' ')) AS token FROM normd
+),
+toks AS (SELECT token FROM tok0 WHERE token <> ''),
+exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+cand AS (
+  SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 15
+),
+rws AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS rw),
+upd AS (
+  SELECT rw,
+         CAST(CAST(concat('0x', substr(md5(concat('cm', CAST(rw AS VARCHAR),
+              ':', token)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM toks CROSS JOIN rws
+),
+cnt AS (SELECT rw, bucket, count(*) AS counter FROM upd GROUP BY 1, 2),
+probe AS (
+  SELECT c.token, c.exact_n, r.rw,
+         CAST(CAST(concat('0x', substr(md5(concat('cm', CAST(r.rw AS VARCHAR),
+              ':', c.token)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM cand c CROSS JOIN rws r
+)
+SELECT p.token, p.exact_n,
+       CAST(min(COALESCE(cnt.counter, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN cnt ON p.rw = cnt.rw AND p.bucket = cnt.bucket
+GROUP BY 1, 2
 """,
         "repetition_stats": f"""
 WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -1,0 +1,212 @@
+"""Approximate-aggregation sketches, engine-portable and deterministic.
+
+At 100 TB you cannot afford exact ``COUNT(DISTINCT ...)`` (a full shuffle of
+every distinct key) or exact per-token frequency tables (a shuffle of every
+token occurrence).  The standard answers are mergeable sketches:
+
+  * **HyperLogLog** distinct counting — fixed 2^p registers, one partial
+    aggregation per partition, a tiny merge; error ~1.04/sqrt(2^p).
+  * **KMV (K minimum values)** distinct counting — the K smallest hashes;
+    ``orderBy(hash).limit(K)`` with partial top-K per partition.
+  * **Count-Min** frequency estimation / heavy hitters — d x w counter
+    matrix; per-row updates are partial-aggregated map-side, the sketch
+    itself is d*w integers regardless of input size.
+
+Spark ships ``approx_count_distinct`` (HLL++) and ``count_min_sketch``
+natively, but their register hashing is engine-internal and cannot be
+replayed in an independent oracle.  These implementations rebuild the same
+algorithms from *portable* primitives so DuckDB can verify them bit-for-bit:
+
+  * hashes derive from md5 hex prefixes (``textops.h60``), identical in any
+    engine;
+  * leading-zero ranks use the length of the ``bin()`` string (exact integer,
+    both engines) — never floating ``log2``;
+  * register sums use exact BIGINT bit-shifts (``2^(W+1-rank)`` fits 2^61);
+    the only floating-point op is the final estimate division.
+
+Everything is built-in-function DataFrame code: zero Python UDFs, one
+shuffle per sketch (the register/counter groupBy, at most 2^p or d*w rows
+after map-side partial aggregation).
+
+Reference scope note: the reference (naive-zhang/kafka2iceberg) has no
+aggregation surface at all (SURVEY.md §2.1 — no aggregations anywhere;
+Kafka2IcebergApp.java:60-113 is source→sink); sketches belong to the
+[NORTH]/training-data surface for corpus analytics at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import hash64 as h60
+
+# 60-bit md5 hash: top P bits -> register index, low W bits -> rank domain.
+HLL_P = 12  # 4096 registers, rel. error ~1.04/64 = 1.6%
+HLL_W = 60 - HLL_P  # 48
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, value: Column, group: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
+    """Per-register max-rank table — the HLL sketch itself, exact integers.
+
+    Output: ``group..., register:int, max_rank:int`` with one row per
+    *occupied* register.  rank = leading zeros of the (60-p)-bit suffix + 1,
+    computed as ``W + 1 - length(bin(suffix))`` (bin() drops leading zeros);
+    an all-zero suffix saturates at W + 1.  Mergeable: union two register
+    tables and re-take the max.
+    """
+    w = 60 - p
+    h = h60(value)
+    reg = F.shiftrightunsigned(h, w).cast("int").alias("register")
+    suffix = h.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+    rank = (
+        F.when(suffix == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(suffix)))
+        .cast("int")
+    )
+    keys = [F.col(g) for g in (group or [])]
+    return df.select(*keys, reg, rank.alias("rank")).groupBy(
+        *(group or []), "register"
+    ).agg(F.max("rank").alias("max_rank"))
+
+
+def hll_estimate(
+    df: DataFrame, value: Column, group: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
+    """HLL distinct-count estimate with the small-range (linear counting)
+    correction.  One shuffle (register groupBy), then a per-group fold of at
+    most 2^p rows.
+
+    The register sum uses exact integers: ``S = sum(2^(W+1-max_rank))`` over
+    occupied registers plus ``2^(W+1)`` per empty register, so
+    ``sum(2^-rank) = S / 2^(W+1)`` exactly; the estimate is one double
+    division from exact BIGINTs.  Small range (E <= 2.5m, zeros present)
+    switches to linear counting ``m * ln(m/V)``.
+    """
+    m = 1 << p
+    w = 60 - p
+    alpha = _hll_alpha(m)
+    regs = hll_registers(df, value, group, p)
+    # SQL-level shiftleft: the Python wrapper only takes a literal shift,
+    # but the Catalyst expression accepts a column on either side.
+    agg = regs.groupBy(*(group or [])).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rank)")).alias(
+            "occupied_sum"
+        ),
+        F.count(F.lit(1)).alias("occupied")
+    )
+    zeros = F.lit(m) - F.col("occupied")
+    # S/2^(w+1) = sum(2^-rank); empty registers contribute 2^0 = 1 each.
+    raw = F.lit(alpha * m * m) / (
+        F.col("occupied_sum") / F.lit(float(1 << (w + 1))) + zeros.cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *(group or []),
+        F.col("occupied").cast("int").alias("occupied_registers"),
+        zeros.cast("int").alias("empty_registers"),
+        F.col("occupied_sum"),
+        F.round(corrected, 3).alias("estimate"),
+    )
+
+
+def kmv_estimate(
+    df: DataFrame, value: Column, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct estimate: E = (k-1) * 2^60 / h_(k).
+
+    ``orderBy(hash).limit(k)`` — Spark's TakeOrdered does a per-partition
+    partial top-K then merges K*parts rows on the driver; no full sort, no
+    full shuffle.  Returns one row: kth_hash (exact), estimate (one double
+    division).
+    """
+    hashes = df.select(h60(value).alias("h")).distinct()
+    kth = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n"))
+    )
+    # Fewer than k distinct values -> the sketch IS the exact set.
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("kth_hash").cast("double")
+    )
+    return kth.select(
+        F.col("kth_hash"),
+        F.col("n").cast("int").alias("sketch_size"),
+        F.round(est, 3).alias("estimate"),
+    )
+
+
+def countmin_counters(
+    tokens: DataFrame, value: str = "token", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min counter matrix over a token column.
+
+    Each row hashes into one bucket per sketch row; ``d`` independent hashes
+    come from salting the md5 (``cm<i>:<token>``).  The groupBy partial-
+    aggregates map-side, so the shuffle carries at most ``d*width`` rows per
+    partition regardless of corpus size.  Output: ``row:int, bucket:int,
+    counter:bigint``.
+    """
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    ).alias("row")
+    exploded = tokens.select(F.col(value).alias("_t")).select("_t", rows)
+    bucket = F.pmod(
+        h60(F.concat(F.lit("cm"), F.col("row").cast("string"), F.lit(":"), F.col("_t"))),
+        F.lit(width),
+    ).cast("int")
+    return (
+        exploded.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def countmin_heavy_hitters(
+    tokens: DataFrame,
+    candidates: DataFrame,
+    value: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate candidate-token frequencies from the Count-Min sketch:
+    estimate(x) = min_i counter[i][h_i(x)] (classic over-estimate bound).
+
+    The counter matrix (<= d*width rows) is broadcast onto the candidate
+    probes — the token corpus is scanned exactly once and never re-shuffled.
+    Output: ``token, est_count`` (exact integers, engine-portable).
+    """
+    counters = countmin_counters(tokens, value, depth, width)
+    probe_rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probes = candidates.select(F.col(value).alias("token")).distinct().select(
+        "token", probe_rows
+    )
+    probes = probes.select(
+        "token",
+        "row",
+        F.pmod(
+            h60(F.concat(F.lit("cm"), F.col("row").cast("string"), F.lit(":"), F.col("token"))),
+            F.lit(width),
+        ).cast("int").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(counters), ["row", "bucket"], "left").fillna(
+        {"counter": 0}
+    )
+    return joined.groupBy("token").agg(F.min("counter").alias("est_count"))
