@@ -981,9 +981,10 @@ class IcebergLite:
         return meta_table(self, spark, name)
 
     def read_partitions(
-        self, spark: SparkSession, pvals: set[str]
+        self, spark: SparkSession, pvals: set[str], snap: dict | None = None
     ) -> DataFrame | None:
-        snap = self.current_snapshot()
+        if snap is None:
+            snap = self.current_snapshot()
         paths = [
             f["path"]
             for pv, ref in snap["manifests"].items()
@@ -1289,7 +1290,11 @@ class IcebergLite:
             df.unpersist()
 
     def commit_upsert(
-        self, df: DataFrame, batch_id: str, strategy: str = "cow"
+        self,
+        df: DataFrame,
+        batch_id: str,
+        strategy: str = "cow",
+        branch: str = "main",
     ) -> bool:
         """K2+K3: idempotent equality-upsert commit.
 
@@ -1310,21 +1315,23 @@ class IcebergLite:
         if str(batch_id) in self.committed_batches():
             return False
         if strategy == "mor":
-            return self._commit_upsert_mor(df, batch_id)
+            return self._commit_upsert_mor(df, batch_id, branch)
         if strategy != "cow":
             raise ValueError(f"unknown upsert strategy {strategy!r}")
         spark = df.sparkSession
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            v_new, snap, refs = self._commit_meta("main")
+            v_new, snap, refs = self._commit_meta(branch)
             affected = {
                 r["_p"]
                 for r in batch.select(
                     self._partition_expr(batch).alias("_p")
                 ).distinct().collect()
             }
-            current = self.read_partitions(spark, affected)
+            # merge against the TARGET ref's head (branch-staged upserts
+            # build on the branch, not on main)
+            current = self.read_partitions(spark, affected, snap)
             upserts = (
                 batch.filter(~F.col("is_cdc_delete")).drop("is_cdc_delete")
                 if has_cdc
@@ -1390,7 +1397,7 @@ class IcebergLite:
                     "version": v_new,
                     "parent": snap["snapshot_id"],
                     "parent_version": snap["version"],
-                    "ref": "main",
+                    "ref": branch,
                     "refs": refs,
                     "batch_id": str(batch_id),
                     "commit_kind": "upsert-cow",
@@ -1432,7 +1439,9 @@ class IcebergLite:
             if f.endswith(".parquet")
         ]
 
-    def _commit_upsert_mor(self, df: DataFrame, batch_id: str) -> bool:
+    def _commit_upsert_mor(
+        self, df: DataFrame, batch_id: str, branch: str = "main"
+    ) -> bool:
         """Merge-on-read upsert: append data files + one equality-delete
         file, both at sequence V+1. Cost is O(batch) — the existing table
         is never read and no partition is rewritten, which is what keeps a
@@ -1450,7 +1459,7 @@ class IcebergLite:
         has_cdc = "is_cdc_delete" in df.columns
         batch = dedup_batch(df, self.pk).cache()
         try:
-            seq, snap, refs = self._commit_meta("main")
+            seq, snap, refs = self._commit_meta(branch)
             upserts = (
                 batch.filter(~F.col("is_cdc_delete")).drop("is_cdc_delete")
                 if has_cdc
@@ -1479,7 +1488,7 @@ class IcebergLite:
                     "version": seq,
                     "parent": snap["snapshot_id"],
                     "parent_version": snap["version"],
-                    "ref": "main",
+                    "ref": branch,
                     "refs": refs,
                     "batch_id": str(batch_id),
                     "commit_kind": "upsert-mor",
