@@ -1104,6 +1104,48 @@ class IcebergLite:
             df = df.where(F.col(col) <= F.lit(hi))
         return df
 
+    def build_blooms(
+        self, spark: SparkSession, cols: list[str], fpp: float = 0.01
+    ) -> int:
+        """Attach per-file bloom sidecars for ``cols`` (Puffin analogue);
+        one executor task per data file, metadata-only commit. See
+        bloom.build_blooms."""
+        from . import bloom as bl
+
+        return bl.build_blooms(self, spark, cols, fpp)
+
+    def plan_scan_eq(
+        self, col: str, value, version: int | None = None
+    ) -> dict:
+        """Point-lookup plan: min/max stats + bloom sidecars. Metadata-only."""
+        from . import bloom as bl
+
+        return bl.plan_scan_eq(self, col, value, version)
+
+    def scan_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read ``col = value`` opening only files the stats AND blooms
+        cannot rule out. Semantically identical to
+        ``read(spark).where(col = value)`` (tested) — bloom false positives
+        are filtered by the residual predicate, never surfaced."""
+        plan = self.plan_scan_eq(col, value, version)
+        snap = (
+            self.snapshot_at(version)
+            if version is not None
+            else self.current_snapshot()
+        )
+        if not plan["paths"]:
+            return self.read(spark, version).limit(0).where(F.lit(False))
+        df = self._apply_equality_deletes(
+            spark, self._read_files(spark, plan["paths"], snap), snap
+        )
+        return df.where(F.col(col) == F.lit(value))
+
     def _save_schema_hint(self, schema: T.StructType) -> None:
         """Persist the reconciled schema for the empty-table read path.
         Overwritten whenever evolution changes it (unlike snapshots, the
@@ -1739,6 +1781,7 @@ class IcebergLite:
         min_files_per_partition: int = 2,
         sort_by: list[str] | None = None,
         target_files: int = 1,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite partitions holding ≥ N files, as
         a new snapshot (Iceberg rewrite_data_files analogue). Streaming
@@ -1756,17 +1799,26 @@ class IcebergLite:
         own pushdown. Default (no sort) keeps the bin-pack behavior: one
         file per partition.
 
+        ``zorder_by`` (mutually exclusive with ``sort_by``) is the Z-ORDER
+        strategy: rows are clustered on the Morton interleave of 2-4
+        numeric/timestamp columns (zorder.zvalue), so every output file
+        covers a small hyper-rectangle of the combined key space and
+        ``plan_scan`` skips files for predicates on ANY z-ordered column —
+        the multi-dimensional generalization of SORT's single-key pruning.
+
         Returns the number of partitions rewritten. Committed batch ids are
         preserved (compaction is a data reorganization, not a new batch), so
         replay idempotence is unaffected.
         """
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         v_new, snap, crefs = self._commit_meta("main")
         # fixed point: a partition the SORT strategy already rewrote into
         # target_files files must not re-trigger every maintenance tick
         # (O(table) rewrite amplification on a long-lived job — review
         # catch); only rewrite once NEW files arrive on top
         threshold = min_files_per_partition
-        if sort_by:
+        if sort_by or zorder_by:
             threshold = max(threshold, target_files + 1)
         todo = {
             pv: files
@@ -1795,7 +1847,17 @@ class IcebergLite:
                 f"_p={pv}",
             )
             with self._micros_timestamps(spark):
-                if sort_by:
+                if zorder_by:
+                    from . import zorder as zo
+
+                    (
+                        df.withColumn("_z", zo.zvalue(df, zorder_by))
+                        .repartitionByRange(max(target_files, 1), F.col("_z"))
+                        .sortWithinPartitions("_z")
+                        .drop("_z")
+                        .write.parquet(stage, mode="overwrite")
+                    )
+                elif sort_by:
                     sort_cols = [F.col(c) for c in sort_by]
                     (
                         df.repartitionByRange(
