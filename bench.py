@@ -74,6 +74,12 @@ HEADLINE_EXTRA = [
     "top_rare_terms",
     "missing_replies",
     "enriched_turns",
+    # round-3 additions
+    "cep_match_extract",
+    "cep_sequence_counts",
+    "hll_distinct",
+    "kmv_distinct",
+    "countmin_hitters",
 ]
 
 SCALE_GEN = dict(
