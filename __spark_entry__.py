@@ -1072,6 +1072,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (fourth strategy): corpus compressed to 16 6-bit codes
+    (12 bytes vs 256), per-query integer distance LUT broadcast over the
+    code table, top-40 candidates reranked exactly by cosine. The DuckDB
+    oracle replays codebook build (md5-bucket integer means), encoding
+    argmin, LUT, ADC, and rerank with identical arithmetic."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 8)
+    out = sim.pq_topk(emb, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH; the DuckDB oracle mirrors
     the sign-bucketing → candidate join → exact rerank over the identical
@@ -1437,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "blob_meta": q_blob_meta,
         "blob_features": q_blob_features,
         "latency_percentiles": q_latency_percentiles,
@@ -2431,6 +2444,70 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('a', 'b')}, 6) AS cosine
 FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
+""",
+        # PQ replay: md5-bucket codebook (integer component means per
+        # subspace), argmin encoding (ties to smaller code), per-query
+        # integer LUT, ADC top-40 candidates, exact cosine rerank.
+        "ann_pq_topk": """
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+         CAST(CAST(concat('0x', substr(md5(concat('pq:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket
+  FROM embeddings
+),
+pos AS (SELECT bucket, unnest(range(1, 65)) AS i, q FROM d),
+comp AS (
+  SELECT bucket AS code, i, SUM(q[CAST(i AS INT)]) AS sm, COUNT(*) AS cnt
+  FROM pos GROUP BY 1, 2
+),
+cb AS (
+  SELECT CAST((i - 1) // 4 AS INT) AS s, code, i,
+         CAST(sm // cnt AS BIGINT) AS cv
+  FROM comp
+),
+enc0 AS (
+  SELECT d.vec_id, cb.s, cb.code,
+         CAST(SUM((d.q[CAST(cb.i AS INT)] - cb.cv)
+                  * (d.q[CAST(cb.i AS INT)] - cb.cv)) AS BIGINT) AS dd
+  FROM d CROSS JOIN cb
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+    FROM enc0
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT vec_id AS query_id, s, code, dd FROM enc0 WHERE vec_id < 8
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(SUM(q.dd) AS BIGINT) AS adc_dist
+  FROM codes c JOIN qlut q ON q.s = c.s AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 40
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range(1, 65), i -> qd.e[i] * cd.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> qd.e[i] * qd.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> cd.e[i] * cd.e[i])))), 6) AS cosine
+  FROM cand
+  JOIN d qd ON qd.vec_id = cand.query_id
+  JOIN d cd ON cd.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
 """,
         "ann_ivf_topk": """
 WITH d AS (

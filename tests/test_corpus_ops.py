@@ -215,6 +215,32 @@ def test_ivf_recall_vs_brute(spark, emb):
     assert f == e, "probing every cell must equal brute force"
 
 
+def test_pq_recall_and_compression_contract(spark, emb):
+    """PQ-ADC + exact rerank: a solid share of exact top-5 recovered from
+    the compressed scan; codes really are m small ints; self excluded;
+    every returned neighbor's cosine matches the exact computation."""
+    q = emb.where(F.col("vec_id") < 8)
+    exact = sim.brute_topk(emb, q, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx = sim.pq_topk(emb, q, k=5)
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    # rerank stage is exact: any pair PQ and brute share agrees on cosine
+    ecos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ecos:
+            assert abs(r["cosine"] - ecos[key]) < 1e-9
+    # the code table: m codes in [0, ks) per vector
+    cb = sim.pq_codebook(emb)
+    codes = sim.pq_encode(emb, cb).collect()
+    assert all(len(r["codes"]) == sim.PQ_M for r in codes)
+    assert all(0 <= c < sim.PQ_KS for r in codes for c in r["codes"])
+
+
 def test_neardup_components_transitive_chain(spark):
     """A~B and B~C must land in ONE component even when A and C are not
     directly similar — the property one-hop pair suppression misses."""
