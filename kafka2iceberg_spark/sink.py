@@ -1331,6 +1331,94 @@ class IcebergLite:
         finally:
             df.unpersist()
 
+    def count_rows(self, version: int | None = None) -> int | None:
+        """Metadata-only COUNT(*): the sum of per-file row counts from the
+        manifests (Iceberg's count pushdown). Returns None — caller falls
+        back to ``read().count()`` — when the count is not provable from
+        metadata alone: outstanding equality deletes (MOR rows may be
+        superseded) or a file missing its row stat. No data IO either way.
+        """
+        snap = (
+            self.current_snapshot()
+            if version is None
+            else self.snapshot_at(version)
+        )
+        if snap.get("delete_manifests"):
+            return None
+        total = 0
+        for files in self.resolve_manifests(snap).values():
+            for f in files:
+                rows = f.get("rows")
+                if rows is None:
+                    return None
+                total += rows
+        return total
+
+    def commit_overwrite(
+        self, df: DataFrame, batch_id: str, dynamic: bool = True
+    ) -> bool:
+        """Atomic overwrite commit (Iceberg INSERT OVERWRITE).
+
+        ``dynamic=True`` (replacePartitions): exactly the partitions the
+        batch touches are swapped for its rows; every other partition
+        carries forward by manifest reference — the backfill/restatement
+        primitive. ``dynamic=False``: static whole-table overwrite (the
+        new snapshot holds only this batch; outstanding MOR deletes are
+        dropped with the data they covered). Replay-guarded by batch_id
+        like every data commit; time travel keeps the overwritten data
+        reachable until expiration.
+        """
+        self.create()
+        if str(batch_id) in self.committed_batches():
+            return False
+        df = df.cache()
+        try:
+            v_new, snap, refs = self._commit_meta("main")
+            base = self.table_schema(snap)
+            reconciled = (
+                widen_schema(base, df.schema) if base is not None else df.schema
+            )
+            self._save_schema_hint(reconciled)
+            new = self._write_files(
+                self._conform(df, reconciled), str(batch_id), v_new
+            )
+            if dynamic:
+                manifests = {
+                    pv: ref
+                    for pv, ref in snap["manifests"].items()
+                    if pv not in new
+                }
+                # MOR deletes still cover the untouched partitions; the
+                # replaced partitions' rows carry sequence v_new, newer
+                # than every outstanding delete, so they are immune
+                delete_manifests = snap.get("delete_manifests") or []
+            else:
+                manifests = {}
+                delete_manifests = []
+            for pv, files in new.items():
+                manifests[pv] = self._write_manifest(files)
+            self._write_snapshot(
+                {
+                    "snapshot_id": uuid.uuid4().hex,
+                    "version": v_new,
+                    "parent": snap["snapshot_id"],
+                    "parent_version": snap["version"],
+                    "ref": "main",
+                    "refs": refs,
+                    "batch_id": str(batch_id),
+                    "commit_kind": (
+                        "overwrite-dynamic" if dynamic else "overwrite"
+                    ),
+                    "schema": reconciled.jsonValue(),
+                    "manifests": manifests,
+                    "delete_manifests": delete_manifests,
+                    "lineage": [self._lineage_record(df, batch_id)],
+                }
+            )
+            return True
+        finally:
+            df.unpersist()
+
     def commit_upsert(
         self,
         df: DataFrame,
@@ -1664,10 +1752,12 @@ class IcebergLite:
         already-consumed rows, so a consumer whose range spans a compaction
         does not re-read compacted partitions — the same rule as Iceberg's
         incremental append scan skipping replace snapshots. Exact for
-        append-only tables; for CoW-upsert tables the rewritten partitions'
-        files are new by construction, so consumers see the post-merge rows
-        of every partition touched in the range (document downstream
-        accordingly). Returns None when the range added no files.
+        append-only tables; for CoW-upsert (and overwrite) commits the
+        rewritten partitions' files are new by construction, so consumers
+        see the post-merge/post-restatement rows of every partition touched
+        in the range (document downstream accordingly; the streaming source
+        refuses these kinds outright). Returns None when the range added no
+        files.
 
         Cost: per step, only partitions whose manifest NAME changed are
         opened — untouched partitions share the same manifest file.

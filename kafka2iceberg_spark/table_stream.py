@@ -132,12 +132,14 @@ class _TableStreamReader(DataSourceStreamReader):
         # legacy tables keep the plain append-scan behavior.)
         for v in self._table.lineage_versions(lo, hi):
             s = self._table.snapshot_at(v)
-            if s.get("commit_kind") == "upsert-cow":
+            if s.get("commit_kind") in (
+                "upsert-cow", "overwrite", "overwrite-dynamic"
+            ):
                 raise ValueError(
-                    f"snapshot v{v} is a copy-on-write upsert: its files "
-                    "rewrite already-streamed rows. Stream from tables "
-                    "written with strategy='mor' (or append tables), or "
-                    "consume this table in batch."
+                    f"snapshot v{v} is a {s['commit_kind']} commit: its "
+                    "files rewrite/restate already-streamed rows. Stream "
+                    "from tables written with strategy='mor' (or append "
+                    "tables), or consume this table in batch."
                 )
         # schema AS OF the range end — evolution lands atomically with the
         # batch that introduced it
