@@ -1387,6 +1387,105 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the events change log (scd.scd2):
+    each event is a CDC update of the user's state attribute
+    (event_type); 'error' events are delete tombstones that close the
+    open interval. Change-compression drops no-op updates; the whole
+    operator is ONE hash exchange on user_id (the compression lag and
+    the validity lead share a window spec, so Catalyst reuses the
+    exchange + sort). Intervals as epoch-micro BIGINTs."""
+    from kafka2iceberg_spark import scd
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "is_del", F.col("event_type") == F.lit("error")
+    )
+    hist = scd.scd2(
+        ev,
+        key=["user_id"],
+        order=["ts", "event_id"],
+        tracked=["event_type"],
+        ts_col="ts",
+        delete_col="is_del",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+    )
+
+
+def q_role_day_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily turn counts pivoted to one column per role. The pivot value
+    list is EXPLICIT — Spark otherwise runs an extra distinct-collect job
+    over the full input to discover it, a driver round-trip worth avoiding
+    at 100 TB. Map-side partial aggregation applies as usual; the pivot is
+    a single hash aggregate keyed on the day."""
+    t = _tx(spark, sf_dir)
+    um = F.unix_micros(F.col("ts"))
+    # integer day index, no double division (exact at any epoch value)
+    day = ((um - um % F.lit(DAY_US)) / F.lit(DAY_US)).cast("long")
+    return (
+        t.groupBy(day.alias("day_idx"))
+        .pivot("role", ["user", "assistant", "tool"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day_idx",
+            F.coalesce(F.col("user"), F.lit(0)).alias("n_user"),
+            F.coalesce(F.col("assistant"), F.lit(0)).alias("n_assistant"),
+            F.coalesce(F.col("tool"), F.lit(0)).alias("n_tool"),
+        )
+    )
+
+
+def q_cube_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (role, tool): all four grouping levels in one pass —
+    Spark expands the cube map-side, so the input is scanned once and the
+    partial aggregate covers every level (vs four separate scans)."""
+    t = _tx(spark, sf_dir)
+    return (
+        t.cube("role", "tool")
+        .agg(
+            F.grouping("role").cast("long").alias("g_role"),
+            F.grouping("tool").cast("long").alias("g_tool"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.coalesce(F.col("role"), F.lit("<all>")).alias("role_g"),
+            F.coalesce(F.col("tool"), F.lit("<all>")).alias("tool_g"),
+            "g_role",
+            "g_tool",
+            "n",
+            "n_convs",
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface: exactly the
+    (role), (tool), and grand-total slices — the sets a report actually
+    needs, without the full cube's (role, tool) level."""
+    _tx(spark, sf_dir).createOrReplaceTempView("tx_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(role, '<all>') AS role_g,
+               coalesce(tool, '<all>') AS tool_g,
+               CAST(grouping(role) AS BIGINT) AS g_role,
+               CAST(grouping(tool) AS BIGINT) AS g_tool,
+               count(*) AS n
+        FROM tx_gsets
+        GROUP BY GROUPING SETS ((role), (tool), ())
+        """
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1466,6 +1565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_spend": q_cumulative_spend,
         "asof_attribution": q_asof_attribution,
         "range_join_counts": q_range_join_counts,
+        "scd2_history": q_scd2_history,
+        "role_day_pivot": q_role_day_pivot,
+        "cube_role_tool": q_cube_role_tool,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -2794,5 +2897,63 @@ SELECT cl.click_id,
        COALESCE(agg.n_views, 0) AS n_views,
        COALESCE(agg.view_value_micros, 0) AS view_value_micros
 FROM cl LEFT JOIN agg USING (click_id)
+""",
+        "scd2_history": """
+WITH d AS (
+  SELECT DISTINCT user_id, ts, event_id, event_type,
+         (event_type = 'error') AS is_del
+  FROM events
+),
+m AS (
+  -- any sentinel no live attr value can equal works; only equality
+  -- PATTERNS must match the engine, not the sentinel bytes
+  SELECT *,
+         CASE WHEN is_del THEN '<deleted>' ELSE event_type END AS ak,
+         lag(CASE WHEN is_del THEN '<deleted>' ELSE event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pak
+  FROM d
+),
+s AS (SELECT * FROM m WHERE pak IS NULL OR ak <> pak),
+v AS (
+  SELECT *,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM s
+)
+SELECT user_id,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(nts) AS valid_to_us,
+       (nts IS NULL) AS is_current
+FROM v WHERE NOT is_del
+""",
+        "role_day_pivot": f"""
+WITH {_TX}
+SELECT epoch_us(ts) // {DAY_US} AS day_idx,
+       count(*) FILTER (WHERE role = 'user') AS n_user,
+       count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+       count(*) FILTER (WHERE role = 'tool') AS n_tool
+FROM transcripts
+GROUP BY 1
+""",
+        "cube_role_tool": f"""
+WITH {_TX}
+SELECT coalesce(role, '<all>') AS role_g,
+       coalesce(tool, '<all>') AS tool_g,
+       CAST(GROUPING(role) AS BIGINT) AS g_role,
+       CAST(GROUPING(tool) AS BIGINT) AS g_tool,
+       count(*) AS n,
+       count(DISTINCT conv_id) AS n_convs
+FROM transcripts
+GROUP BY CUBE (role, tool)
+""",
+        "grouping_sets": f"""
+WITH {_TX}
+SELECT coalesce(role, '<all>') AS role_g,
+       coalesce(tool, '<all>') AS tool_g,
+       CAST(GROUPING(role) AS BIGINT) AS g_role,
+       CAST(GROUPING(tool) AS BIGINT) AS g_tool,
+       count(*) AS n
+FROM transcripts
+GROUP BY GROUPING SETS ((role), (tool), ())
 """,
     }

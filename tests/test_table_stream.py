@@ -148,7 +148,7 @@ def test_table_stream_refuses_cow_upsert_commits(spark, tmp_path):
         q.awaitTermination()
         raised = False
     except Exception as e:
-        raised = "copy-on-write upsert" in str(e)
+        raised = "upsert-cow commit" in str(e)
     assert raised
 
 
