@@ -616,6 +616,36 @@ class IcebergLite:
 
     @staticmethod
     @contextmanager
+    def _dense_range_sampling(spark: SparkSession, enabled: bool = True):
+        """Scoped dense reservoir sampling for the clustered-rewrite range
+        exchange. Range boundary precision IS file-skipping precision: a
+        boundary that lands off-quantile makes one output file straddle a
+        wide z-/sort-range and every scan over that range opens it
+        forever. Spark's default 100 samples/partition is tuned for ad-hoc
+        queries; a compaction group is bounded (target_file_size × files),
+        so collecting 100k samples/partition makes boundaries effectively
+        exact for a one-time rewrite whose output is read thousands of
+        times — and layout-deterministic, not dependent on how the input
+        happened to be split. Restores the previous value on exit."""
+        key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        if not enabled:
+            yield
+            return
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "100000")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    @staticmethod
+    @contextmanager
     def _micros_timestamps(spark: SparkSession):
         """Scoped INT64-micros parquet timestamps (INT96 carries no
         min/max statistics, which would blind plan_scan on every time
@@ -662,6 +692,9 @@ class IcebergLite:
         maxs: dict = {}
         poison: set = set()  # a row group without comparable stats makes
         # the whole file's column range unknown — never prune on it
+        nulls: dict = {}
+        null_poison: set = set()  # a row group without a null count makes
+        # the file's null count unknown — never metadata-drop on it
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -670,6 +703,11 @@ class IcebergLite:
                 if "." in name:  # nested leaves: not prunable top-level
                     continue
                 st = col.statistics
+                nc = st.null_count if st is not None else None
+                if nc is None:
+                    null_poison.add(name)
+                else:
+                    nulls[name] = nulls.get(name, 0) + nc
                 mn = norm(st.min) if st is not None and st.has_min_max else None
                 mx = norm(st.max) if st is not None and st.has_min_max else None
                 if mn is None or mx is None:
@@ -686,6 +724,11 @@ class IcebergLite:
         out = {"rows": md.num_rows}
         if stats:
             out["stats"] = stats
+        known_nulls = {
+            n: c for n, c in nulls.items() if n not in null_poison
+        }
+        if known_nulls:
+            out["nulls"] = known_nulls
         return out
 
     def _write_manifest(self, files: list[dict]) -> str:
@@ -1419,6 +1462,147 @@ class IcebergLite:
         finally:
             df.unpersist()
 
+    def delete_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        batch_id: str | None = None,
+    ) -> dict | None:
+        """Row-level ``DELETE WHERE lo <= col <= hi`` (copy-on-write).
+
+        Iceberg's CoW DELETE planning, file by file from manifest stats —
+        no data IO for anything the metadata can decide:
+
+        * **disjoint** files (range cannot contain a match): carried
+          forward by manifest reference, untouched;
+        * **contained** files (every non-null value inside the range, and
+          the manifest proves ``col`` has zero nulls): dropped from the
+          manifest — a metadata-only delete;
+        * **overlapping** files: rewritten without the matching rows.
+          Outstanding MOR equality deletes are applied during the rewrite
+          (the rewritten files get sequence ``v_new``, newer than every
+          delete — without reconciling first, superseded rows would
+          resurrect); carried files keep the old delete manifests.
+
+        NULL values never match a range predicate (SQL semantics) and
+        always survive — which is why containment alone is not enough to
+        drop a file. Replay-guarded by ``batch_id``; time travel keeps the
+        deleted rows reachable until snapshot expiration. Returns surgery
+        counts, or None if the batch was already committed.
+
+        At 100 TB this is the restatement primitive for time-scoped GDPR /
+        retention deletes: a date-clustered table deletes whole days by
+        manifest surgery and rewrites only the two boundary files.
+        """
+        if lo is None and hi is None:
+            raise ValueError("delete_range needs at least one bound")
+        self.create()
+        batch_id = str(batch_id if batch_id is not None else uuid.uuid4().hex)
+        if batch_id in self.committed_batches():
+            return None
+        lo_n = self._norm_stat_value(lo)
+        hi_n = self._norm_stat_value(hi)
+        v_new, snap, refs = self._commit_meta("main")
+        by_part = self.resolve_manifests(snap)
+
+        carried: dict[str, list[dict]] = {}
+        rewrite_paths: list[str] = []
+        n_dropped = n_rewritten = n_carried = 0
+        for pv, files in by_part.items():
+            keep: list[dict] = []
+            for f in files:
+                rng = (f.get("stats") or {}).get(col)
+                nulls = (f.get("nulls") or {}).get(col)
+                disjoint = contained = False
+                if rng is not None:
+                    mn, mx = rng
+                    try:
+                        if lo_n is not None and mx < lo_n:
+                            disjoint = True
+                        if hi_n is not None and mn > hi_n:
+                            disjoint = True
+                        if not disjoint:
+                            contained = (
+                                (lo_n is None or mn >= lo_n)
+                                and (hi_n is None or mx <= hi_n)
+                                and nulls == 0
+                            )
+                    except TypeError:
+                        pass  # incomparable bounds: conservative rewrite
+                if disjoint:
+                    keep.append(f)
+                    n_carried += 1
+                elif contained:
+                    n_dropped += 1  # metadata-only: file simply not kept
+                else:
+                    rewrite_paths.append(f["path"])
+                    n_rewritten += 1
+            carried[pv] = keep
+
+        new: dict[str, list[dict]] = {}
+        rows_kept = 0
+        if rewrite_paths:
+            df = self._apply_equality_deletes(
+                spark, self._read_files(spark, rewrite_paths, snap), snap
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            kept = df.where(~F.coalesce(cond, F.lit(False))).cache()
+            try:
+                rows_kept = kept.count()
+                if rows_kept:
+                    new = self._write_files(kept, batch_id, v_new)
+            finally:
+                kept.unpersist()
+
+        manifests: dict[str, str] = {}
+        for pv in set(carried) | set(new):
+            files = carried.get(pv, []) + new.get(pv, [])
+            if files:
+                manifests[pv] = self._write_manifest(files)
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": v_new,
+                "parent": snap["snapshot_id"],
+                "parent_version": snap["version"],
+                "ref": "main",
+                "refs": refs,
+                "batch_id": batch_id,
+                "commit_kind": "delete",
+                "schema": snap.get("schema"),
+                "manifests": manifests,
+                # still needed by the carried files; rewritten files carry
+                # sequence v_new and are immune
+                "delete_manifests": snap.get("delete_manifests") or [],
+                "lineage": [
+                    {
+                        "batch_id": batch_id,
+                        "rows": rows_kept,
+                        "kind": "delete",
+                        "col": col,
+                        "files_dropped": n_dropped,
+                        "files_rewritten": n_rewritten,
+                        "files_carried": n_carried,
+                        "offsets": {},
+                        "partition_rows": {},
+                    }
+                ],
+            }
+        )
+        return {
+            "files_dropped": n_dropped,
+            "files_rewritten": n_rewritten,
+            "files_carried": n_carried,
+            "rows_kept_in_rewrite": rows_kept,
+            "version": v_new,
+        }
+
     def commit_upsert(
         self,
         df: DataFrame,
@@ -1936,7 +2120,9 @@ class IcebergLite:
                 f"s{v_new:08d}-compact-{uuid.uuid4().hex[:8]}",
                 f"_p={pv}",
             )
-            with self._micros_timestamps(spark):
+            with self._micros_timestamps(spark), self._dense_range_sampling(
+                spark, enabled=bool(sort_by or zorder_by)
+            ):
                 if zorder_by:
                     from . import zorder as zo
 

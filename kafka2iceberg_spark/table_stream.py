@@ -133,7 +133,7 @@ class _TableStreamReader(DataSourceStreamReader):
         for v in self._table.lineage_versions(lo, hi):
             s = self._table.snapshot_at(v)
             if s.get("commit_kind") in (
-                "upsert-cow", "overwrite", "overwrite-dynamic"
+                "upsert-cow", "overwrite", "overwrite-dynamic", "delete"
             ):
                 raise ValueError(
                     f"snapshot v{v} is a {s['commit_kind']} commit: its "
