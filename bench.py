@@ -80,6 +80,10 @@ HEADLINE_EXTRA = [
     "hll_distinct",
     "kmv_distinct",
     "countmin_hitters",
+    "ann_pq_topk",
+    "scd2_history",
+    "role_day_pivot",
+    "cube_role_tool",
 ]
 
 SCALE_GEN = dict(
