@@ -41,7 +41,7 @@ import shutil
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -1600,6 +1600,147 @@ class IcebergLite:
             "files_rewritten": n_rewritten,
             "files_carried": n_carried,
             "rows_kept_in_rewrite": rows_kept,
+            "version": v_new,
+        }
+
+    def update_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        set_exprs: dict,
+        lo=None,
+        hi=None,
+        batch_id: str | None = None,
+    ) -> dict | None:
+        """Row-level ``UPDATE ... SET ... WHERE lo <= col <= hi``
+        (copy-on-write) — the restatement/redaction complement to
+        :meth:`delete_range`, with the same manifest-stats planning:
+
+        * files the stats prove DISJOINT from the range carry forward by
+          reference (zero data IO);
+        * every file that may hold a match is rewritten with each
+          ``set_exprs[name]`` (a Column, or a literal) applied to the rows
+          inside the range and all other rows copied verbatim — unlike
+          DELETE there is no metadata-only fast path, because matching
+          rows change content rather than disappear.
+
+        MOR equality deletes are applied during the rewrite (rewritten
+        files take sequence ``v_new``); NULLs in ``col`` never match and
+        are copied unchanged. Replay-guarded by ``batch_id``; the updated
+        columns must already exist (no implicit evolution in an UPDATE).
+        At 100 TB this is the GDPR-redaction shape: a date-bounded UPDATE
+        touches O(matching files), not O(table).
+        """
+        if lo is None and hi is None:
+            raise ValueError("update_range needs at least one bound")
+        if not set_exprs:
+            raise ValueError("update_range needs at least one SET column")
+        self.create()
+        batch_id = str(batch_id if batch_id is not None else uuid.uuid4().hex)
+        if batch_id in self.committed_batches():
+            return None
+        lo_n = self._norm_stat_value(lo)
+        hi_n = self._norm_stat_value(hi)
+        v_new, snap, refs = self._commit_meta("main")
+        schema = self.table_schema(snap)
+        for name in set_exprs:
+            if schema is not None and name not in schema.fieldNames():
+                raise ValueError(
+                    f"UPDATE SET column {name!r} is not in the table schema"
+                )
+
+        carried: dict[str, list[dict]] = {}
+        rewrite_paths: list[str] = []
+        n_rewritten = n_carried = 0
+        for pv, files in self.resolve_manifests(snap).items():
+            keep: list[dict] = []
+            for f in files:
+                rng = (f.get("stats") or {}).get(col)
+                disjoint = False
+                if rng is not None:
+                    mn, mx = rng
+                    try:
+                        if lo_n is not None and mx < lo_n:
+                            disjoint = True
+                        if hi_n is not None and mn > hi_n:
+                            disjoint = True
+                    except TypeError:
+                        pass
+                if disjoint:
+                    keep.append(f)
+                    n_carried += 1
+                else:
+                    rewrite_paths.append(f["path"])
+                    n_rewritten += 1
+            carried[pv] = keep
+
+        new: dict[str, list[dict]] = {}
+        rows_rewritten = 0
+        if rewrite_paths:
+            df = self._apply_equality_deletes(
+                spark, self._read_files(spark, rewrite_paths, snap), snap
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            cond = F.coalesce(cond, F.lit(False))  # NULL never matches
+            def _set_col(c: str):
+                e = set_exprs[c]
+                if not isinstance(e, Column):
+                    e = F.lit(e)
+                return F.when(cond, e).otherwise(F.col(c)).alias(c)
+
+            updated = df.select(
+                *[
+                    _set_col(c) if c in set_exprs else F.col(c)
+                    for c in df.columns
+                ]
+            ).cache()
+            try:
+                rows_rewritten = updated.count()
+                if rows_rewritten:
+                    new = self._write_files(updated, batch_id, v_new)
+            finally:
+                updated.unpersist()
+
+        manifests: dict[str, str] = {}
+        for pv in set(carried) | set(new):
+            files = carried.get(pv, []) + new.get(pv, [])
+            if files:
+                manifests[pv] = self._write_manifest(files)
+        self._write_snapshot(
+            {
+                "snapshot_id": uuid.uuid4().hex,
+                "version": v_new,
+                "parent": snap["snapshot_id"],
+                "parent_version": snap["version"],
+                "ref": "main",
+                "refs": refs,
+                "batch_id": batch_id,
+                "commit_kind": "update",
+                "schema": snap.get("schema"),
+                "manifests": manifests,
+                "delete_manifests": snap.get("delete_manifests") or [],
+                "lineage": [
+                    {
+                        "batch_id": batch_id,
+                        "rows": rows_rewritten,
+                        "kind": "update",
+                        "col": col,
+                        "files_rewritten": n_rewritten,
+                        "files_carried": n_carried,
+                        "offsets": {},
+                        "partition_rows": {},
+                    }
+                ],
+            }
+        )
+        return {
+            "files_rewritten": n_rewritten,
+            "files_carried": n_carried,
+            "rows_in_rewrite": rows_rewritten,
             "version": v_new,
         }
 

@@ -134,7 +134,8 @@ class _TableStreamReader(DataSourceStreamReader):
         for v in self._table.lineage_versions(lo, hi):
             s = self._table.snapshot_at(v)
             if s.get("commit_kind") in (
-                "upsert-cow", "overwrite", "overwrite-dynamic", "delete"
+                "upsert-cow", "overwrite", "overwrite-dynamic",
+                "delete", "update",
             ):
                 raise ValueError(
                     f"snapshot v{v} is a {s['commit_kind']} commit: its "
