@@ -197,18 +197,23 @@ def scd2_apply_batch(
     ch = ch.cache()
     open_rows = None
     try:
-        # open rows for the touched keys only: broadcast semi-join against
-        # the batch's distinct keys — never a full-dimension scan. (At
-        # 100 TB the dimension read itself is file-pruned by the sink's
-        # manifest stats when the table is key-clustered.)
+        # open rows for the touched keys only: a null-count-pruned scan
+        # (open rows are exactly valid_to_us IS NULL, and fully-closed
+        # files carry a zero null count in their manifest — the scan
+        # touches O(open files), not O(history)), then a broadcast
+        # semi-join against the batch's distinct keys.
         try:
-            existing = table.read(spark)
+            existing = (
+                table.scan_is_null(spark, "valid_to_us")
+                if hasattr(table, "scan_is_null")
+                else table.read(spark).where(F.col("valid_to_us").isNull())
+            )
         except Exception:
             existing = None  # first batch: table not created yet
         if existing is not None:
             touched = ch.select(*key).distinct()
             open_rows = (
-                existing.where(F.col("valid_to_us").isNull())
+                existing
                 .join(F.broadcast(touched), on=key, how="inner")
                 .withColumn("_open_ak", _attr_key(tracked, F.lit(False)))
                 .select(*key, *tracked, "valid_from_us", "_open_ak")

@@ -1147,6 +1147,49 @@ class IcebergLite:
             df = df.where(F.col(col) <= F.lit(hi))
         return df
 
+    def plan_scan_null(self, col: str, version: int | None = None) -> dict:
+        """Which data files can hold NULLs in ``col``, judged from the
+        manifest null counts — min/max ranges cannot express ``IS NULL``,
+        the null-count stat can. Files without a recorded count are
+        conservatively kept. Metadata-only."""
+        snap = (
+            self.current_snapshot()
+            if version is None
+            else self.snapshot_at(version)
+        )
+        paths: list[str] = []
+        total = skipped = 0
+        for files in self.resolve_manifests(snap).values():
+            for f in files:
+                total += 1
+                nc = (f.get("nulls") or {}).get(col)
+                if nc == 0:
+                    skipped += 1
+                else:
+                    paths.append(f["path"])
+        return {"paths": paths, "files_total": total, "files_skipped": skipped}
+
+    def scan_is_null(
+        self, spark: SparkSession, col: str, version: int | None = None
+    ) -> DataFrame:
+        """Read ``col IS NULL`` opening only files the null counts cannot
+        rule out — semantically identical to ``read().where(isNull)``.
+        The open-interval scan of an SCD2 dimension (``valid_to IS NULL``)
+        is the canonical use: open rows concentrate in recent files, so at
+        scale this touches O(open files), not O(history)."""
+        plan = self.plan_scan_null(col, version)
+        snap = (
+            self.snapshot_at(version)
+            if version is not None
+            else self.current_snapshot()
+        )
+        if not plan["paths"]:
+            return self.read(spark, version).limit(0)
+        df = self._apply_equality_deletes(
+            spark, self._read_files(spark, plan["paths"], snap), snap
+        )
+        return df.where(F.col(col).isNull())
+
     def build_blooms(
         self, spark: SparkSession, cols: list[str], fpp: float = 0.01
     ) -> int:

@@ -181,3 +181,27 @@ def test_stream_refuses_delete_commits(spark, tmp_path):
     except Exception as e:
         raised = "delete commit" in str(e)
     assert raised
+
+
+def test_null_count_pruned_is_null_scan(spark, tmp_path):
+    """plan_scan_null skips every file whose manifest proves zero NULLs;
+    scan_is_null equals the plain filter read."""
+    t = IcebergLite(str(tmp_path / "tn"), pk=["pk"])
+    t.commit_append(
+        spark.createDataFrame([(i, _day(1), i) for i in range(5)], SCHEMA),
+        "b0",
+    )
+    t.commit_append(
+        spark.createDataFrame(
+            [(10, _day(2), None), (11, _day(2), 11)], SCHEMA
+        ),
+        "b1",
+    )
+    plan = t.plan_scan_null("v")
+    assert plan["files_skipped"] >= 1 and len(plan["paths"]) >= 1
+    got = sorted(r["pk"] for r in t.scan_is_null(spark, "v").collect())
+    want = sorted(
+        r["pk"]
+        for r in t.read(spark).where(F.col("v").isNull()).collect()
+    )
+    assert got == want == [10]
