@@ -1486,6 +1486,107 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- data quality / mixing / search
+
+DQ_STATUS_VALUES = ("O", "F", "P")
+MIX_PARTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 2}
+BM25_QUERY = ["spark", "join", "window"]
+
+
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style quality verification of orders in ONE aggregate pass:
+    completeness, key uniqueness, bounds, set membership (dq.verify)."""
+    from kafka2iceberg_spark import dq
+
+    o = _read(spark, sf_dir, "orders")
+    return dq.verify(
+        o,
+        [
+            dq.completeness("o_custkey"),
+            dq.unique("o_orderkey"),
+            dq.bounds("o_totalprice", 0.0, 600000.0),
+            dq.membership("o_orderstatus", DQ_STATUS_VALUES),
+            dq.non_negative("o_totalprice"),
+        ],
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: largest exact-composition sample at parts
+    8:4:2:2 across documents.source, deterministic md5 rank (no global
+    sort; quota side broadcast)."""
+    docs = _read(spark, sf_dir, "documents", spread=True)
+    return tx.mixture_sample(docs, "source", MIX_PARTS).select(
+        "doc_id", "source", "mix_rank"
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers. Moments come from EXACT integer
+    cent sums (one small agg, broadcast back) so mu/sigma are the same
+    IEEE doubles on any engine; one scan + broadcast join, no window."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    # sample variance from exact sums: (s2 - s1*mu) / (n-1); s1*mu (not
+    # s1*s1) keeps the intermediate in double range at any scale while
+    # staying the identical IEEE op sequence on both engines
+    stats = (
+        stats.withColumn("mu", F.col("s1") / F.col("n"))
+        .withColumn(
+            "sigma",
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("mu"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .select("event_type", "mu", "sigma")
+    )
+    z = (F.col("cents") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "cents", "z")
+    )
+
+
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents: token -> df, total tf, capped
+    postings (top-5 docs by tf) — one explode + token-keyed aggregation."""
+    from kafka2iceberg_spark import search
+
+    docs = _read(spark, sf_dir, "documents", spread=True)
+    return search.inverted_postings(docs, max_postings=5, min_df=2)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed term query; tf relation filtered to the
+    query's terms before any join, df/idf side broadcast."""
+    from kafka2iceberg_spark import search
+
+    docs = _read(spark, sf_dir, "documents", spread=True)
+    return search.bm25_topk(docs, BM25_QUERY, k=10)
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: pull props.$.k out of the JSON column and
+    aggregate exactly per event type (codegen'd JSON path, no UDF)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1569,6 +1670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_day_pivot": q_role_day_pivot,
         "cube_role_tool": q_cube_role_tool,
         "grouping_sets": q_grouping_sets,
+        "dq_constraints": q_dq_constraints,
+        "mixture_sample": q_mixture_sample,
+        "anomaly_zscore": q_anomaly_zscore,
+        "inverted_postings": q_inverted_postings,
+        "bm25_topk": q_bm25_topk,
+        "json_props_rollup": q_json_props_rollup,
     }
 
 
@@ -2955,5 +3062,143 @@ SELECT coalesce(role, '<all>') AS role_g,
        count(*) AS n
 FROM transcripts
 GROUP BY GROUPING SETS ((role), (tool), ())
+""",
+        "dq_constraints": """
+WITH m AS (
+  SELECT count(*) AS total,
+         count(o_custkey) AS c_cust,
+         count(DISTINCT o_orderkey) AS d_key,
+         sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 600000.0
+                  THEN 1 ELSE 0 END) AS in_bounds,
+         sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS in_set,
+         sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS nonneg
+  FROM orders
+),
+r AS (
+  SELECT 'completeness(o_custkey)' AS "constraint", 'o_custkey' AS "column",
+         round(c_cust / total, 9) AS metric, CAST(1.0 AS DOUBLE) AS threshold
+  FROM m
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey',
+         round(d_key / total, 9), 1.0 FROM m
+  UNION ALL
+  SELECT 'bounds(o_totalprice)', 'o_totalprice',
+         round(in_bounds / total, 9), 1.0 FROM m
+  UNION ALL
+  SELECT 'membership(o_orderstatus)', 'o_orderstatus',
+         round(in_set / total, 9), 1.0 FROM m
+  UNION ALL
+  SELECT 'non_negative(o_totalprice)', 'o_totalprice',
+         round(nonneg / total, 9), 1.0 FROM m
+)
+SELECT "constraint", "column", metric, threshold,
+       metric >= threshold AS passed
+FROM r
+""",
+        "mixture_sample": """
+WITH c AS (
+  SELECT source, count(*) AS n_s,
+         CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                          WHEN 'src2' THEN 2 WHEN 'src3' THEN 2 END
+              AS BIGINT) AS w_s
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+  GROUP BY source
+),
+t AS (SELECT min(CAST(floor(n_s / w_s) AS BIGINT)) AS m FROM c),
+q AS (SELECT source, w_s * m AS k_s FROM c, t),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.mix_rank
+FROM r JOIN q USING (source)
+WHERE mix_rank <= k_s
+""",
+        "anomaly_zscore": """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(cents) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM ev GROUP BY event_type
+),
+st2 AS (
+  SELECT event_type, s1 / n AS mu,
+         sqrt((s2 - s1 * (s1 / n)) / (n - 1)) AS sigma
+  FROM st
+)
+SELECT event_id, ev.event_type, cents,
+       round((cents - mu) / sigma, 4) AS z
+FROM ev JOIN st2 USING (event_type)
+WHERE abs(round((cents - mu) / sigma, 4)) >= 3.0
+""",
+        "inverted_postings": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS token FROM n0),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+rk AS (
+  SELECT doc_id, token, tf,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       coalesce(string_agg(CASE WHEN rk <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                           '|' ORDER BY rk), '') AS postings
+FROM rk GROUP BY token HAVING count(*) >= 2
+""",
+        "bm25_topk": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS token FROM n0),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE token IN ('spark', 'join', 'window')
+),
+dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+sc AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+  FROM hits JOIN dfq USING (token) CROSS JOIN stats
+),
+tot AS (
+  SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_terms_hit
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, score, n_terms_hit
+FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "json_props_rollup": """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
 """,
     }

@@ -1,0 +1,116 @@
+"""Data-quality constraint verification (Deequ-style) — single-pass.
+
+A 100 TB ingest pipeline gates publishes on declarative quality checks:
+completeness (non-null fraction), key uniqueness, value bounds, and
+set membership. The reference has only a hard not-null throw inside its
+deserializer (DeserializedSchema.java:151-156); this module generalizes
+that into a verification report computed in ONE distributed aggregate
+pass over the table — every metric is an algebraic aggregate, so the
+scan reads the table once, combines map-side, and reduces to a single
+row regardless of input size. Only `unique` adds distinct aggregates
+(Spark plans them via one Expand over the same scan — still a single
+job; at extreme cardinality swap in the HLL sketch from sketches.py).
+
+The single aggregated row is then unpivoted declaratively (stack) into
+one row per constraint — no driver-side collect in the plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declarative check. kind in {completeness, unique, bounds,
+    membership, non_negative}; threshold is the minimum metric value for
+    `passed` (completeness/membership default 1.0)."""
+
+    kind: str
+    column: str
+    threshold: float = 1.0
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = field(default_factory=tuple)
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def completeness(column: str, threshold: float = 1.0) -> Constraint:
+    return Constraint("completeness", column, threshold)
+
+
+def unique(column: str) -> Constraint:
+    return Constraint("unique", column)
+
+
+def bounds(column: str, lo: float, hi: float) -> Constraint:
+    return Constraint("bounds", column, lo=lo, hi=hi)
+
+
+def membership(column: str, values, threshold: float = 1.0) -> Constraint:
+    return Constraint("membership", column, threshold, values=tuple(values))
+
+
+def non_negative(column: str) -> Constraint:
+    return Constraint("non_negative", column)
+
+
+def _metric(c: Constraint, total: Column) -> Column:
+    """Metric in [0,1] as an exact-integer ppm ratio where possible
+    (parity-safe: both engines divide the same two BIGINTs)."""
+    col = F.col(c.column)
+    if c.kind == "completeness":
+        return F.count(col) / total
+    if c.kind == "unique":
+        return F.count_distinct(col) / total
+    if c.kind == "bounds":
+        return (
+            F.sum(
+                ((col >= F.lit(c.lo)) & (col <= F.lit(c.hi))).cast("long")
+            )
+            / total
+        )
+    if c.kind == "membership":
+        return (
+            F.sum(col.isin(list(c.values)).cast("long")) / total
+        )
+    if c.kind == "non_negative":
+        return F.sum((col >= 0).cast("long")) / total
+    raise ValueError(f"unknown constraint kind: {c.kind}")
+
+
+def verify(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """One scan -> (constraint, column, metric, threshold, passed) rows.
+
+    The report stays a DataFrame end to end: a global aggregate produces
+    one row of metrics, and a `stack` projection unpivots it — Catalyst
+    sees scan -> partial agg -> final agg -> generate, nothing touches
+    the driver.
+    """
+    if not constraints:
+        raise ValueError("no constraints given")
+    total = F.count(F.lit(1))
+    aggs = [
+        F.round(_metric(c, total), 9).alias(f"m{i}")
+        for i, c in enumerate(constraints)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c.name}', '{c.column}', double(m{i}), double({c.threshold})"
+        for i, c in enumerate(constraints)
+    )
+    report = one.select(
+        F.expr(
+            f"stack({len(constraints)}, {stack_args}) "
+            "as (constraint, column, metric, threshold)"
+        )
+    )
+    return report.withColumn(
+        "passed", (F.col("metric") >= F.col("threshold"))
+    )

@@ -1,0 +1,165 @@
+"""Keyword search over the corpus: inverted postings + BM25 ranking.
+
+The lexical complement to similarity.py's embedding ANN: build an
+inverted index (token -> document-frequency + capped postings) and rank
+documents for a term query with BM25. Everything is exact integer tf/df
+arithmetic plus one ln() per matched term, entirely JVM-side.
+
+Scale shape:
+- Term frequencies are ONE explode + groupBy(doc_id, token) with
+  map-side partial aggregation; document frequencies reduce the same
+  relation again by token. The only wide exchanges are keyed on token —
+  a uniform key at corpus scale (natural-language Zipf skew is bounded
+  by capping postings per token and dropping stopword-grade df outliers
+  upstream if needed).
+- BM25 filters the tf relation to the QUERY'S terms before any join —
+  at 100 TB the per-query data after that filter is O(matching docs),
+  and the per-term idf/df side is a handful of rows, broadcast.
+- Postings lists are capped top-k per token by a rank window partitioned
+  on token (no global sort) so a hot token cannot blow up one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import norm_text
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_freqs(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, token, tf, dl): exact term counts + document length."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(norm_text(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def inverted_postings(
+    docs: DataFrame,
+    max_postings: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index rows: (token, df, total_tf, postings).
+
+    postings = the top `max_postings` doc ids by (tf desc, doc_id asc),
+    serialized as a '|'-joined string (engine-portable, no array-hash
+    ambiguity in parity gates). df counts every matching document even
+    though the list is capped.
+    """
+    tf = term_freqs(docs, id_col, text_col)
+    rk = F.row_number().over(
+        Window.partitionBy("token").orderBy(
+            F.col("tf").desc(), F.col("doc_id")
+        )
+    )
+    ranked = tf.withColumn("rk", rk)
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= max_postings,
+                                F.struct("rk", "doc_id"),
+                            )
+                        )
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    Robertson-Sparck Jones form, never negative); the doc-side term is
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). N and avgdl are global
+    scalars computed from the same tf relation and broadcast via a
+    cross-join of a 1-row aggregate — no driver action.
+
+    The tf relation is filtered to the query's terms FIRST, so every
+    join below it sees O(matching docs) rows; df per term is computed on
+    that filtered slice and broadcast. Deterministic ordering: score
+    desc, doc_id asc; score is rounded to 6 decimals so the rank (and
+    parity hashing) is stable across engines.
+    """
+    if not query_terms:
+        raise ValueError("empty query")
+    tf_all = term_freqs(docs, id_col, text_col)
+    # global corpus stats: one row (N docs, average doc length)
+    stats = tf_all.groupBy("doc_id").agg(
+        F.first("dl").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # explicit exact-BIGINT sum / count (not avg()) so the double
+        # division is the identical IEEE op on any engine
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = tf_all.where(F.col("token").isin(list(query_terms)))
+    df_per_term = hits.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return totals.orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).limit(k)

@@ -22,7 +22,7 @@ of the read path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/marker heuristic language ID.
@@ -306,6 +306,64 @@ def dataset_split(c: Column, val_per_mille: int = 100, test_per_mille: int = 100
         .when(b < val_per_mille + test_per_mille, F.lit("test"))
         .otherwise(F.lit("train"))
     )
+
+
+def mixture_sample(
+    df,
+    source_col: str,
+    parts: dict[str, int],
+    id_col: str = "doc_id",
+):
+    """Weighted source mixing for training-corpus assembly.
+
+    Given per-source target proportions as integer PARTS (e.g. 8:4:2:2),
+    take the LARGEST corpus whose composition matches them exactly
+    without replacement: M = min_s floor(n_s / parts_s) and each source
+    contributes k_s = parts_s * M rows, chosen by deterministic md5 rank
+    (reproducible on any engine, any run — the curriculum-mixing
+    analogue of dataset_split). Integer parts keep the quota arithmetic
+    exact — no float-boundary floor() ambiguity between engines.
+
+    Scale shape: one tiny per-source count aggregate (|sources| rows —
+    broadcast back), then a rank window partitioned by source ordered by
+    the md5 of the id. No global sort; the window shuffle is keyed on
+    source, and since every row already carries a uniform hash the skew
+    of a dominant source is bounded by that source's own size (at 100 TB
+    swap the exact rank for a hash-threshold filter at per-source rate
+    k_s/n_s ± one count pass — same plan minus the window).
+
+    Sources absent from `parts` are dropped. Returns the input rows
+    (filtered) plus `mix_rank` for audit.
+    """
+    w = F.create_map(
+        *[F.lit(x) for kv in parts.items() for x in kv]
+    )
+    counts = (
+        df.where(F.col(source_col).isin(list(parts)))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("w_s", w[F.col(source_col)].cast("long"))
+    )
+    # M = min over sources of floor(n_s / parts_s) — all-BIGINT math;
+    # a 1-row aggregate cross-joined back onto the tiny counts relation
+    # (both sides are |sources| rows or less — broadcast, no exchange).
+    m = counts.agg(
+        F.min(F.floor(F.col("n_s") / F.col("w_s"))).alias("m")
+    )
+    quota = counts.crossJoin(F.broadcast(m)).select(
+        source_col, (F.col("w_s") * F.col("m")).alias("k_s")
+    )
+    ranked = df.withColumn(
+        "mix_rank",
+        F.row_number().over(
+            Window.partitionBy(source_col).orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+        ),
+    )
+    return ranked.join(F.broadcast(quota), source_col).where(
+        F.col("mix_rank") <= F.col("k_s")
+    ).drop("k_s")
 
 
 def fingerprint(c: Column) -> Column:

@@ -1,0 +1,168 @@
+"""Data-quality verification, mixture sampling, and keyword search.
+
+Covers the round-3 additions: dq.verify (Deequ-style single-pass
+constraint report), textops.mixture_sample (exact-composition weighted
+mixing), and search.inverted_postings / bm25_topk (lexical retrieval).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import dq, search
+from kafka2iceberg_spark.textops import mixture_sample
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            Row(pid=1, age=30, status="A"),
+            Row(pid=2, age=45, status="B"),
+            Row(pid=3, age=None, status="A"),
+            Row(pid=4, age=200, status="Z"),
+            Row(pid=4, age=10, status="B"),
+        ]
+    )
+
+
+class TestDQ:
+    def test_report_metrics_and_verdicts(self, people):
+        rep = {
+            r["constraint"]: r
+            for r in dq.verify(
+                people,
+                [
+                    dq.completeness("age"),
+                    dq.unique("pid"),
+                    dq.bounds("age", 0, 120),
+                    dq.membership("status", ("A", "B")),
+                    dq.non_negative("age"),
+                ],
+            ).collect()
+        }
+        assert rep["completeness(age)"]["metric"] == pytest.approx(0.8)
+        assert not rep["completeness(age)"]["passed"]
+        # 4 distinct pids over 5 rows
+        assert rep["unique(pid)"]["metric"] == pytest.approx(0.8)
+        assert not rep["unique(pid)"]["passed"]
+        # ages 30,45,10 in bounds; 200 out; NULL row does not count
+        assert rep["bounds(age)"]["metric"] == pytest.approx(0.6)
+        assert rep["membership(status)"]["metric"] == pytest.approx(0.8)
+        assert rep["non_negative(age)"]["metric"] == pytest.approx(0.8)
+
+    def test_all_pass_on_clean_table(self, spark):
+        clean = spark.createDataFrame(
+            [Row(pid=i, v=float(i)) for i in range(10)]
+        )
+        rep = dq.verify(
+            clean,
+            [dq.completeness("v"), dq.unique("pid"), dq.bounds("v", 0, 9)],
+        )
+        assert all(r["passed"] for r in rep.collect())
+
+    def test_single_pass_plan(self, people):
+        """The report is one aggregate over one scan — no join, no
+        second scan of the input."""
+        plan = dq.verify(
+            people, [dq.completeness("age"), dq.bounds("age", 0, 120)]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+    def test_empty_constraints_rejected(self, people):
+        with pytest.raises(ValueError):
+            dq.verify(people, [])
+
+
+class TestMixture:
+    def test_exact_composition_and_determinism(self, spark):
+        rows = [
+            Row(doc_id=i, source=f"s{i % 3}") for i in range(300)
+        ]  # 100 per source
+        df = spark.createDataFrame(rows)
+        out = mixture_sample(df, "source", {"s0": 4, "s1": 2, "s2": 1})
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # M = min(100//4, 100//2, 100//1) = 25 -> 100 : 50 : 25
+        assert got == {"s0": 100, "s1": 50, "s2": 25}
+        # deterministic: same ids on a rerun
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                df, "source", {"s0": 4, "s1": 2, "s2": 1}
+            ).collect()
+        )
+        assert a == b
+
+    def test_sources_outside_parts_dropped(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, source="keep" if i % 2 else "drop") for i in range(20)]
+        )
+        out = mixture_sample(df, "source", {"keep": 1})
+        assert {r["source"] for r in out.collect()} == {"keep"}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark join window spark spark"),
+            Row(doc_id=1, text="spark join"),
+            Row(doc_id=2, text="window window window join filter"),
+            Row(doc_id=3, text="filter scan scan"),
+            Row(doc_id=4, text="spark"),
+        ]
+    )
+
+
+class TestSearch:
+    def test_postings_capped_and_ordered_by_tf(self, spark, corpus):
+        idx = {
+            r["token"]: r
+            for r in search.inverted_postings(
+                corpus, max_postings=2, min_df=2
+            ).collect()
+        }
+        # 'spark' appears in docs 0(x3), 1, 4 -> df 3, cap 2 keeps 0 then 1
+        assert idx["spark"]["df"] == 3
+        assert idx["spark"]["total_tf"] == 5
+        assert idx["spark"]["postings"] == "0|1"
+        # min_df=2 drops 'scan' (one doc)
+        assert "scan" not in idx
+
+    def test_bm25_tf_and_idf_ordering(self, spark, corpus):
+        top = search.bm25_topk(corpus, ["spark", "join"], k=5).collect()
+        ranks = [r["doc_id"] for r in top]
+        # both-term docs rank above single-term docs (0 long, 1 short —
+        # length normalization puts the short one first, tf saturation
+        # keeps 0's triple 'spark' from dominating)
+        assert set(ranks[:2]) == {0, 1}
+        # doc 3 matches no term -> absent
+        assert 3 not in ranks
+        by_id = {r["doc_id"]: r for r in top}
+        assert by_id[0]["n_terms_hit"] == 2
+        assert by_id[4]["n_terms_hit"] == 1
+        assert all(
+            r["score"] > 0 and math.isfinite(r["score"]) for r in top
+        )
+
+    def test_bm25_rare_term_outweighs_common(self, spark, corpus):
+        """A term matched by fewer documents carries higher idf: doc 3 is
+        the only 'scan' doc and must beat docs that match only the
+        ubiquitous 'spark'."""
+        top = search.bm25_topk(corpus, ["spark", "scan"], k=5).collect()
+        by_id = {r["doc_id"]: r["score"] for r in top}
+        assert by_id[3] > by_id[1]  # scan-only doc > one-spark doc
+
+    def test_empty_query_rejected(self, corpus):
+        with pytest.raises(ValueError):
+            search.bm25_topk(corpus, [])
