@@ -31,6 +31,7 @@ from kafka2iceberg_spark import multimodal as mm
 from kafka2iceberg_spark import similarity as sim
 from kafka2iceberg_spark import sketches as sk
 from kafka2iceberg_spark import textops as tx
+from kafka2iceberg_spark import timeseries as ts
 from kafka2iceberg_spark import windows as win
 from kafka2iceberg_spark.config import FieldSpec, TaskSpec
 from kafka2iceberg_spark.state import paired_turns_batch
@@ -1587,6 +1588,29 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type: resample (one bucketed agg)
+    then gap-fill — per-key grid via sequence+explode, zero-filled counts,
+    LOCF cent-sums over a per-key ordered window (timeseries.gap_fill).
+    Spark has no native densify; this is the engine operator for it. Cent
+    sums are exact BIGINTs so LOCF values are engine-identical."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    r = ts.resample(ev, "ts", hour_us, ["event_type"], value_col="value")
+    return ts.gap_fill(r, hour_us, ["event_type"], locf_cols=["v_cents"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (timeseries.cohort_retention):
+    users keyed to their first-activity week, distinct-user activity at
+    each week offset, parts-per-million retention — integer-exact."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    week_us = 7 * DAY_US
+    return ts.cohort_retention(ev, "ts", "user_id", week_us)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1676,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "bm25_topk": q_bm25_topk,
         "json_props_rollup": q_json_props_rollup,
+        "ts_resample_fill": q_ts_resample_fill,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1857,7 +1883,7 @@ GROUP BY 1, 2
         "session_window": f"""
 WITH {_TX},
 e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
-m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) > {gap}
                      THEN 1 ELSE 0 END AS brk FROM e),
 s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
                                ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -1871,7 +1897,7 @@ FROM s GROUP BY conv_id, sid
         "session_window_sql": f"""
 WITH {_TX},
 e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
-m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) > {gap}
                      THEN 1 ELSE 0 END AS brk FROM e),
 s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
                                ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -1885,7 +1911,7 @@ FROM s GROUP BY conv_id, sid
         "session_window_two_phase": f"""
 WITH {_TX},
 e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
-m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) >= {gap}
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) > {gap}
                      THEN 1 ELSE 0 END AS brk FROM e),
 s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
                                ROWS UNBOUNDED PRECEDING) AS sid FROM m)
@@ -3200,5 +3226,57 @@ SELECT event_type,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
+""",
+        "ts_resample_fill": """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket_us) AS mn, max(bucket_us) AS mx
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, 3600000000)) AS bucket_us
+  FROM spans
+),
+j AS (
+  SELECT g.event_type, g.bucket_us,
+         coalesce(b.n, 0) AS n, b.v_cents AS v_obs
+  FROM grid g
+  LEFT JOIN b ON b.event_type = g.event_type AND b.bucket_us = g.bucket_us
+)
+SELECT event_type, bucket_us, n,
+       last_value(v_obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_cents,
+       v_obs AS v_cents_obs
+FROM j
+""",
+        "cohort_retention": f"""
+WITH b AS (
+  SELECT user_id AS u,
+         (epoch_us(ts) // {7 * DAY_US}) * {7 * DAY_US} AS bucket_us
+  FROM events
+),
+f AS (SELECT u, min(bucket_us) AS cohort_us FROM b GROUP BY u),
+act AS (
+  SELECT DISTINCT b.u, f.cohort_us,
+         (b.bucket_us - f.cohort_us) // {7 * DAY_US} AS bucket_offset
+  FROM b JOIN f USING (u)
+),
+a AS (
+  SELECT cohort_us, bucket_offset, count(*) AS active_users
+  FROM act GROUP BY 1, 2
+),
+s AS (SELECT cohort_us, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT a.cohort_us, a.bucket_offset, a.active_users, s.cohort_size,
+       (a.active_users * 1000000) // s.cohort_size AS retention_ppm
+FROM a JOIN s USING (cohort_us)
 """,
     }

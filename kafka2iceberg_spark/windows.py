@@ -94,8 +94,10 @@ def sessionize(
 ) -> DataFrame:
     """W4 — gap-closed session windows keyed by conv_id.
 
-    Spark merges overlapping [ts, ts+gap) intervals; a quiet period ≥ gap
-    closes the session. session_end = last event ts + gap (Spark semantics).
+    Spark merges overlapping-or-touching [ts, ts+gap] intervals; a quiet
+    period STRICTLY longer than gap closes the session (two events exactly
+    gap apart share a session — verified empirically, boundary pinned by
+    tests/test_properties.py). session_end = last event ts + gap.
 
     Streaming late-data note (W5, verified empirically on this Spark
     version — tests/test_streaming_late.py): rows later than the watermark
@@ -126,12 +128,15 @@ def sessionize_two_phase(
     row per non-empty bucket instead of one per event. Phase 2 runs the
     gaps-and-islands merge over bucket summaries with a window function.
 
-    Exactness: bucket width == gap, so two consecutive events ≥ gap apart
-    can never land in the same bucket, and the bucket summaries (min/max
-    event time per bucket) preserve every inter-event gap ≥ gap: a session
-    break exists between buckets iff next.min − prev.max ≥ gap. Intra-bucket
-    (and adjacent-bucket < gap) events always merge — identical output to
-    ``sessionize`` (driver-verified against the same oracle).
+    Exactness: bucket width == gap, so two consecutive events more than gap
+    apart can never land in the same bucket (intra-bucket spread < gap), and
+    the bucket summaries (min/max event time per bucket) preserve every
+    inter-event gap: a session break exists between buckets iff
+    next.min − prev.max > gap — the strict inequality matches the builtin,
+    which merges events exactly gap apart (touching [ts, ts+gap] intervals).
+    Intra-bucket (and adjacent-bucket ≤ gap) events always merge — identical
+    output to ``sessionize`` (driver-verified against the same oracle;
+    boundary case pinned by the two-phase hypothesis property).
 
     For a 10^7-turn conversation the sort/window input shrinks by the mean
     bucket occupancy (often 100-10000×); the first phase is the only pass
@@ -158,7 +163,7 @@ def sessionize_two_phase(
     marked = partial.withColumn(
         "_brk",
         F.when(
-            F.col("_min") - F.lag("_max").over(w) >= gap_us, F.lit(1)
+            F.col("_min") - F.lag("_max").over(w) > gap_us, F.lit(1)
         ).otherwise(F.lit(0)),
     ).withColumn(
         "_sid",

@@ -74,7 +74,8 @@ class TestSessionProperty:
             times.sort()
             start, last, n = times[0], times[0], 1
             for t in times[1:]:
-                if t - last >= gap_s * 1_000_000:
+                # strict >: the builtin merges events exactly gap apart
+                if t - last > gap_s * 1_000_000:
                     expect.add((c, start, last + gap_s * 1_000_000, n))
                     start, n = t, 0
                 last = t

@@ -105,12 +105,13 @@ def _expected_sessions():
         for e in batch:
             eu = eu_of(e)
             max_seen = max(max_seen, eu)
-            # merge [eu, eu+gap) into state sessions (Spark merges windows
-            # that overlap: prev.last + gap > eu and eu + gap > next.start)
+            # merge [eu, eu+gap] into state sessions (Spark merges windows
+            # that overlap OR touch: events exactly gap apart share a
+            # session — boundary pinned by tests/test_properties.py)
             merged = [eu, eu, 1]
             keep = []
             for s in state:
-                if s[1] + gap_us > merged[0] and merged[1] + gap_us > s[0]:
+                if s[1] + gap_us >= merged[0] and merged[1] + gap_us >= s[0]:
                     merged = [
                         min(s[0], merged[0]),
                         max(s[1], merged[1]),

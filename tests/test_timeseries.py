@@ -1,0 +1,102 @@
+"""timeseries operators: resample, gap_fill LOCF semantics, cohort math."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import timeseries as ts
+
+HOUR_US = 3_600_000_000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), k, v)
+            for i, (m, k, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, key string, value double",
+    )
+
+
+def test_resample_buckets_and_exact_cents(spark):
+    df = _events(
+        spark,
+        [(0, "a", 1.005), (30, "a", 2.0), (90, "a", 0.5), (61, "b", 10.0)],
+    )
+    r = ts.resample(df, "ts", HOUR_US, ["key"], value_col="value")
+    got = {
+        (x["key"], x["bucket_us"]): (x["n"], x["v_cents"])
+        for x in r.collect()
+    }
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00Z epoch micros
+    # 1.005*100 is the IEEE double 100.4999... -> 100 cents; + 200 = 300.
+    # Both engines round the same double, so cents stay engine-identical.
+    assert got[("a", base)] == (2, 300)
+    assert got[("a", base + HOUR_US)] == (1, 50)
+    assert got[("b", base + HOUR_US)] == (1, 1000)
+
+
+def test_gap_fill_densifies_zero_counts_and_locf(spark):
+    # key "a" active in hours 0 and 3 -> hours 1, 2 must appear with n=0
+    df = _events(spark, [(0, "a", 1.0), (185, "a", 2.0)])
+    r = ts.resample(df, "ts", HOUR_US, ["key"], value_col="value")
+    g = ts.gap_fill(r, HOUR_US, ["key"], locf_cols=["v_cents"]).orderBy(
+        "bucket_us"
+    )
+    rows = g.collect()
+    assert len(rows) == 4  # dense grid: hours 0..3 inclusive
+    assert [x["n"] for x in rows] == [1, 0, 0, 1]
+    # LOCF: gap hours carry hour 0's value; observed column stays NULL there
+    assert [x["v_cents"] for x in rows] == [100, 100, 100, 200]
+    assert [x["v_cents_obs"] for x in rows] == [100, None, None, 200]
+    # grid is contiguous at exactly one step
+    buckets = [x["bucket_us"] for x in rows]
+    assert all(b - a == HOUR_US for a, b in zip(buckets, buckets[1:]))
+
+
+def test_gap_fill_leading_gap_stays_null(spark):
+    # value observed only in the SECOND bucket: LOCF must not invent a value
+    # for the first (no observation to carry), while n still zero-fills
+    df = _events(spark, [(0, "a", 1.0), (70, "a", 3.0)])
+    r = ts.resample(
+        df.where(F.col("value") > 2.0).unionByName(
+            df.where(F.col("value") <= 2.0).withColumn(
+                "value", F.lit(None).cast("double")
+            )
+        ),
+        "ts",
+        HOUR_US,
+        ["key"],
+        value_col="value",
+    )
+    g = ts.gap_fill(r, HOUR_US, ["key"], locf_cols=["v_cents"]).orderBy(
+        "bucket_us"
+    )
+    rows = g.collect()
+    assert rows[0]["v_cents"] is None  # nothing before it to carry
+    assert rows[1]["v_cents"] == 300
+
+
+def test_cohort_retention_counts_and_ppm(spark):
+    # users 1,2 start hour 0; user 1 returns hour 1; user 3 starts hour 1
+    df = _events(
+        spark,
+        [(0, "u1", 0.0), (5, "u2", 0.0), (65, "u1", 0.0), (70, "u3", 0.0)],
+    ).withColumn("user_id", F.col("key"))
+    r = ts.cohort_retention(df, "ts", "user_id", HOUR_US)
+    got = {
+        (x["cohort_us"], x["bucket_offset"]): (
+            x["active_users"],
+            x["cohort_size"],
+            x["retention_ppm"],
+        )
+        for x in r.collect()
+    }
+    base = 1_704_067_200_000_000
+    assert got[(base, 0)] == (2, 2, 1_000_000)
+    assert got[(base, 1)] == (1, 2, 500_000)
+    assert got[(base + HOUR_US, 0)] == (1, 1, 1_000_000)
+    assert len(got) == 3
