@@ -1611,6 +1611,20 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.cohort_retention(ev, "ts", "user_id", week_us)
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (sketches.hist_registers /
+    hist_quantiles): p50/p90/p99 of event value per type from a fixed-bin
+    cent histogram — one pre-combined shuffle of bin summaries, exact
+    integer ranks, one interpolation division. The mergeable counterpart
+    to exact percentile_approx at 100 TB (partial histograms sum)."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    h = sk.hist_registers(ev, F.col("cents"), ["event_type"], 100)
+    return sk.hist_quantiles(h, ["event_type"], 100, [50, 90, 99])
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1702,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
+        "hist_quantiles": q_hist_quantiles,
     }
 
 
@@ -3278,5 +3293,41 @@ s AS (SELECT cohort_us, count(*) AS cohort_size FROM f GROUP BY 1)
 SELECT a.cohort_us, a.bucket_offset, a.active_users, s.cohort_size,
        (a.active_users * 1000000) // s.cohort_size AS retention_ppm
 FROM a JOIN s USING (cohort_us)
+""",
+        "hist_quantiles": """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+h AS (
+  SELECT event_type, cents // 100 AS bin, count(*) AS c FROM v GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS total FROM h GROUP BY 1
+),
+cum AS (
+  SELECT event_type, bin, c,
+         CAST(sum(c) OVER (
+           PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM h
+),
+x AS (
+  SELECT cum.event_type, cum.bin, cum.c, cum.cum, t.total, p.pct,
+         (t.total * p.pct + 99) // 100 AS target
+  FROM cum
+  JOIN t USING (event_type)
+  CROSS JOIN (VALUES (50), (90), (99)) p(pct)
+),
+hit AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type, pct ORDER BY bin
+         ) AS rn
+  FROM x WHERE cum >= target
+)
+SELECT event_type, pct, total,
+       round(bin * 100 + (target - (cum - c)) * 1.0 / c * 100, 6)
+         AS est_cents
+FROM hit WHERE rn = 1
 """,
     }

@@ -287,3 +287,92 @@ class StreamingHLL:
         return hll_estimate_from_registers(
             self.table.read(spark).select("register", "max_rank"), None, self.p
         )
+
+
+# ------------------------------------------------------- histogram quantiles
+
+
+def hist_registers(
+    df: DataFrame,
+    value_cents: Column,
+    group_cols: list[str] | None,
+    bin_cents: int,
+) -> DataFrame:
+    """Fixed-width histogram sketch over an exact integer value (cents).
+
+    One hash aggregation with full map-side combine; the shuffle carries at
+    most (groups x occupied bins) pre-combined rows, never raw rows. Bin
+    boundaries are data-independent (``value // bin_cents``), which is what
+    makes the sketch MERGEABLE: histograms from disjoint partitions, files,
+    or micro-batches sum register-wise into the histogram of the union —
+    the same property HLL gets from max-merge. t-digest/GK give tighter
+    tails per byte but are order-sensitive and engine-opaque; fixed bins
+    are deterministic, so an independent SQL engine replays them exactly.
+    """
+    groups = list(group_cols or [])
+    return (
+        df.select(
+            *groups,
+            F.floor(value_cents / F.lit(bin_cents)).cast("long").alias("bin"),
+        )
+        .groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str] | None,
+    bin_cents: int,
+    percents: list[int],
+) -> DataFrame:
+    """Quantile estimates from a ``hist_registers`` sketch.
+
+    For each integer percent p the target rank is ``ceil(total*p/100)``
+    (exact BIGINT arithmetic); the estimate interpolates linearly inside
+    the first bin whose cumulative count reaches the target:
+
+        est = bin*W + (target - cum_prev) / c * W        (cents)
+
+    — one ordered window per group over bin summaries (tiny), a broadcast
+    of per-group totals, and a rank-1 pick per (group, percent). The only
+    floating-point op is the final interpolation division, rounded to 6dp,
+    so estimates are bit-identical across engines and partitionings.
+    Worst-case error is one bin width; choose ``bin_cents`` accordingly.
+    """
+    from pyspark.sql.window import Window
+
+    groups = list(group_cols or [])
+    tot = hist.groupBy(*groups).agg(F.sum("c").alias("total"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    j = cum.join(F.broadcast(tot), groups) if groups else cum.crossJoin(
+        F.broadcast(tot)
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in percents])
+    ).alias("pct")
+    exploded = j.select("*", pcts).withColumn(
+        "target", F.expr("(total * pct + 99) div 100")
+    )
+    hit = exploded.where(F.col("cum") >= F.col("target"))
+    rw = Window.partitionBy(*groups, "pct").orderBy("bin")
+    first = hit.withColumn("_rn", F.row_number().over(rw)).where(
+        F.col("_rn") == 1
+    )
+    return first.select(
+        *groups,
+        "pct",
+        "total",
+        F.round(
+            F.col("bin") * F.lit(bin_cents)
+            + (F.col("target") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+            * F.lit(bin_cents),
+            6,
+        ).alias("est_cents"),
+    )

@@ -106,3 +106,74 @@ def test_countmin_heavy_hitter_near_exact(spark):
     cand = spark.createDataFrame([("HEAVY",)], ["token"])
     est = sk.countmin_heavy_hitters(toks, cand).collect()[0]
     assert 5000 <= est.est_count <= 5000 + int(2.72 * 7000 / 1024) + 1
+
+
+def test_hist_quantiles_exact_on_uniform(spark):
+    # cents 0..9999 uniform, $1 bins: every bin holds exactly 100 values, so
+    # interpolation is exact at every rank: est(p) = ceil(p% of 10000) cents
+    df = spark.range(10000).select(F.col("id").cast("long").alias("cents"))
+    h = sk.hist_registers(df, F.col("cents"), None, 100)
+    got = {
+        r.pct: r.est_cents
+        for r in sk.hist_quantiles(h, None, 100, [50, 90, 99]).collect()
+    }
+    assert got == {50: 5000.0, 90: 9000.0, 99: 9900.0}
+
+
+def test_hist_registers_merge_equals_whole(spark):
+    # mergeability: register-wise sum of two disjoint halves == histogram of
+    # the union -> identical quantiles. This is the property that lets the
+    # sketch run as partial aggregation across files/batches at 100 TB.
+    df = spark.range(5000).select(
+        (F.pmod(F.col("id") * 7919, F.lit(100000))).cast("long").alias("cents")
+    )
+    a = df.where(F.col("cents") % 2 == 0)
+    b = df.where(F.col("cents") % 2 == 1)
+    merged = (
+        sk.hist_registers(a, F.col("cents"), None, 100)
+        .unionByName(sk.hist_registers(b, F.col("cents"), None, 100))
+        .groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = sk.hist_registers(df, F.col("cents"), None, 100)
+    qm = {
+        r.pct: (r.est_cents, r.total)
+        for r in sk.hist_quantiles(merged, None, 100, [50, 95]).collect()
+    }
+    qw = {
+        r.pct: (r.est_cents, r.total)
+        for r in sk.hist_quantiles(whole, None, 100, [50, 95]).collect()
+    }
+    assert qm == qw
+
+
+def test_hist_quantiles_error_within_bin_width(spark):
+    # skewed data: estimate must land within one bin width of the exact
+    # rank-statistic quantile (the sketch's worst case)
+    df = spark.range(20000).select(
+        (F.col("id") * F.col("id") % 37777).cast("long").alias("cents")
+    )
+    h = sk.hist_registers(df, F.col("cents"), None, 100)
+    est = {
+        r.pct: r.est_cents
+        for r in sk.hist_quantiles(h, None, 100, [50, 99]).collect()
+    }
+    vals = sorted(r.cents for r in df.collect())
+    for pct in (50, 99):
+        target = -(-len(vals) * pct // 100)  # ceil
+        exact = vals[target - 1]
+        assert abs(est[pct] - exact) <= 100, (pct, est[pct], exact)
+
+
+def test_hist_quantiles_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", i * 10) for i in range(1, 101)]
+        + [("b", 100000 + i) for i in range(1, 11)],
+        "g string, cents long",
+    )
+    h = sk.hist_registers(df, F.col("cents"), ["g"], 100)
+    out = {
+        (r.g, r.pct): r.total
+        for r in sk.hist_quantiles(h, ["g"], 100, [50]).collect()
+    }
+    assert out == {("a", 50): 100, ("b", 50): 10}
