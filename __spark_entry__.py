@@ -1625,6 +1625,16 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles(h, ["event_type"], 100, [50, 90, 99])
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round statistics (textops.bpe_pair_counts): top-50
+    corpus-weighted adjacent character pairs over the distinct-word
+    frequency dictionary — the argmax candidates of a tokenizer trainer's
+    first merge. Counts collapse to vocabulary before any pair math."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, "text", top_k=50)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
         "hist_quantiles": q_hist_quantiles,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -3329,5 +3340,22 @@ SELECT event_type, pct, total,
        round(bin * 100 + (target - (cum - c)) * 1.0 / c * 100, 6)
          AS est_cents
 FROM hit WHERE rn = 1
+""",
+        "bpe_pairs": """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, cnt
+  FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
 """,
     }

@@ -476,3 +476,42 @@ def chunk_documents(
             ).alias("chunk_hash"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """One BPE merge-round statistic: corpus-weighted adjacent character
+    pair counts over the word-frequency dictionary (the quantity a BPE
+    trainer maximizes each merge — Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units").
+
+    Exactly how real BPE trainers scale: counts run over the DISTINCT-word
+    frequency table, not raw text — the first aggregation collapses the
+    corpus to its vocabulary (map-side combined; the shuffle carries one
+    row per distinct word per partition at most), and the pair explosion
+    touches each vocabulary entry once regardless of corpus size. The
+    second aggregation lands on ≤ |alphabet|² keys. Top-k is
+    orderBy+limit = per-partition TakeOrdered, no global sort.
+    """
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(top_k)
+    )

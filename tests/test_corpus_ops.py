@@ -346,3 +346,16 @@ def test_chunk_documents_overlap_invariants(spark):
     assert covered == set(range(50))
     with pytest.raises(ValueError):
         tx.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # "aba" x3 and "ab" x1: pair "ab" = 3*1 + 1 = 4, "ba" = 3
+    docs = spark.createDataFrame(
+        [(1, "aba aba"), (2, "aba! AB?"), (3, "x")],  # "x" too short, dropped
+        ["doc_id", "text"],
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in tx.bpe_pair_counts(docs, "text").collect()
+    }
+    assert got == {"ab": 4, "ba": 3}
