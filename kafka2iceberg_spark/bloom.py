@@ -61,12 +61,23 @@ def might_contain(bitmap: bytes, m: int, k: int, value: str) -> bool:
 
 def _norm(v) -> str:
     """Stable string form of a lookup/build value (mirrors how the same
-    value prints from parquet and from a literal)."""
+    value prints from parquet and from a literal).
+
+    Datetimes unify to NAIVE-UTC ISO strings, same rule as
+    ``IcebergLite._norm_stat_value``: pyarrow hands TIMESTAMP(LTZ) values
+    back tz-AWARE at build time while callers probe with naive bounds
+    (session TZ pinned UTC) — rendering one with a '+00:00' suffix and the
+    other without makes every timestamp probe miss and the file wrongly
+    skipped (silent row loss)."""
     import datetime
 
     if isinstance(v, bool):
         return str(v).lower()
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, float) and v.is_integer():
         return str(int(v))

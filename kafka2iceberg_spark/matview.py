@@ -125,7 +125,12 @@ class IncrementalAggView:
             keys = deletes.where(
                 F.col(COMMIT_VERSION_COL) == v
             ).select(*self.source.pk)
-            pre = self.source.read(spark, version=int(v) - 1)
+            # pre-image = the commit's PARENT snapshot, not v-1: version
+            # numbers are table-global across refs, so v-1 can be a staged
+            # branch/transaction commit that main never saw
+            snap_v = self.source.snapshot_at(int(v))
+            parent = snap_v.get("parent_version", int(v) - 1)
+            pre = self.source.read(spark, version=int(parent))
             if not self._needs_preimage:
                 pre = pre.select(*self.source.pk)
             pre = pre.join(

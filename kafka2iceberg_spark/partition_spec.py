@@ -133,6 +133,17 @@ def spec_expr(
             )
         else:
             e = field_expr(f, null_sentinel)
+        if len(spec) > 1:
+            # multi-field values are '_'-joined, so '_' inside a field value
+            # (identity strings; the null sentinel itself is
+            # '__HIVE_DEFAULT_PARTITION__') would corrupt the split at prune
+            # time. Percent-escape, Iceberg-path style; single-field layouts
+            # stay byte-identical to pre-evolution tables.
+            e = F.replace(
+                F.replace(e, F.lit("%"), F.lit("%25")),
+                F.lit("_"),
+                F.lit("%5F"),
+            )
         parts.append(e)
     out = parts[0]
     for p in parts[1:]:
@@ -154,6 +165,11 @@ def spec_id_of_pval(pval: str) -> int:
 
 def strip_prefix(pval: str) -> str:
     return _PREFIX_RE.sub("", pval)
+
+
+def unescape_field(v: str) -> str:
+    """Reverse spec_expr's multi-field percent-escaping ('_' and '%')."""
+    return v.replace("%5F", "_").replace("%25", "%")
 
 
 def transform_literal(
@@ -185,16 +201,24 @@ def field_may_match(
     lo_t: str | None,
     hi_t: str | None,
     null_sentinel: str,
+    numeric: bool = False,
 ) -> bool:
     """Can a partition whose transformed value is ``field_value`` contain
     rows with lo <= source <= hi (bounds pre-transformed via
     ``transform_literal``)? Conservative: unknown ⇒ True.
 
     - time/truncate/identity transforms are ORDER-PRESERVING in their
-      string encodings (dates by construction; int-truncate compared
-      numerically), so range pruning is a direct comparison;
+      string encodings (dates by construction; integer-sourced
+      truncate/identity compared numerically), so range pruning is a
+      direct comparison;
     - bucket is order-destroying: only an equality bound (lo == hi)
       prunes, exactly Iceberg's residual evaluation rule.
+
+    ``numeric`` must be True when the SOURCE COLUMN's bound literals were
+    integers: decimal strings are not lexically ordered ('12' < '9'), so
+    the caller — who still holds the typed bounds — decides, never a
+    regex on the value (a digit-string identity partition of a STRING
+    column must keep lexical order).
     """
     if field_value == null_sentinel:
         return lo_t is None and hi_t is None
@@ -206,7 +230,7 @@ def field_may_match(
         return True
     try:
         fv, lo_c, hi_c = field_value, lo_t, hi_t
-        if f.transform == "truncate" and re.fullmatch(r"-?\d+", field_value):
+        if numeric and f.transform in ("truncate", "identity"):
             fv = int(field_value)
             lo_c = None if lo_t is None else int(lo_t)
             hi_c = None if hi_t is None else int(hi_t)

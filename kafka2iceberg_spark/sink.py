@@ -148,16 +148,11 @@ NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _validate_spec(fields: list["PS.PartitionField"]) -> None:
-    """Multi-field partition values are '_'-joined; time/bucket transforms
-    never produce '_' so they can prefix unambiguously, but identity /
-    truncate over free strings could — those must come LAST so the value
-    splits deterministically at plan time."""
-    for f in fields[:-1]:
-        if f.transform in ("identity", "truncate"):
-            raise ValueError(
-                f"partition field {f} must be last in a multi-field spec "
-                "(identity/truncate values may contain the field separator)"
-            )
+    """Multi-field partition values are '_'-joined with percent-escaped
+    field values (partition_spec.spec_expr), so any transform may appear
+    in any position — identity/truncate strings and the null sentinel
+    (which itself contains '_') split unambiguously at plan time. Kept as
+    a hook for future structural constraints."""
 
 #: Stage directories are named ``s{seq:08d}-...`` — the commit's data
 #: sequence number, recoverable per-row from the file path alone.
@@ -888,14 +883,25 @@ class IcebergLite:
                 keep.add(pval)  # spec can't prune on this column
                 continue
             raw = PS.strip_prefix(pval)
+            # multi-field values are '_'-joined with percent-escaped fields
+            # (spec_expr), so the split is unambiguous and reversed here
             vals = (
                 [raw]
                 if len(fields) == 1
-                else raw.split("_", len(fields) - 1)
+                else [
+                    PS.unescape_field(v)
+                    for v in raw.split("_", len(fields) - 1)
+                ]
             )
             if len(vals) != len(fields):
                 keep.add(pval)
                 continue
+            # integer bounds ⇒ numeric ordering for truncate/identity
+            # values ('12' < '9' lexically); bool excluded (it is an int)
+            numeric = any(
+                isinstance(b, int) and not isinstance(b, bool)
+                for b in (lo, hi)
+            )
             ok = True
             for i, f in rel:
                 if (sid, i) not in bounds_cache:
@@ -904,7 +910,9 @@ class IcebergLite:
                         PS.transform_literal(spark, f, hi),
                     )
                 lo_t, hi_t = bounds_cache[(sid, i)]
-                if not PS.field_may_match(f, vals[i], lo_t, hi_t, NULL_PARTITION):
+                if not PS.field_may_match(
+                    f, vals[i], lo_t, hi_t, NULL_PARTITION, numeric=numeric
+                ):
                     ok = False
                     break
             if ok:
@@ -1128,12 +1136,13 @@ class IcebergLite:
         (tested), but only the files whose stats ranges intersect the
         bounds are opened — the complement of files is never touched.
         """
+        # pin the snapshot ONCE: resolving it again after planning would
+        # let a concurrent commit hand the file plan and the delete set
+        # different snapshots (a read matching no committed state)
+        if version is None:
+            version = self.current_version()
+        snap = self.snapshot_at(version)
         plan = self.plan_scan(col, lo, hi, version)
-        snap = (
-            self.snapshot_at(version)
-            if version is not None
-            else self.current_snapshot()
-        )
         if not plan["paths"]:
             empty = self.read(spark, version).limit(0)
             df = empty
@@ -1177,12 +1186,13 @@ class IcebergLite:
         The open-interval scan of an SCD2 dimension (``valid_to IS NULL``)
         is the canonical use: open rows concentrate in recent files, so at
         scale this touches O(open files), not O(history)."""
+        # pin the snapshot ONCE: resolving it again after planning would
+        # let a concurrent commit hand the file plan and the delete set
+        # different snapshots (a read matching no committed state)
+        if version is None:
+            version = self.current_version()
+        snap = self.snapshot_at(version)
         plan = self.plan_scan_null(col, version)
-        snap = (
-            self.snapshot_at(version)
-            if version is not None
-            else self.current_snapshot()
-        )
         if not plan["paths"]:
             return self.read(spark, version).limit(0)
         df = self._apply_equality_deletes(
@@ -1219,12 +1229,13 @@ class IcebergLite:
         cannot rule out. Semantically identical to
         ``read(spark).where(col = value)`` (tested) — bloom false positives
         are filtered by the residual predicate, never surfaced."""
+        # pin the snapshot ONCE: resolving it again after planning would
+        # let a concurrent commit hand the file plan and the delete set
+        # different snapshots (a read matching no committed state)
+        if version is None:
+            version = self.current_version()
+        snap = self.snapshot_at(version)
         plan = self.plan_scan_eq(col, value, version)
-        snap = (
-            self.snapshot_at(version)
-            if version is not None
-            else self.current_snapshot()
-        )
         if not plan["paths"]:
             return self.read(spark, version).limit(0).where(F.lit(False))
         df = self._apply_equality_deletes(
@@ -1289,24 +1300,25 @@ class IcebergLite:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
-    def _apply_equality_deletes(
-        self, spark: SparkSession, df: DataFrame, snap: dict
-    ) -> DataFrame:
-        """Merge-on-read scan: drop rows superseded by equality deletes.
+    def _delete_aggregate(
+        self, spark: SparkSession, snap: dict
+    ) -> DataFrame | None:
+        """Max delete sequence per PK from a snapshot's delete manifests —
+        the single MOR reconciliation input, shared by every read path and
+        by materialize_deletes (one implementation, or their semantics
+        drift). None when the snapshot carries no outstanding deletes.
 
-        Iceberg v2 semantics — a delete at sequence S covers data rows of
-        the same PK with sequence < S. One aggregation over the delete
-        files (max delete sequence per PK) + one join against the scan;
-        the join is broadcast while the outstanding delete set is small
-        (it grows per MOR commit and resets at compaction/materialize, so
-        steady-state with maintenance it stays a dimension-sized side).
-        Rows' own sequences come from the file path — no per-file plans."""
+        PK-projected read (the delete files' only payload the reconcile
+        needs); pre-evolution files fall back to mergeSchema. Broadcast
+        only while the delete debt is dimension-sized — a long-deferred
+        reconcile over a huge debt must fall back to a shuffled hash join,
+        not OOM the driver."""
         refs = snap.get("delete_manifests") or []
         if not refs or not self.pk:
-            return df
+            return None
         entries = [f for ref in refs for f in self._load_manifest(ref)]
         if not entries:
-            return df
+            return None
         schema = self.table_schema(snap)
         if schema is not None:
             pk_set = set(self.pk)
@@ -1323,6 +1335,20 @@ class IcebergLite:
         )
         if sum(e.get("rows") or 0 for e in entries) <= 5_000_000:
             deletes = F.broadcast(deletes)
+        return deletes
+
+    def _apply_equality_deletes(
+        self, spark: SparkSession, df: DataFrame, snap: dict
+    ) -> DataFrame:
+        """Merge-on-read scan: drop rows superseded by equality deletes.
+
+        Iceberg v2 semantics — a delete at sequence S covers data rows of
+        the same PK with sequence < S. One aggregation over the delete
+        files (``_delete_aggregate``) + one join against the scan. Rows'
+        own sequences come from the file path — no per-file plans."""
+        deletes = self._delete_aggregate(spark, snap)
+        if deletes is None:
+            return df
         out_cols = df.columns  # join(on=pk) reorders; restore the schema
         return (
             df.withColumn("_seq", _file_seq_col())
@@ -2019,31 +2045,9 @@ class IcebergLite:
         seq, snap, crefs = self._commit_meta("main")
         by_part = self.resolve_manifests(snap)
         all_paths = [f["path"] for files in by_part.values() for f in files]
-        if all_paths:
+        dagg = self._delete_aggregate(spark, snap) if all_paths else None
+        if dagg is not None:
             scan = self._read_files(spark, all_paths, snap)
-            entries = [f for r in refs for f in self._load_manifest(r)]
-            schema = self.table_schema(snap)
-            pk_set = set(self.pk)
-            reader = (
-                spark.read.schema(
-                    T.StructType(
-                        [f for f in schema.fields if f.name in pk_set]
-                    )
-                )
-                if schema is not None
-                else spark.read.option("mergeSchema", "true")
-            )
-            dagg = (
-                reader.parquet(*[e["path"] for e in entries])
-                .withColumn("_del_seq", _file_seq_col())
-                .groupBy(*self.pk)
-                .agg(F.max("_del_seq").alias("_del_seq"))
-            )
-            # broadcast only while the delete debt is dimension-sized —
-            # a long-deferred materialize over a huge debt must fall back
-            # to a shuffled hash join, not OOM the driver
-            if sum(e.get("rows") or 0 for e in entries) <= 5_000_000:
-                dagg = F.broadcast(dagg)
             # file-derived columns (_seq, partition value) must be computed
             # BEFORE the join — input_file_name() is per-source
             doomed = (

@@ -400,6 +400,26 @@ class _TableBatchReader(DataSourceReader):
         schema_json = json.dumps(schema.jsonValue())
         deletes = self._delete_sets(snap)
         norm = IcebergLite._norm_stat_value
+        # the applicable delete set depends ONLY on the file's sequence
+        # number, and distinct sequences are O(commits), not O(files):
+        # memoize the suffix unions so planning is O(seqs × delete_rows)
+        # instead of O(files × delete_rows), and every same-seq partition
+        # shares one frozenset object on the driver
+        seq_drop: dict[int, tuple] = {}
+
+        def _drop_for(file_seq: int) -> tuple:
+            if file_seq not in seq_drop:
+                drop: set = set()
+                names: tuple | None = None
+                for dseq, nm, keys in deletes:
+                    if dseq > file_seq:
+                        names = nm
+                        drop |= keys
+                seq_drop[file_seq] = (
+                    names, frozenset(drop) if drop else None
+                )
+            return seq_drop[file_seq]
+
         parts: list[InputPartition] = []
         for files in self._table.resolve_manifests(snap).values():
             for f in files:
@@ -420,19 +440,10 @@ class _TableBatchReader(DataSourceReader):
                         break
                 if skip:
                     continue
-                file_seq = _path_seq(f["path"])
-                drop: set = set()
-                pk_names: tuple | None = None
-                for dseq, names, keys in deletes:
-                    if dseq > file_seq:
-                        pk_names = names
-                        drop |= keys
+                pk_names, drop_keys = _drop_for(_path_seq(f["path"]))
                 parts.append(
                     _BatchFilesPartition(
-                        f["path"],
-                        schema_json,
-                        pk_names,
-                        frozenset(drop) if drop else None,
+                        f["path"], schema_json, pk_names, drop_keys
                     )
                 )
         return parts

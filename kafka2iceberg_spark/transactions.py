@@ -205,6 +205,26 @@ class MultiTableTransaction:
             return self._staged[name][0]
         tbl = self.catalog.table(name)
         base = self.catalog.pinned_version(name)
+        existing = tbl.refs().get(self.branch)
+        if existing is not None and existing.get("type") == "branch":
+            # a crashed earlier attempt of THIS txn left its staged branch
+            # behind. The table-global replay guard makes the re-staged
+            # writes no-ops (their deterministic batch ids already exist in
+            # abandoned snapshots), so RESETTING the branch to base would
+            # commit the transaction with no data. Resume the branch
+            # instead — replayed writes dedup against it and the head keeps
+            # the staged content — but only while it still descends from
+            # the catalog pin; a moved pin means another txn won, and this
+            # id's batch ids are burned: the caller must restage under a
+            # NEW txn id.
+            if tbl.is_ancestor(base, existing["version"]):
+                self._staged[name] = (tbl, base)
+                return tbl
+            raise CommitConflict(
+                f"table {name!r} was re-pinned while txn {self.txn_id}"
+                f" had a staged branch at v{existing['version']}; abort"
+                " and restage under a fresh txn id"
+            )
         # fork the staging branch at the PINNED version: the transaction
         # reads-and-writes the catalog's view, not whatever raced onto main
         tbl.create_branch(self.branch, version=base)

@@ -163,3 +163,39 @@ def test_mv_validates_config(tmp_path):
             src, IcebergLite(str(tmp_path / "v3"), pk=["turn_idx"]),
             ["conv_id"], {"n": ("count", None)},
         )
+
+
+def test_mv_preimage_uses_parent_not_v_minus_1(spark, tmp_path):
+    # a staged BRANCH commit interleaves between the insert and the delete:
+    # the delete commit's version v has parent v-2, and version v-1 holds
+    # branch content main never saw. Pre-image recovery must follow
+    # parent_version, not v-1, or sum measures go wrong.
+    src = IcebergLite(str(tmp_path / "src"), pk=["conv_id", "turn_idx"])
+    mv = _mv(tmp_path, src)
+    src.commit_upsert(
+        _rows(spark, [("a", 0, "hello"), ("b", 0, "yy")]), "b1",
+        strategy="mor",
+    )
+    q = mv.start(spark, str(tmp_path / "ck"))
+    q.awaitTermination()
+    # staged branch commit: same PK ('a', 0) with DIFFERENT text length —
+    # if the pre-image wrongly reads this snapshot, total_chars is off
+    src.create_branch("stage")
+    src.commit_append(
+        _rows(spark, [("a", 0, "REPLACED-LONG-TEXT")]), "staged",
+        branch="stage",
+    )
+    # delete ('a', 0) on main; commit version = branch version + 1
+    dele = _rows(spark, [("a", 0, "ignored")]).withColumn(
+        "is_cdc_delete", F.lit(True)
+    )
+    src.commit_upsert(dele, "b2", strategy="mor")
+    q = mv.start(spark, str(tmp_path / "ck"))
+    q.awaitTermination()
+    _assert_parity(spark, mv)
+    got = {
+        r.conv_id: (r.n_turns, r.total_chars)
+        for r in mv.view.read(spark).collect()
+    }
+    assert got["b"] == (1, 2)
+    assert got.get("a", (0, 0))[0] == 0 or "a" not in got

@@ -87,19 +87,29 @@ def test_bucket_is_deterministic(spark):
     assert len(vals) == 1
 
 
-def test_multi_field_spec_validation(tmp_path):
-    # identity/truncate may only be the LAST field of a multi-field spec
-    with pytest.raises(ValueError):
-        IcebergLite(
-            str(tmp_path / "bad"),
-            pk=PK,
-            partition_spec=["identity(conv_id)", "day(ts)"],
-        )
-    IcebergLite(
+def test_multi_field_spec_any_order(spark, tmp_path):
+    # identity may appear in ANY position: field values are percent-escaped
+    # before the '_' join, so separators inside values (including the null
+    # sentinel, which contains '_') split unambiguously at plan time
+    t = IcebergLite(
         str(tmp_path / "ok"),
         pk=PK,
-        partition_spec=["day(ts)", "identity(conv_id)"],
+        partition_spec=["identity(conv_id)", "day(ts)"],
     )
+    rows = [
+        ("a_b", 1, "x", D1, 1, 0, False),   # '_' inside an identity value
+        ("plain", 1, "y", None, 2, 0, False),  # NULL day -> sentinel field
+        ("plain", 2, "z", D2, 3, 0, False),
+    ]
+    t.commit_append(_batch(spark, rows), "b0")
+    assert t.read(spark).count() == 3
+    # pruning on ts must keep the NULL-ts partition only for unbounded
+    # scans, and parse every pval without corruption
+    plan = t.prune_partitions(spark, "ts", lo=D2, hi=D2)
+    got = t.read_partition_range(spark, "ts", lo=D2, hi=D2).collect()
+    assert [r.conv_id for r in got] == ["plain"]
+    assert plan["pruned"] >= 1
+    t.drop()
 
 
 # -- explicit spec at create ----------------------------------------------
@@ -293,3 +303,39 @@ def test_same_spec_upsert_writes_no_delete_files(spark, table):
         _batch(spark, [("c1", 0, "b", D1, 1, 0, False)]), "1"
     )
     assert not table.current_snapshot().get("delete_manifests")
+
+
+def test_identity_int_partition_prunes_numerically(spark, tmp_path):
+    # decimal partition values are not lexically ordered ('12' < '9'):
+    # integer bounds must compare numerically or partitions vanish
+    t = IcebergLite(
+        str(tmp_path / "num"),
+        pk=["conv_id", "turn_idx"],
+        partition_spec=["identity(turn_idx)"],
+    )
+    rows = [(f"c{i}", i, "t", D1, i, 0, False) for i in (5, 9, 12, 15, 100)]
+    t.commit_append(_batch(spark, rows), "b0")
+    got = sorted(
+        r.turn_idx
+        for r in t.read_partition_range(spark, "turn_idx", lo=9, hi=15)
+        .collect()
+    )
+    assert got == [9, 12, 15]
+    plan = t.prune_partitions(spark, "turn_idx", lo=9, hi=15)
+    assert plan["pruned"] == 2  # 5 and 100
+    # digit-string identity partitions of a STRING column keep lexical order
+    s = IcebergLite(
+        str(tmp_path / "str"),
+        pk=["conv_id", "turn_idx"],
+        partition_spec=["identity(conv_id)"],
+    )
+    srows = [(c, 1, "t", D1, 1, 0, False) for c in ("12", "2", "9")]
+    s.commit_append(_batch(spark, srows), "b0")
+    sgot = sorted(
+        r.conv_id
+        for r in s.read_partition_range(spark, "conv_id", lo="100", hi="3")
+        .collect()
+    )
+    assert sgot == ["12", "2"]  # lexical range; numeric compare would drop 2
+    t.drop()
+    s.drop()

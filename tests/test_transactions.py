@@ -146,3 +146,40 @@ def test_catalog_snapshot_isolation_across_commits(spark, cat):
     # re-registering advances the pin to the table head
     cat.register("turns", tbl)
     assert cat.read(spark, "turns").count() == 7
+
+
+def test_txn_crash_before_cas_replay_commits_staged_data(spark, cat):
+    # first attempt stages, then "crashes" before the catalog CAS (the txn
+    # object is simply dropped, branch left behind). The replay — same txn
+    # id, same deterministic writes — must still commit the DATA: resetting
+    # the branch would let the table-global batch-id guard turn every
+    # replayed write into a no-op and record an empty transaction.
+    t1 = cat.transaction("crashy")
+    t1.append("turns", _rows(spark, range(4)))
+    del t1  # crash: no commit(), no abort()
+    t2 = cat.transaction("crashy")
+    t2.append("turns", _rows(spark, range(4)))  # replayed writes: no-ops
+    assert t2.commit() is True
+    assert cat.read(spark, "turns").count() == 4
+    # and the whole thing is still replay-idempotent at the txn level
+    t3 = cat.transaction("crashy")
+    t3.append("turns", _rows(spark, range(4)))
+    assert t3.commit() is False
+    assert cat.read(spark, "turns").count() == 4
+
+
+def test_txn_stale_crashed_branch_conflicts_not_empty_commit(spark, cat):
+    # crashed attempt, then ANOTHER txn re-pins the table: the stale branch
+    # no longer descends from the pin and the crashed id's batch ids are
+    # burned — restaging under the same id must raise, never silently
+    # commit a transaction with no data.
+    t1 = cat.transaction("loser")
+    t1.append("turns", _rows(spark, range(3)))
+    del t1  # crash before CAS
+    w = cat.transaction("winner")
+    w.append("turns", _rows(spark, range(10, 13)))
+    assert w.commit() is True
+    t2 = cat.transaction("loser")
+    with pytest.raises(CommitConflict):
+        t2.append("turns", _rows(spark, range(3)))
+    assert cat.read(spark, "turns").count() == 3  # winner's rows only

@@ -124,3 +124,28 @@ def test_bloom_survives_compaction_rebuild(spark, tmp_path):
     plan = t.plan_scan_eq("conv_id", "k5")
     assert plan["files_total"] == 1
     assert t.scan_point(spark, "conv_id", "k5").count() == 1
+
+
+def test_bloom_timestamp_probe_no_false_negative(spark, tmp_path):
+    # regression: parquet returns TIMESTAMP(LTZ) values tz-AWARE at bloom
+    # build time while callers probe with naive-UTC datetimes; without tz
+    # unification in bloom._norm every timestamp probe missed and the file
+    # was wrongly skipped (silent row loss)
+    import datetime as dt
+
+    t = IcebergLite(str(tmp_path / "ts"), pk=["conv_id", "turn_idx"])
+    df = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        (
+            F.lit("2024-09-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+    )
+    t.commit_append(df, "b0")
+    assert t.build_blooms(spark, ["ts"]) == 1
+    needle = dt.datetime(2024, 9, 1, 0, 0, 42)
+    plan = t.plan_scan_eq("ts", needle)
+    assert plan["files_skipped_bloom"] == 0, plan  # present -> never skipped
+    rows = t.scan_point(spark, "ts", needle).collect()
+    assert len(rows) == 1 and rows[0].conv_id == "c42"
