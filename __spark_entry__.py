@@ -1635,6 +1635,51 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(docs, "text", top_k=50)
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue per event type: daily exact-cent partials,
+    then a RANGE window (6 preceding days .. current) per type — one
+    bucketed agg + one per-key ordered window over day summaries, never
+    raw rows. The moving average is the single float op, from exact
+    integer sums."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / DAY_US)
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum("cents").alias("day_cents"),
+        F.count(F.lit(1)).alias("day_n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        (F.col("day") * DAY_US).alias("day_us"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("roll_cents"),
+        F.sum("day_n").over(w).alias("roll_n"),
+        F.round(
+            F.sum("day_cents").over(w) / F.sum("day_n").over(w), 6
+        ).alias("roll_avg_cents"),
+    )
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scores (textops.bigram_lm_scores):
+    add-one-smoothed per-doc mean bigram log-prob under the corpus's own
+    model — integer nano-ln aggregation, engine-exact."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return tx.bigram_lm_scores(docs)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1728,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "hist_quantiles": q_hist_quantiles,
         "bpe_pairs": q_bpe_pairs,
+        "rolling_stats": q_rolling_stats,
+        "bigram_lm_scores": q_bigram_lm_scores,
     }
 
 
@@ -3357,5 +3404,55 @@ SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
 FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair
 LIMIT 50
+""",
+        "rolling_stats": f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents,
+         count(*) AS day_n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       day * {DAY_US} AS day_us,
+       day_cents,
+       CAST(sum(day_cents) OVER w AS BIGINT) AS roll_cents,
+       CAST(sum(day_n) OVER w AS BIGINT) AS roll_n,
+       round(CAST(sum(day_cents) OVER w AS DOUBLE)
+             / CAST(sum(day_n) OVER w AS DOUBLE), 6) AS roll_avg_cents
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+        "bigram_lm_scores": """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+flat AS (
+  SELECT t[i] AS w1 FROM d, unnest(generate_series(1, len(t))) s(i)
+),
+uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+vocab AS (SELECT count(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+sc AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(c2 + 1 AS DOUBLE)
+                       / CAST(c1 + v AS DOUBLE)) * 1e9) AS BIGINT)
+           AS lp_nano
+  FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round((CAST(sum(lp_nano) AS BIGINT) / 1e9) / count(*), 6)
+         AS lm_score
+FROM sc GROUP BY doc_id
 """,
     }

@@ -515,3 +515,77 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "pair")
         .limit(top_k)
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram language-model score — the
+    classic cheap perplexity filter for training-data quality (docs whose
+    token transitions are improbable under the corpus's own bigram model
+    are boilerplate/garbled/not-prose candidates).
+
+    score(d) = mean over adjacent token pairs of
+               ln((c(w1,w2) + 1) / (c(w1) + V))
+
+    Engine-exactness: each log-prob is rounded to integer NANO-lns
+    (round(ln(p)*1e9) as BIGINT) before the per-doc sum, so aggregation is
+    order-free exact integer math; the mean is the single final float op.
+
+    Shuffle shape: bigrams come from array positions (transform over the
+    token array — no per-doc window, no per-doc shuffle); two count
+    aggregations (unigram, bigram — both map-side combined, keyed on the
+    vocabulary not the corpus); one join of bigram occurrences to counts.
+    At 100 TB the count tables are vocabulary-sized — broadcast candidates;
+    the occurrence join is the only corpus-sized exchange.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    d = docs.select(F.col(doc_id_col).alias("doc_id"), arr.alias("_t"))
+    uni = (
+        d.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), which
+    # would index _t[-1] on single-token docs; docs without a bigram
+    # simply emit no row (callers left-join if they need every doc)
+    pairs = (
+        d.where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_nano",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e9
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum("lp_nano") / 1e9) / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )

@@ -359,3 +359,30 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
         for r in tx.bpe_pair_counts(docs, "text").collect()
     }
     assert got == {"ab": 4, "ba": 3}
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    # corpus: doc1 "a b a b", doc2 "a b". V=2; c(a)=4, c(b)=4 (wait: doc1 has
+    # a,b,a,b and doc2 a,b -> c(a)=3, c(b)=3); bigrams: ab x3, ba x1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in tx.bigram_lm_scores(docs).collect()
+    }
+    V = 2
+    lp_ab = round(math.log((3 + 1) / (3 + V)) * 1e9)
+    lp_ba = round(math.log((1 + 1) / (3 + V)) * 1e9)
+    d1 = round(((2 * lp_ab + lp_ba) / 1e9) / 3, 6)
+    d2 = round((lp_ab / 1e9) / 1, 6)
+    assert got[1] == (3, d1)
+    assert got[2] == (1, d2)
+
+
+def test_bigram_lm_scores_single_token_doc_has_no_bigrams(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "a b")], ["doc_id", "text"])
+    got = {r.doc_id for r in tx.bigram_lm_scores(docs).collect()}
+    assert got == {2}  # no bigram -> no row (callers left-join if needed)
