@@ -376,3 +376,98 @@ def hist_quantiles(
             6,
         ).alias("est_cents"),
     )
+
+
+class StreamingTopK:
+    """Bounded heavy-hitters table maintained per micro-batch — the
+    SpaceSaving summary (Metwally et al. 2005) adapted to batch merges.
+
+    State is AT MOST k counter rows in an IcebergLite table, forever,
+    regardless of stream cardinality: each batch's exact token counts
+    (one map-side-combined aggregation) merge into the table; tokens that
+    were evicted earlier re-enter charged with the current minimum counter
+    (``err`` records that overestimate), and the merged set truncates back
+    to the k largest. Invariants (tested): ``est_count`` never
+    underestimates the true count, and ``est_count - err`` never
+    overestimates it — exactly SpaceSaving's guarantee, so any token with
+    true count above the floor is guaranteed present.
+
+    Exactly-once: state swaps through ``commit_overwrite(batch_id)``
+    (static overwrite — the summary IS the table), replay-guarded like
+    every data commit. Estimates are served from the committed table
+    without pausing the stream, like :class:`StreamingHLL`.
+    """
+
+    def __init__(self, table, k: int = 100) -> None:
+        if sorted(table.pk) != ["token"]:
+            raise ValueError("top-k table pk must be ['token']")
+        self.table = table
+        self.k = int(k)
+
+    def apply_batch(self, df: DataFrame, token: Column, batch_id: str) -> bool:
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        spark = df.sparkSession
+        batch = (
+            df.select(token.alias("token"))
+            .where(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        try:
+            cur = self.table.read(spark).select("token", "est_count", "err")
+        except FileNotFoundError:
+            cur = None
+        if cur is None:
+            merged = batch.select(
+                "token",
+                F.col("_c").alias("est_count"),
+                F.lit(0).cast("long").alias("err"),
+            )
+        else:
+            # floor = the summary's minimum counter, but only once the
+            # table is at capacity (an unfilled table evicted nothing, so
+            # unseen tokens enter uncharged). Tiny agg, broadcast back.
+            stats = cur.agg(
+                F.coalesce(F.min("est_count"), F.lit(0)).alias("_mn"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            floor = F.when(
+                F.col("_n") >= F.lit(self.k), F.col("_mn")
+            ).otherwise(F.lit(0))
+            merged = (
+                batch.join(cur, "token", "full")
+                .crossJoin(F.broadcast(stats))
+                .select(
+                    "token",
+                    (
+                        F.coalesce(F.col("_c"), F.lit(0))
+                        + F.coalesce(F.col("est_count"), floor)
+                    ).cast("long").alias("est_count"),
+                    F.coalesce(
+                        F.col("err"),
+                        floor.cast("long"),
+                    ).cast("long").alias("err"),
+                )
+            )
+        top = merged.orderBy(F.desc("est_count"), "token").limit(self.k)
+        return self.table.commit_overwrite(
+            top, str(batch_id), dynamic=False
+        )
+
+    def start(self, stream: DataFrame, token: Column, checkpoint: str, **trigger):
+        """Maintain the summary from a streaming DataFrame."""
+        if not trigger:
+            trigger = {"availableNow": True}
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, token, str(bid))
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def estimate(self, spark) -> DataFrame:
+        """Current top-k estimates from the committed summary table."""
+        return self.table.read(spark).select("token", "est_count", "err")

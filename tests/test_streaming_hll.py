@@ -77,3 +77,57 @@ def test_streaming_hll_validates_pk(tmp_path):
     bad = IcebergLite(str(tmp_path / "b"), pk=["conv_id"])
     with pytest.raises(ValueError):
         sk.StreamingHLL(bad)
+
+
+def _token_wave(spark, src_dir, tokens, mtime, tag):
+    df = spark.createDataFrame([(t,) for t in tokens], ["token"])
+    part = os.path.join(src_dir, f"wave-{tag}")
+    df.coalesce(1).write.parquet(part)
+    for root, _, files in os.walk(part):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_streaming_topk_guarantees_and_bounded_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    # skewed stream over 3 waves: "HOT" dominates, mid-weight tokens, and a
+    # long tail that must churn through the summary without growing it
+    _token_wave(spark, src, ["HOT"] * 60 + [f"tail{i}" for i in range(30)], t0, "a")
+    _token_wave(spark, src, ["HOT"] * 40 + ["warm"] * 25 + [f"tail{i}" for i in range(30, 60)], t0 + 1, "b")
+    _token_wave(spark, src, ["warm"] * 15 + [f"tail{i}" for i in range(60, 90)], t0 + 2, "c")
+
+    table = IcebergLite(str(tmp_path / "topk"), pk=["token"], partition_field=None)
+    stk = sk.StreamingTopK(table, k=10)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")  # one wave per micro-batch
+        .parquet(src + "/*")
+    )
+    q = stk.start(stream, F.col("token"), str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    got = {r.token: (r.est_count, r.err) for r in stk.estimate(spark).collect()}
+    assert len(got) <= 10  # bounded state, forever
+    truth = {"HOT": 100, "warm": 40}
+    for tok, true_n in truth.items():
+        est, err = got[tok]  # heavy hitters guaranteed present
+        assert est >= true_n, (tok, est, true_n)          # never under
+        assert est - err <= true_n, (tok, est, err, true_n)  # bounded over
+    # every counter obeys the bounds vs its own true count (tail = 1 each)
+    for tok, (est, err) in got.items():
+        true_n = truth.get(tok, 1)
+        assert est >= true_n and est - err <= true_n, (tok, est, err)
+
+    # replay with a fresh checkpoint: batch-id guard -> identical summary
+    q = stk.start(stream, F.col("token"), str(tmp_path / "ck2"))
+    q.awaitTermination()
+    again = {r.token: (r.est_count, r.err) for r in stk.estimate(spark).collect()}
+    assert again == got
+
+
+def test_streaming_topk_validates_pk(tmp_path):
+    bad = IcebergLite(str(tmp_path / "b2"), pk=["conv_id"])
+    with pytest.raises(ValueError):
+        sk.StreamingTopK(bad)
