@@ -1645,9 +1645,12 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").withColumn(
         "cents", F.round(F.col("value") * 100).cast("long")
     )
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    # integer day index, no double division (exact at any epoch value,
+    # same truncation semantics as the oracle's integer division)
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / DAY_US)
+        ((um - um % F.lit(DAY_US)) / F.lit(DAY_US))
         .cast("long")
         .alias("day"),
     ).agg(

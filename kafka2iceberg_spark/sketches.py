@@ -220,6 +220,19 @@ def countmin_heavy_hitters(
     return joined.groupBy("token").agg(F.min("counter").alias("est_count"))
 
 
+def _start_sketch_stream(apply_fn, stream: DataFrame, checkpoint: str, **trigger):
+    """Shared maintained-sketch streaming scaffold: one foreachBatch onto
+    the sketch's apply_batch, availableNow unless a trigger is given."""
+    if not trigger:
+        trigger = {"availableNow": True}
+    return (
+        stream.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )
+
+
 class StreamingHLL:
     """Continuously-maintained HLL sketch: the register table lives in an
     IcebergLite table (pk = register) and each micro-batch max-merges its
@@ -271,15 +284,9 @@ class StreamingHLL:
 
     def start(self, stream: DataFrame, value: Column, checkpoint: str, **trigger):
         """Maintain the sketch from a streaming DataFrame."""
-        if not trigger:
-            trigger = {"availableNow": True}
-        return (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df, value, str(bid))
-            )
-            .option("checkpointLocation", checkpoint)
-            .trigger(**trigger)
-            .start()
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, value, str(bid)),
+            stream, checkpoint, **trigger,
         )
 
     def estimate(self, spark) -> DataFrame:
@@ -457,15 +464,9 @@ class StreamingTopK:
 
     def start(self, stream: DataFrame, token: Column, checkpoint: str, **trigger):
         """Maintain the summary from a streaming DataFrame."""
-        if not trigger:
-            trigger = {"availableNow": True}
-        return (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df, token, str(bid))
-            )
-            .option("checkpointLocation", checkpoint)
-            .trigger(**trigger)
-            .start()
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, token, str(bid)),
+            stream, checkpoint, **trigger,
         )
 
     def estimate(self, spark) -> DataFrame:

@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket_us(ts_col: Column, step_us: int) -> Column:
-    """Floor an event-time column to a step boundary, in epoch micros."""
-    return (F.floor(F.unix_micros(ts_col) / F.lit(step_us)) * F.lit(step_us)).cast(
-        "long"
-    )
+    """Event-time bucket boundary in epoch micros — exact integer
+    remainder math (um - um % step), the repo's engine-parity idiom:
+    no double division, and the same truncation-toward-zero semantics as
+    SQL integer division for pre-epoch timestamps (F.floor would floor)."""
+    um = F.unix_micros(ts_col)
+    return (um - um % F.lit(step_us)).cast("long")
 
 
 def resample(

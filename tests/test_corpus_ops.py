@@ -364,8 +364,8 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
 def test_bigram_lm_scores_hand_computed(spark):
     import math
 
-    # corpus: doc1 "a b a b", doc2 "a b". V=2; c(a)=4, c(b)=4 (wait: doc1 has
-    # a,b,a,b and doc2 a,b -> c(a)=3, c(b)=3); bigrams: ab x3, ba x1
+    # corpus: doc1 "a b a b", doc2 "a b". V=2; c(a)=3, c(b)=3;
+    # bigrams: "a b" x3, "b a" x1
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
     )

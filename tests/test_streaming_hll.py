@@ -25,15 +25,21 @@ def spark():
     yield s
 
 
-def _write_wave(spark, src_dir, lo, hi, mtime):
-    df = spark.range(lo, hi).select(
-        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id")
-    )
-    part = os.path.join(src_dir, f"wave-{lo}-{hi}")
+def _stamp_wave(df, src_dir, tag, mtime):
+    """Write one micro-batch worth of files with a pinned mtime (the file
+    source orders batches by mtime; distinct stamps pin batch order)."""
+    part = os.path.join(src_dir, f"wave-{tag}")
     df.coalesce(1).write.parquet(part)
     for root, _, files in os.walk(part):
         for f in files:
             os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def _write_wave(spark, src_dir, lo, hi, mtime):
+    df = spark.range(lo, hi).select(
+        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id")
+    )
+    _stamp_wave(df, src_dir, f"{lo}-{hi}", mtime)
 
 
 def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
@@ -81,11 +87,7 @@ def test_streaming_hll_validates_pk(tmp_path):
 
 def _token_wave(spark, src_dir, tokens, mtime, tag):
     df = spark.createDataFrame([(t,) for t in tokens], ["token"])
-    part = os.path.join(src_dir, f"wave-{tag}")
-    df.coalesce(1).write.parquet(part)
-    for root, _, files in os.walk(part):
-        for f in files:
-            os.utime(os.path.join(root, f), (mtime, mtime))
+    _stamp_wave(df, src_dir, tag, mtime)
 
 
 def test_streaming_topk_guarantees_and_bounded_state(spark, tmp_path):
