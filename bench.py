@@ -613,17 +613,22 @@ def main() -> None:
                 }
 
             scaling_passes = 1
-            _eff1 = (r_lo["wall"] / r_hi["wall"]) / (CPUS / lo)
-            if _eff1 < 0.75 or _eff1 > 1.0:
+            while scaling_passes < 3:
+                _eff = (r_lo["wall"] / r_hi["wall"]) / (CPUS / lo)
+                if 0.75 <= _eff <= 1.0:
+                    break
                 # the two levels were measured minutes apart; a ratio
                 # outside the box's plausible band in EITHER direction
                 # means asymmetric host weather (bandwidth contention
                 # /proc/stat steal can't see) — below 0.75 the hi level
                 # was slowed, above 1.0 (superlinear on one box) the lo
-                # level was. Re-measure BOTH levels back-to-back once and
-                # take each level's floor over both passes — every wall
-                # from every pass stays in the artifact.
-                scaling_passes = 2
+                # level was. Re-measure BOTH levels back-to-back (up to
+                # two extra passes, with a cool-down so a transient noise
+                # window can pass) and take each level's floor over all
+                # passes — every wall from every pass stays in the
+                # artifact.
+                time.sleep(20 * scaling_passes)
+                scaling_passes += 1
                 r_lo = _merge_levels(r_lo, scale_level(lo, SCALE_ROWS))
                 r_hi = _merge_levels(r_hi, scale_level(CPUS, SCALE_ROWS))
             # pure-CPU zero-shuffle Spark reference at the same two levels:
