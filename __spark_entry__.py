@@ -1683,6 +1683,18 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_scores(docs)
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse TF-cosine similarity (search.sparse_cosine_pairs):
+    candidate pairs generated by a df-capped postings self-join — docs are
+    compared only when they share a non-stopword-grade token. Exact
+    integer dot/norms; one IEEE sqrt + division per surviving pair."""
+    from kafka2iceberg_spark import search
+
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return search.sparse_cosine_pairs(docs, max_df=100, min_cos=0.30)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1778,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "rolling_stats": q_rolling_stats,
         "bigram_lm_scores": q_bigram_lm_scores,
+        "sparse_cosine_pairs": q_sparse_cosine,
     }
 
 
@@ -3457,5 +3470,36 @@ SELECT doc_id,
        round((CAST(sum(lp_nano) AS BIGINT) / 1e9) / count(*), 6)
          AS lm_score
 FROM sc GROUP BY doc_id
+""",
+        "sparse_cosine_pairs": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS token FROM n0),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dfc AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tf GROUP BY token
+  ) WHERE c <= 100
+),
+kept AS (SELECT tf.* FROM tf JOIN dfc USING (token)),
+norms AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_a, doc_b, dot,
+         round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.doc_id = dots.doc_a
+  JOIN norms nb ON nb.doc_id = dots.doc_b
+)
+SELECT doc_a, doc_b, dot, cos FROM sc WHERE cos >= 0.30
 """,
     }

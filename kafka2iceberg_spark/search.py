@@ -163,3 +163,68 @@ def bm25_topk(
     return totals.orderBy(
         F.col("score").desc(), F.col("doc_id")
     ).limit(k)
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    max_df: int = 100,
+    min_cos: float = 0.30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs sparse TF-cosine document similarity through the inverted
+    index — the lexical counterpart of embedding near-dup: pairs are
+    GENERATED by a postings self-join on shared tokens, so two documents
+    are ever compared only if they share at least one (non-stopword-grade)
+    token. This is the classic scale shape for sparse all-pairs similarity
+    (Bayardo et al. 2007, "Scaling Up All Pairs Similarity Search"):
+
+    - tokens with document frequency > ``max_df`` are dropped from the
+      comparison space BEFORE the join — stopword-grade tokens are what
+      make postings self-joins quadratic; the cap bounds each token's
+      contribution to <= max_df^2 candidate pairs.
+    - dot products are exact integer sums of tf*tf (order-free); norms
+      are exact integer sums of tf^2 over the SAME capped token space, so
+      cosine is consistent in the filtered space.
+    - the only float ops are one sqrt (IEEE-exact, unlike ln) and one
+      division per surviving pair, rounded to 6dp — engine-replayable.
+
+    Output: (doc_a, doc_b, dot, cos) for pairs with cos >= min_cos,
+    doc_a < doc_b.
+    """
+    tf = term_freqs(docs, id_col, text_col).select("doc_id", "token", "tf")
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(
+        df_counts.where(F.col("df") <= max_df).select("token"), "token"
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= min_cos)
+        .select("doc_a", "doc_b", "dot", "cos")
+    )

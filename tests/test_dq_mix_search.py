@@ -166,3 +166,36 @@ class TestSearch:
     def test_empty_query_rejected(self, corpus):
         with pytest.raises(ValueError):
             search.bm25_topk(corpus, [])
+
+
+class TestSparseCosine:
+    def test_hand_computed_pair(self, spark):
+        import math
+
+        from kafka2iceberg_spark import search
+
+        docs = spark.createDataFrame(
+            [(1, "red fish blue fish"), (2, "red fish"), (3, "green tea")],
+            ["doc_id", "text"],
+        )
+        out = {
+            (r.doc_a, r.doc_b): (r.dot, r.cos)
+            for r in search.sparse_cosine_pairs(
+                docs, max_df=10, min_cos=0.0
+            ).collect()
+        }
+        # d1 = {red:1, fish:2, blue:1}, d2 = {red:1, fish:1}
+        # dot = 1 + 2 = 3; |d1|^2 = 6, |d2|^2 = 2
+        assert out[(1, 2)] == (3, round(3 / math.sqrt(12.0), 6))
+        assert (1, 3) not in out and (2, 3) not in out  # no shared token
+
+    def test_df_cap_excludes_stopword_grade_tokens(self, spark):
+        from kafka2iceberg_spark import search
+
+        # "the" appears in all 4 docs; with max_df=3 it can neither create
+        # candidate pairs nor contribute to dot/norms
+        docs = spark.createDataFrame(
+            [(i, f"the unique{i}") for i in range(4)], ["doc_id", "text"]
+        )
+        out = search.sparse_cosine_pairs(docs, max_df=3, min_cos=0.0).collect()
+        assert out == []  # only shared token was df-capped away
