@@ -1695,6 +1695,25 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.sparse_cosine_pairs(docs, max_df=100, min_cos=0.30)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (timeseries.cusum_flags) over daily revenue
+    per event type: the sequential recurrence folds per-key day summaries
+    in one higher-order aggregate (JVM-side), flagged when the one-sided
+    statistic clears the threshold. Oracle = recursive-CTE replay of the
+    identical integer recurrence."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.cusum_flags(
+        r,
+        ["event_type"],
+        "v_cents",
+        target_cents=300_000,
+        slack_cents=10_000,
+        threshold_cents=150_000,
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1791,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "bigram_lm_scores": q_bigram_lm_scores,
         "sparse_cosine_pairs": q_sparse_cosine,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -3501,5 +3521,32 @@ sc AS (
   JOIN norms nb ON nb.doc_id = dots.doc_b
 )
 SELECT doc_a, doc_b, dot, cos FROM sc WHERE cos >= 0.30
+""",
+        "cusum_drift": f"""
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+         ) AS rn
+  FROM b
+),
+c AS (
+  SELECT event_type, bucket_us, rn,
+         greatest(0, v - 300000 - 10000) AS cusum
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_us, o.rn,
+         greatest(0, c.cusum + (o.v - 300000 - 10000))
+  FROM c JOIN o ON o.event_type = c.event_type AND o.rn = c.rn + 1
+)
+SELECT event_type, bucket_us,
+       CAST(cusum AS BIGINT) AS cusum_cents,
+       cusum > 150000 AS drift
+FROM c
 """,
     }

@@ -164,3 +164,56 @@ def cohort_retention(
             "retention_ppm"
         ),
     )
+
+
+def cusum_flags(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detection over bucket summaries (Page
+    1954): per key, the running statistic
+
+        s_0 = 0;  s_i = max(0, s_{i-1} + (x_i - target - slack))
+
+    flags bucket i when s_i > threshold — the standard drift detector for
+    pipeline monitoring (ingest volume collapse, quality-score drift).
+
+    The recurrence is inherently sequential, which is exactly why it runs
+    over RESAMPLED bucket summaries, never raw rows: each key folds
+    O(span/step) pre-aggregated values inside one task via a higher-order
+    ``aggregate`` over the sorted bucket array (no Python, no cross-task
+    dependency), after one collect_list per key. All arithmetic is exact
+    BIGINT cents, so flags are engine-identical — the DuckDB oracle
+    replays the same recurrence with a recursive CTE.
+    """
+    rows = F.array_sort(
+        F.collect_list(F.struct("bucket_us", F.col(value_col).alias("v")))
+    )
+    folded = resampled.groupBy(*keys).agg(rows.alias("_rows"))
+    # accumulator: array of (bucket_us, cusum); each step appends
+    # max(0, last + (v - target - slack))
+    step = (
+        f"(acc, r) -> array_append(acc, struct(r.bucket_us AS bucket_us,"
+        f" greatest(0L, coalesce(try_element_at(acc, -1).cusum, 0L)"
+        f" + (r.v - {int(target_cents)}L - {int(slack_cents)}L)) AS cusum))"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(
+                f"aggregate(_rows,"
+                f" cast(array() as array<struct<bucket_us:bigint,"
+                f"cusum:bigint>>), {step})"
+            )
+        ).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        F.col("_s.bucket_us").alias("bucket_us"),
+        F.col("_s.cusum").alias("cusum_cents"),
+        (F.col("_s.cusum") > F.lit(int(threshold_cents))).alias("drift"),
+    )

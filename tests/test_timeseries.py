@@ -100,3 +100,34 @@ def test_cohort_retention_counts_and_ppm(spark):
     assert got[(base, 1)] == (1, 2, 500_000)
     assert got[(base + HOUR_US, 0)] == (1, 1, 1_000_000)
     assert len(got) == 3
+
+
+def test_cusum_recurrence_hand_computed(spark):
+    # series per key "a": v = [110, 90, 130, 50]; target=100, slack=0:
+    # s = max(0, prev + (v - 100)): 10, 0, 30, 0 -> drift at threshold 20
+    # only on the third bucket
+    rows = [("a", i, v) for i, v in enumerate([110, 90, 130, 50])]
+    df = spark.createDataFrame(
+        [(k, b * HOUR_US, v) for k, b, v in rows],
+        "key string, bucket_us long, v long",
+    )
+    out = (
+        ts.cusum_flags(df, ["key"], "v", 100, 0, 20)
+        .orderBy("bucket_us")
+        .collect()
+    )
+    assert [r.cusum_cents for r in out] == [10, 0, 30, 0]
+    assert [r.drift for r in out] == [False, False, True, False]
+
+
+def test_cusum_keys_independent(spark):
+    # key "b" drifting must not leak into flat key "a"
+    rows = [("a", i, 100) for i in range(4)] + [("b", i, 200) for i in range(4)]
+    df = spark.createDataFrame(
+        [(k, b * HOUR_US, v) for k, b, v in rows],
+        "key string, bucket_us long, v long",
+    )
+    out = ts.cusum_flags(df, ["key"], "v", 100, 0, 150).collect()
+    got = {(r.key, r.bucket_us // HOUR_US): (r.cusum_cents, r.drift) for r in out}
+    assert all(got[("a", i)] == (0, False) for i in range(4))
+    assert got[("b", 3)] == (400, True)
