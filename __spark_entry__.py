@@ -1714,6 +1714,21 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type revenue trend (timeseries.trend): least-squares slope /
+    intercept / R² from ONE aggregation of exact integer moment sums over
+    daily summaries; final divisions are the only floats."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    daily = r.select(
+        "event_type",
+        (F.col("bucket_us") / F.lit(DAY_US)).cast("long").alias("x"),
+        F.col("v_cents").alias("y"),
+    )
+    return ts.trend(daily, ["event_type"], "x", "y")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1811,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "sparse_cosine_pairs": q_sparse_cosine,
         "cusum_drift": q_cusum_drift,
+        "trend_lines": q_trend_lines,
     }
 
 
@@ -3548,5 +3564,32 @@ SELECT event_type, bucket_us,
        CAST(cusum AS BIGINT) AS cusum_cents,
        cusum > 150000 AS drift
 FROM c
+""",
+        "trend_lines": f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
 """,
     }

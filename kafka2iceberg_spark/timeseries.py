@@ -217,3 +217,54 @@ def cusum_flags(
         F.col("_s.cusum").alias("cusum_cents"),
         (F.col("_s.cusum") > F.lit(int(threshold_cents))).alias("drift"),
     )
+
+
+def trend(
+    resampled: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key least-squares trend line (slope/intercept/R²) from ONE
+    aggregation of exact integer moment sums (n, Σx, Σy, Σxx, Σxy, Σyy) —
+    the groupwise regression every monitoring/curriculum pipeline wants,
+    with map-side combine and no second pass:
+
+        slope     = (nΣxy − ΣxΣy) / (nΣxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r2        = (nΣxy − ΣxΣy)² / ((nΣxx − Σx²)(nΣyy − Σy²))
+
+    The moment sums and both difference terms stay exact BIGINTs (callers
+    keep x small — e.g. a day index, not epoch micros — so nΣxy fits
+    comfortably); only the final divisions are floats, in a fixed IEEE op
+    order, so results replay bit-identically in SQL."""
+    x, y = F.col(x_col), F.col(y_col)
+    m = resampled.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    a = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    bx = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    by = m["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    # try_divide: a zero-variance x (single bucket) or y (flat series) has
+    # no defined slope/R² — NULL, matching SQL division-by-zero semantics
+    slope = F.try_divide(a, bx)
+    return m.select(
+        *keys,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(
+            F.try_divide(
+                a.cast("double") * a.cast("double"),
+                bx.cast("double") * by.cast("double"),
+            ),
+            6,
+        ).alias("r2"),
+    )

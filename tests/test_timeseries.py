@@ -131,3 +131,18 @@ def test_cusum_keys_independent(spark):
     got = {(r.key, r.bucket_us // HOUR_US): (r.cusum_cents, r.drift) for r in out}
     assert all(got[("a", i)] == (0, False) for i in range(4))
     assert got[("b", 3)] == (400, True)
+
+
+def test_trend_exact_line_and_r2(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1
+    df = spark.createDataFrame(
+        [("a", x, 3 * x + 7) for x in range(10)]
+        + [("b", x, 100) for x in range(5)],  # flat: slope 0
+        "key string, x long, y long",
+    )
+    got = {r.key: (r.n, r.slope, r.intercept, r.r2) for r in
+           ts.trend(df, ["key"], "x", "y").collect()}
+    assert got["a"] == (10, 3.0, 7.0, 1.0)
+    # flat series: slope 0; R^2 undefined (zero y-variance) -> NULL,
+    # matching SQL division-by-zero semantics
+    assert got["b"] == (5, 0.0, 100.0, None)
