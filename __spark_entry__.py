@@ -1729,6 +1729,100 @@ def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.trend(daily, ["event_type"], "x", "y")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PageRank centrality (graph.pagerank) over the bidirectional
+    customer<->supplier purchase graph: 3 fixed iterations of the exact
+    BIGINT fixed-point recurrence, each one shuffle-hash join + partial-agg
+    sum per round, lineage truncated per round. Oracle = 3 unrolled CTE
+    replays of the identical integer recurrence."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    edges = gr.copurchase_edges(
+        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
+    )
+    ranks = gr.pagerank(edges, iters=3)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(25)
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (timeseries.transition_counts): one per-user window (lag), one tiny
+    |types|² aggregation, exact-integer probability division."""
+    _utc(spark)
+    return ts.transition_counts(_read(spark, sf_dir, "events"))
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha=1/2) smoothing of daily revenue per event type
+    (timeseries.ewma): the dyadic halving recurrence folded JVM-side over
+    resampled bucket summaries — engine-exact BIGINTs throughout; oracle
+    replays the recurrence with a recursive CTE."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.ewma(r, ["event_type"], "v_cents")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson weighted sample (textops.seq_poisson_sample,
+    Ohlsson 1998): k=50 documents drawn probability-proportional-to-size
+    by n_chars — deterministic Lehmer-step uniforms, one scan, O(k)
+    result via per-partition TakeOrdered (no global sort)."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return tx.seq_poisson_sample(docs, "n_chars", k=50)
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto front (rankstats.pareto_front) on (cheapest price,
+    largest size): the O(n log n) running-max window recipe vs. the
+    oracle's independent quadratic NOT-EXISTS dominance formulation."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    parts = _read(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        "p_size",
+    )
+    return rk.pareto_front(
+        parts, "p_brand", "price_cents", "p_size", "p_partkey"
+    )
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rho (rankstats.spearman) between customer
+    account balance and order count — exact integer sum of squared rank
+    differences, one final division; customers with no orders count as 0
+    via the left join."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    ocnt = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(
+        ocnt, cust["c_custkey"] == ocnt["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    return rk.spearman(j, "c_nationkey", "bal_cents", "n_orders", "c_custkey")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1827,6 +1921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine_pairs": q_sparse_cosine,
         "cusum_drift": q_cusum_drift,
         "trend_lines": q_trend_lines,
+        "pagerank_topk": q_pagerank,
+        "transition_counts": q_transition_counts,
+        "ewma_smooth": q_ewma_smooth,
+        "weighted_sample": q_weighted_sample,
+        "pareto_parts": q_pareto_parts,
+        "rank_correlation": q_rank_correlation,
     }
 
 
@@ -3591,5 +3691,151 @@ SELECT event_type, n,
              / (CAST(n * sxx - sx * sx AS DOUBLE)
                 * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
 FROM m
+""",
+        "pagerank_topk": """
+WITH rel AS (
+  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cn AS src, sn AS dst FROM rel
+  UNION ALL
+  SELECT sn AS src, cn AS dst FROM rel
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank_fp
+  FROM edges GROUP BY src
+),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(150000000
+              + (85 * CAST(sum(r.rank_fp // d.deg) AS BIGINT)) // 100
+           AS BIGINT) AS rank_fp
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN r0 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(150000000
+              + (85 * CAST(sum(r.rank_fp // d.deg) AS BIGINT)) // 100
+           AS BIGINT) AS rank_fp
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN r1 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST(150000000
+              + (85 * CAST(sum(r.rank_fp // d.deg) AS BIGINT)) // 100
+           AS BIGINT) AS rank_fp
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN r2 r ON e.src = r.node
+  GROUP BY e.dst
+)
+SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 25
+""",
+        "transition_counts": """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+p AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT), 6)
+         AS prob
+FROM p
+""",
+        "ewma_smooth": f"""
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+         ) AS rn
+  FROM b
+),
+c AS (
+  SELECT event_type, bucket_us, rn, v, v AS ewma
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_us, o.rn, o.v, (c.ewma + o.v) // 2
+  FROM c JOIN o ON o.event_type = c.event_type AND o.rn = c.rn + 1
+)
+SELECT event_type, bucket_us,
+       CAST(v AS BIGINT) AS v_cents,
+       CAST(ewma AS BIGINT) AS ewma_cents
+FROM c
+""",
+        "weighted_sample": """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         (CAST((doc_id * 2654435761 + 12345) % 2147483647 + 1 AS DOUBLE)
+          / 2147483648.0) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, priority FROM s ORDER BY priority, doc_id LIMIT 50
+""",
+        "pareto_parts": """
+WITH p AS (
+  SELECT p_brand, p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size
+  FROM part
+)
+SELECT p_brand, p_partkey, price_cents, p_size
+FROM p q
+WHERE NOT EXISTS (
+  SELECT 1 FROM p d
+  WHERE d.p_brand = q.p_brand AND (
+    (d.price_cents <  q.price_cents AND d.p_size >= q.p_size) OR
+    (d.price_cents <= q.price_cents AND d.p_size >  q.p_size) OR
+    (d.price_cents =  q.price_cents AND d.p_size = q.p_size
+       AND d.p_partkey < q.p_partkey)))
+""",
+        "rank_correlation": """
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         COALESCE(n_orders, 0) AS n_orders
+  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+),
+r AS (
+  SELECT c_nationkey,
+         row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY bal_cents DESC, c_custkey
+         )
+         - row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY n_orders DESC, c_custkey
+         ) AS d
+  FROM j
+),
+a AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d * d) AS BIGINT) AS sd2
+  FROM r GROUP BY 1
+)
+SELECT c_nationkey, n,
+       CASE WHEN n < 2 THEN NULL
+            ELSE round(1.0 - (6 * sd2) / (n * (n * n - 1)), 6) END AS rho
+FROM a
 """,
     }

@@ -1,0 +1,163 @@
+"""Graph centrality over relationship edges derived from the fact tables.
+
+The reference's surface is a CDC->Iceberg pipeline (see SURVEY.md §2); a
+training-data platform built on the same tables also wants graph-shaped
+signals — "which suppliers/customers are central to the purchase graph" is
+the PageRank question, and the same Pregel-without-a-graph-library recipe
+as ``dedup.neardup_components`` answers it at 100 TB: each iteration is a
+hash-partitioned join + partial-agg sum over the edge list, the driver
+loop never sees data, and ``localCheckpoint`` keeps the iterative plan
+flat.
+
+All rank arithmetic is exact BIGINT fixed-point (RANK_SCALE units), so the
+result is engine-identical and the DuckDB oracle can replay the identical
+recurrence with unrolled CTEs — the same determinism discipline as
+``timeseries.cusum_flags`` / ``trend``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_SCALE = 1_000_000_000
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Directed bipartite purchase graph customer<->supplier.
+
+    Node encoding keeps everything BIGINT (no string keys in the hot
+    loop): customer c -> node 2c, supplier s -> node 2s+1. Each distinct
+    (customer, supplier) purchase relation contributes BOTH directions, so
+    every node with any edge has out-degree >= 1 and the classic dangling-
+    node correction is provably unnecessary (documented invariant, not a
+    shortcut: an undirected relation graph has no sinks).
+
+    Scale shape: one join orders->lineitem on o_orderkey (the natural
+    co-partition key), distinct on the ~|customers|x|suppliers|-bounded
+    relation set — far smaller than lineitem itself.
+    """
+    rel = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    fwd = rel.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    )
+    rev = rel.select(
+        F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+    )
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    Per node i with out-degree d_i and rank r_i (BIGINT, RANK_SCALE
+    fixed-point, unnormalised — ranking is scale-invariant):
+
+        contrib(i)  = r_i div d_i                  (exact integer div)
+        r'_j        = (15 * SCALE) div 100
+                      + (85 * sum_{i->j} contrib(i)) div 100
+
+    Every operation is exact 64-bit integer arithmetic (sums fit: node
+    count x SCALE << 2^63), so ``iters`` rounds produce bit-identical
+    ranks on any engine — which is what makes the DuckDB oracle an
+    unrolled-CTE replay rather than a float approximation.
+
+    Scale shape per round: one shuffle-hash join ranks->edges on src
+    (edges are the big side, partitioned once and reused), one partial-agg
+    sum on dst. The driver holds no data; lineage is truncated every round
+    with ``localCheckpoint`` exactly like ``dedup.neardup_components``.
+    Fixed ``iters`` (not convergence-tested) keeps the oracle expressible
+    and is the standard practice for bounded-latency centrality jobs.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100): {damping_pct}")
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # (src, dst, deg) once — reused every round so the per-round plan is
+    # a single join + agg, not join + join.
+    edged = edges.join(outdeg.hint("shuffle_hash"), "src").localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank_fp")
+    )
+    base = (15 * RANK_SCALE) // 100
+    for _ in range(iters):
+        ranks = (
+            edged.join(
+                ranks.hint("shuffle_hash"),
+                edged["src"] == ranks["node"],
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("rank_fp div deg")).alias("_in_sum")
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * _in_sum) div 100")
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_round_plan(edges: DataFrame) -> DataFrame:
+    """One un-executed propagation round for the plan audit (the same
+    join+agg ``pagerank`` runs ``iters`` times) — mirrors
+    ``dedup._propagation_round``'s audited-plan-is-executed-plan pact."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edged = edges.join(outdeg.hint("shuffle_hash"), "src")
+    ranks = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank_fp")
+    )
+    base = (15 * RANK_SCALE) // 100
+    return (
+        edged.join(ranks.hint("shuffle_hash"), edged["src"] == ranks["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.expr("rank_fp div deg")).alias("_in_sum"))
+        .select(
+            "node",
+            (F.lit(base) + F.expr("(85 * _in_sum) div 100")).alias(
+                "rank_fp"
+            ),
+        )
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node in/out degree from one pass over each direction — the
+    basic graph profile (skew detection before running anything iterative:
+    a node with 10^7 neighbours wants the salted path)."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return outd.join(ind, "node", "full").select(
+        "node",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+    )

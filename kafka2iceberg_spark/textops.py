@@ -589,3 +589,43 @@ def bigram_lm_scores(
             (F.sum("lp_nano") / 1e9) / F.count(F.lit(1)), 6
         ).alias("lm_score"),
     )
+
+
+def seq_poisson_sample(
+    df: "DataFrame",
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Weighted sampling without replacement via sequential Poisson
+    sampling (Ohlsson 1998): each row gets priority u_i / w_i where u_i is
+    a per-row uniform and w_i its weight; the k smallest priorities form a
+    (approximately) probability-proportional-to-size sample — the standard
+    one-pass weighted sampler for corpus subsetting.
+
+    Determinism (parity-critical): u_i comes from a Lehmer/Park-Miller
+    step on the row id — ((id * 2654435761 + 12345) mod 2147483647 + 1)
+    / 2^31 — pure 64-bit integer arithmetic plus ONE exact dyadic
+    division, identical in every engine; no engine-native rand()/hash().
+
+    Scale shape: the priority is a row-local expression (no shuffle); the
+    global top-k is Spark's per-partition TakeOrdered + driver merge of k
+    candidates per partition — no global sort materialisation. O(rows)
+    scan, O(k) result.
+    """
+    idc = F.col(id_col).cast("long")
+    u_num = (idc * F.lit(2654435761) + F.lit(12345)) % F.lit(
+        2147483647
+    ) + F.lit(1)
+    # exact dyadic: numerator < 2^31 over 2^31 — representable, no rounding
+    u = u_num.cast("double") / F.lit(2147483648.0)
+    pri = u / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(int(k))
+    )

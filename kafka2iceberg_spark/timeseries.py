@@ -268,3 +268,91 @@ def trend(
             6,
         ).alias("r2"),
     )
+
+
+def ewma(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Integer EWMA (alpha = 1/2) smoothing over bucket summaries:
+
+        e_1 = v_1;   e_i = (e_{i-1} + v_i) div 2
+
+    The halving recurrence is the classic dyadic smoother (equivalent to
+    exponential smoothing with alpha = 0.5) kept entirely in exact BIGINT
+    arithmetic so the smoothed series is engine-identical — the same
+    fixed-point discipline as ``cusum_flags``. Requires non-negative
+    values (cent-sums of a non-negative measure): integer division
+    truncates toward zero in Spark but floors in some engines, and the
+    two agree only on non-negative operands — documented domain, not a
+    silent assumption.
+
+    Like CUSUM, the sequential fold runs over RESAMPLED summaries, never
+    raw rows: one collect_list per key, one higher-order ``aggregate``
+    fold inside the task (JVM-side, no Python), O(span/step) elements per
+    key. Output: one row per input bucket with the smoothed value.
+    """
+    rows = F.array_sort(
+        F.collect_list(F.struct("bucket_us", F.col(value_col).alias("v")))
+    )
+    folded = resampled.groupBy(*keys).agg(rows.alias("_rows"))
+    step = (
+        "(acc, r) -> array_append(acc, struct(r.bucket_us AS bucket_us,"
+        " r.v AS v,"
+        " CASE WHEN size(acc) = 0 THEN r.v"
+        "      ELSE (try_element_at(acc, -1).ewma + r.v) div 2 END"
+        " AS ewma))"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "aggregate(_rows,"
+                " cast(array() as array<struct<bucket_us:bigint,"
+                "v:bigint,ewma:bigint>>),"
+                f" {step})"
+            )
+        ).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        F.col("_s.bucket_us").alias("bucket_us"),
+        F.col("_s.v").alias("v_cents"),
+        F.col("_s.ewma").alias("ewma_cents"),
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each user's events in (ts, event_id) order, count every adjacent
+    (prev_type -> type) step and emit the row-normalised transition
+    probability — the standard session-path / funnel-mining summary.
+
+    Scale shape: ONE window per user partition (lag over a hash-
+    partitioned, per-user-sorted window — no global sort), then a
+    transition-pair aggregation whose cardinality is |types|², tiny by
+    construction. ``prob`` is one exact-BIGINT/exact-BIGINT division per
+    output row, rounded to 6 — engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    t = events.select(user_col, *order_cols, type_col).withColumn(
+        "prev_type", F.lag(type_col).over(w)
+    )
+    pairs = (
+        t.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", type_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        F.col(type_col),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )

@@ -1,0 +1,140 @@
+"""rankstats operators: Pareto front dominance, Spearman rank correlation,
+plus the new timeseries sequence ops (EWMA fold, transitions) and the
+sequential Poisson sampler."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka2iceberg_spark import rankstats as rk
+from kafka2iceberg_spark import textops as tx
+from kafka2iceberg_spark import timeseries as ts
+
+
+def _parts(spark, rows):
+    return spark.createDataFrame(
+        rows, "grp string, pk long, price long, size int"
+    )
+
+
+def test_pareto_front_basic_dominance(spark):
+    df = _parts(
+        spark,
+        [
+            ("b", 1, 100, 10),   # front (cheapest)
+            ("b", 2, 200, 20),   # front (bigger)
+            ("b", 3, 300, 15),   # dominated by pk=2 (pricier, smaller)
+            ("b", 4, 200, 20),   # exact duplicate of pk=2 -> dropped
+            ("b", 5, 100, 12),   # dominates pk=1? same price bigger size
+        ],
+    )
+    got = {
+        x["pk"]
+        for x in rk.pareto_front(df, "grp", "price", "size", "pk").collect()
+    }
+    # pk=5 kills pk=1 (same price, strictly bigger); duplicate keeps pk=2
+    assert got == {5, 2}
+
+
+def test_pareto_front_groups_independent(spark):
+    df = _parts(spark, [("a", 1, 100, 5), ("b", 2, 50, 1)])
+    got = rk.pareto_front(df, "grp", "price", "size", "pk").count()
+    assert got == 2
+
+
+def test_spearman_perfect_and_inverse(spark):
+    rows = [("g", i, i * 10, i * 3) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "grp string, pk long, x long, y long")
+    out = rk.spearman(df, "grp", "x", "y", "pk").collect()[0]
+    assert out["n"] == 5 and out["rho"] == 1.0
+
+    inv = [("g", i, i * 10, -i * 3) for i in range(1, 6)]
+    df2 = spark.createDataFrame(inv, "grp string, pk long, x long, y long")
+    out2 = rk.spearman(df2, "grp", "x", "y", "pk").collect()[0]
+    assert out2["rho"] == -1.0
+
+
+def test_spearman_singleton_group_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5, 5)], "grp string, pk long, x long, y long"
+    )
+    out = rk.spearman(df, "grp", "x", "y", "pk").collect()[0]
+    assert out["n"] == 1 and out["rho"] is None
+
+
+def _resampled(spark, rows):
+    return spark.createDataFrame(rows, "key string, bucket_us long, v long")
+
+
+def test_ewma_halving_recurrence(spark):
+    r = _resampled(
+        spark, [("a", 0, 100), ("a", 1, 200), ("a", 2, 0), ("a", 3, 7)]
+    )
+    got = {
+        x["bucket_us"]: x["ewma_cents"]
+        for x in ts.ewma(r, ["key"], "v").collect()
+    }
+    # e1=100; e2=(100+200)//2=150; e3=75; e4=(75+7)//2=41
+    assert got == {0: 100, 1: 150, 2: 75, 3: 41}
+
+
+def test_ewma_per_key_isolation(spark):
+    r = _resampled(spark, [("a", 0, 10), ("b", 0, 99), ("a", 1, 20)])
+    got = {
+        (x["key"], x["bucket_us"]): x["ewma_cents"]
+        for x in ts.ewma(r, ["key"], "v").collect()
+    }
+    assert got == {("a", 0): 10, ("a", 1): 15, ("b", 0): 99}
+
+
+def test_transition_counts_probabilities(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 7, "view"),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 7, "click"),
+        (3, dt.datetime(2024, 1, 1, 0, 2), 7, "view"),
+        (4, dt.datetime(2024, 1, 1, 0, 3), 7, "click"),
+        (5, dt.datetime(2024, 1, 1, 0, 0), 8, "view"),
+        (6, dt.datetime(2024, 1, 1, 0, 5), 8, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (x["prev_type"], x["event_type"]): (x["n"], x["prob"])
+        for x in ts.transition_counts(df).collect()
+    }
+    # user 7: view->click, click->view, view->click; user 8: view->buy
+    assert got[("view", "click")] == (2, round(2 / 3, 6))
+    assert got[("view", "buy")] == (1, round(1 / 3, 6))
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_transition_counts_ties_broken_by_event_id(spark):
+    # same-ts events must order by event_id for a deterministic chain
+    rows = [
+        (2, dt.datetime(2024, 1, 1), 7, "b"),
+        (1, dt.datetime(2024, 1, 1), 7, "a"),
+        (3, dt.datetime(2024, 1, 1), 7, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (x["prev_type"], x["event_type"])
+        for x in ts.transition_counts(df).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_seq_poisson_sample_is_deterministic_and_weighted(spark):
+    rows = [(i, "t", 10 if i % 2 else 1000) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    s1 = [x["doc_id"] for x in tx.seq_poisson_sample(df, "n_chars", 20).collect()]
+    s2 = [x["doc_id"] for x in tx.seq_poisson_sample(df, "n_chars", 20).collect()]
+    assert s1 == s2 and len(s1) == 20
+    # heavy docs (w=1000, even ids) should dominate the PPS sample
+    heavy = sum(1 for d in s1 if d % 2 == 0)
+    assert heavy >= 15
