@@ -990,6 +990,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=0.8 join via AllPairs prefix filtering
+    (dedup.jaccard_prefix_pairs): candidates only from rare-prefix shingle
+    collisions, exact verification — same output as the quadratic
+    baseline, scale-shaped like LSH. Oracle = the independent all-pairs
+    SQL formulation."""
+    return dd.jaccard_prefix_pairs(
+        _docs_aug_near(spark, sf_dir, subset=True),
+        threshold_num=4,
+        threshold_den=5,
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         _docs_aug_near(spark, sf_dir, subset=False), threshold=0.875
@@ -1876,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_hitters": q_countmin_hitters,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_prefix_join": q_dedup_prefix,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
@@ -2756,6 +2770,26 @@ g AS (SELECT fp, min(doc_id) AS keeper_id, count(*) AS group_size FROM f GROUP B
 SELECT f.doc_id, f.fp, g.keeper_id, g.group_size FROM f JOIN g USING (fp)
 """,
         "dedup_ngram_jaccard": f"""
+WITH {_aug_near(True)},
+{_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+         round(i * 1.0 / (sa.s + sb.s - i), 4) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)
+SELECT * FROM j WHERE jaccard >= 0.8
+""",
+        # same ground truth as dedup_ngram_jaccard: the prefix-filtered
+        # Spark implementation must reproduce the all-pairs result exactly
+        "dedup_prefix_join": f"""
 WITH {_aug_near(True)},
 {_SHINGLES},
 sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),

@@ -485,3 +485,83 @@ def contamination_flags(
             ),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard threshold join with prefix filtering — the AllPairs
+    recipe (Bayardo, Ma, Srikant, WWW'07): the SCALE path for an *exact*
+    similarity join, sitting between the quadratic ``ngram_jaccard_pairs``
+    baseline and the approximate ``minhash_lsh_pairs``.
+
+    For J(A,B) >= t the overlap is at least ceil(t*max(|A|,|B|)), so if
+    every doc keeps only its (|X| - ceil(t*|X|) + 1) rarest shingles
+    (global document-frequency order, ties by shingle), any qualifying
+    pair MUST collide on a prefix shingle — candidates come from a
+    self-join on the rare prefix, never on "the" (the frequent tail never
+    joins). Candidates are then verified with the exact intersection
+    count, so the output equals the all-pairs result, row for row (pytest
+    asserts this equivalence; the DuckDB oracle is the independent
+    quadratic formulation).
+
+    The threshold rides as a rational (num/den) because the prefix length
+    needs an EXACT integer ceil: float 0.8*5 = 4.0000000000000002 would
+    ceil to 5 and silently shrink the prefix below the correctness bound.
+
+    Scale shape: one shuffle on shingle for df-counts, one per-doc window
+    (hash-partitioned by doc), a self-join on rare-prefix shingles only,
+    then verification joins on candidate ids — each candidate touched
+    once. No all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    t = threshold_num / threshold_den
+    sh = shingles(_with_norm(docs, text_col), id_col=id_col)
+    df_g = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(df_g, "g")
+    wdoc = Window.partitionBy(id_col).orderBy("_df", "g")
+    wsz = Window.partitionBy(id_col)
+    sz = F.count(F.lit(1)).over(wsz)
+    # alpha = ceil(num*sz/den) in exact integers; prefix = sz - alpha + 1
+    alpha = F.expr(
+        f"({threshold_num} * _sz + {threshold_den} - 1) div {threshold_den}"
+    )
+    pref = (
+        ranked.withColumn("_rn", F.row_number().over(wdoc))
+        .withColumn("_sz", sz)
+        .filter(F.col("_rn") <= F.col("_sz") - alpha + 1)
+        .select(id_col, "g")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = sh.select(F.col(id_col).alias("doc_a"), "g")
+    tb = sh.select(F.col(id_col).alias("doc_b"), "g")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(t))
+    )

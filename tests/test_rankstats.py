@@ -138,3 +138,43 @@ def test_seq_poisson_sample_is_deterministic_and_weighted(spark):
     # heavy docs (w=1000, even ids) should dominate the PPS sample
     heavy = sum(1 for d in s1 if d % 2 == 0)
     assert heavy >= 15
+
+
+def test_jaccard_prefix_join_equals_all_pairs(spark):
+    from kafka2iceberg_spark import dedup as dd
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonite"),   # near-dup of 1
+        (3, "completely different text about spark partitions"),
+        (4, "completely different text about spark partition"),      # near-dup of 3
+        (5, "unrelated singleton content with its own words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = sorted(
+        map(tuple, dd.ngram_jaccard_pairs(df, threshold=0.8).collect())
+    )
+    pref = sorted(
+        map(
+            tuple,
+            dd.jaccard_prefix_pairs(
+                df, threshold_num=4, threshold_den=5
+            ).collect(),
+        )
+    )
+    assert pref == exact
+    assert {(a, b) for a, b, _ in pref} == {(1, 2), (3, 4)}
+
+
+def test_jaccard_prefix_length_integer_ceil(spark):
+    # 0.8 * 5 must ceil to 4 (prefix 2), not float-ceil to 5 (prefix 1):
+    # two 5-shingle docs differing only in their 2nd-rarest shingle must
+    # still produce the candidate pair if they qualify
+    from kafka2iceberg_spark import dedup as dd
+
+    # identical docs -> J=1.0 >= 0.8 must survive whatever the prefix math
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abcdefg")], "doc_id long, text string"
+    )
+    got = dd.jaccard_prefix_pairs(df, 4, 5).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
