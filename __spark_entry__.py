@@ -1836,6 +1836,51 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.spearman(j, "c_nationkey", "bal_cents", "n_orders", "c_custkey")
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customer pairs by shared suppliers + butterfly counts
+    (graph.butterfly_pairs): bipartite 2x2-biclique cohesion with the
+    documented max_degree=500 hub cap (binds at sf0.01 — exercised, not
+    decorative). Oracle = independent SQL wedge join."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    rel = (
+        _read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            _read(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+    )
+    out = gr.butterfly_pairs(rel, max_degree=500)
+    return out.orderBy(F.desc("shared"), "c1", "c2").limit(20)
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-anchor debounce (timeseries.debounce): at most one event per
+    (user, type) per 10 minutes, each survivor measured against the last
+    KEPT event — the sequential anchor recurrence folded JVM-side; oracle
+    replays it with a recursive CTE."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return ts.debounce(
+        ev, ["user_id", "event_type"], min_gap_us=600_000_000
+    )
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon token entropy (textops.source_entropy): corpus
+    diversity via the order-free nano-ln integer aggregation."""
+    _utc(spark)
+    return tx.source_entropy(_read(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1941,6 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pareto_parts": q_pareto_parts,
         "rank_correlation": q_rank_correlation,
+        "butterfly_pairs": q_butterflies,
+        "debounce_events": q_debounce,
+        "source_entropy": q_source_entropy,
     }
 
 
@@ -3870,6 +3918,72 @@ a AS (
 SELECT c_nationkey, n,
        CASE WHEN n < 2 THEN NULL
             ELSE round(1.0 - (6 * sd2) / (n * (n * n - 1)), 6) END AS rho
+FROM a
+""",
+        "butterfly_pairs": """
+WITH rel AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT s, count(*) AS d FROM rel GROUP BY s),
+r AS (SELECT rel.c, rel.s FROM rel JOIN deg ON rel.s = deg.s WHERE d <= 500),
+p AS (
+  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS shared
+  FROM r a JOIN r b ON a.s = b.s AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT c1, c2, shared,
+       CAST(shared * (shared - 1) // 2 AS BIGINT) AS butterflies
+FROM p ORDER BY shared DESC, c1, c2 LIMIT 20
+""",
+        "debounce_events": """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, event_id, us, rn,
+         true AS kept, us AS last
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.us, e.rn,
+         e.us - c.last >= 600000000 AS kept,
+         CASE WHEN e.us - c.last >= 600000000 THEN e.us
+              ELSE c.last END AS last
+  FROM c JOIN e ON e.user_id = c.user_id
+              AND e.event_type = c.event_type
+              AND e.rn = c.rn + 1
+)
+SELECT user_id, event_type, event_id, CAST(us AS BIGINT) AS ts_us, kept
+FROM c
+""",
+        "source_entropy": """
+WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+flat AS (
+  SELECT source, t[i] AS w FROM d, unnest(generate_series(1, len(t))) s(i)
+),
+cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM flat GROUP BY 1, 2),
+a AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS s
+  FROM cnt GROUP BY 1
+)
+SELECT source, n_tokens, distinct_tokens,
+       round(ln(CAST(n_tokens AS DOUBLE)) - (s / 1e9) / n_tokens, 6)
+         AS entropy
 FROM a
 """,
     }

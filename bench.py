@@ -84,6 +84,8 @@ HEADLINE_EXTRA = [
     "scd2_history",
     "role_day_pivot",
     "cube_role_tool",
+    "dedup_prefix_join",
+    "pagerank_topk",
 ]
 
 SCALE_GEN = dict(

@@ -161,3 +161,50 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
         F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
     )
+
+
+def butterfly_pairs(
+    rel: DataFrame,
+    left_col: str = "cust",
+    right_col: str = "supp",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Bipartite cohesion: for every left-node pair, the number of shared
+    right-nodes k and the butterfly count C(k,2) — the bipartite analogue
+    of triangle counting (a butterfly = 2x2 biclique), the standard
+    cohesion metric for two-mode graphs like customer x supplier or
+    doc x shingle.
+
+    Scale lever (same design as search.sparse_cosine_pairs' df-cap): the
+    wedge join explodes quadratically in right-node degree (a hub with
+    10^6 neighbours alone yields 5*10^11 wedges), so ``max_degree``
+    excludes hub right-nodes before the self-join — the documented
+    exactness/cost trade every wedge-sampling paper starts from. With the
+    cap, per-right-node work is bounded by max_degree²; the join is
+    hash-partitioned on the right-node key.
+    """
+    r = rel.select(
+        F.col(left_col).alias("c"), F.col(right_col).alias("s")
+    ).distinct()
+    if max_degree is not None:
+        deg = r.groupBy("s").agg(F.count(F.lit(1)).alias("_d"))
+        r = (
+            r.join(deg.hint("shuffle_hash"), "s")
+            .where(F.col("_d") <= int(max_degree))
+            .drop("_d")
+        )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .where(F.col("a.c") < F.col("b.c"))
+        .groupBy(
+            F.col("a.c").alias("c1"), F.col("b.c").alias("c2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.select(
+        "c1",
+        "c2",
+        "shared",
+        F.expr("shared * (shared - 1) div 2").alias("butterflies"),
+    )

@@ -629,3 +629,53 @@ def seq_poisson_sample(
         .orderBy("priority", id_col)
         .limit(int(k))
     )
+
+
+def source_entropy(
+    docs: "DataFrame",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group Shannon token entropy — the corpus-diversity metric
+    (low-entropy sources are template/boilerplate farms; entropy drops
+    are the first symptom of a scraper stuck in a loop):
+
+        H = ln(N) - (1/N) * sum_w c_w * ln(c_w)     (nats)
+
+    Engine-exactness via the bigram_lm nano-ln idiom: each ln(c) is
+    rounded to integer nano-nats BEFORE the sum, so the aggregation is
+    order-free exact BIGINT math; ln(N) and one division are the only
+    final floats.
+
+    Shuffle shape: one (group, token) count aggregation (map-side
+    combined, vocabulary-sized keys), one per-group rollup. No windows,
+    no joins.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    toks = docs.select(
+        F.col(group_col), F.explode(arr).alias("w")
+    )
+    counts = toks.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cln = (
+        F.col("c")
+        * F.round(F.log(F.col("c")) * 1e9).cast("long")
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(cln).alias("_s_nano"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "distinct_tokens",
+        F.round(
+            F.log(F.col("n_tokens"))
+            - (F.col("_s_nano") / 1e9) / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )

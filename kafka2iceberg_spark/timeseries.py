@@ -356,3 +356,68 @@ def transition_counts(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
     )
+
+
+def debounce(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_us: int = 60_000_000,
+) -> DataFrame:
+    """Kept-anchor debounce (throttle): per key, keep an event only if at
+    least ``min_gap_us`` has passed since the LAST KEPT event — the
+    telemetry/clickstream dedup rule ("at most one notification per user
+    per minute"). This genuinely differs from a naive lag-diff filter:
+    for a steady burst t=0,1,2,3 with gap 2, the kept-anchor rule keeps
+    {0, 2} (each survivor measured against the last KEPT event), while
+    lag-diff keeps only {0} — every later event is within 1 of its
+    (dropped) predecessor. A window function can't express the anchor
+    because it depends on the filter's own output.
+
+    The anchor recurrence is sequential, so it uses the repo's fold
+    idiom (cusum_flags/ewma): one collect_list per key, one JVM
+    higher-order ``aggregate`` whose accumulator carries (rows, last
+    kept timestamp) — exact integer micros, engine-identical; the
+    DuckDB oracle replays it with a recursive CTE. Per-key sequences
+    must fit a task (same contract as every sessionize-style op here).
+
+    Output: one row per input event with a ``kept`` flag (callers
+    filter; keeping the flag makes the oracle compare total).
+    """
+    # UTC-pinned cast: testdata is TIMESTAMP_NTZ; with the session TZ at
+    # UTC the cast is value-preserving and unix_micros matches epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = F.array_sort(
+        F.collect_list(
+            F.struct(us.alias("us"), F.col(id_col).alias("eid"))
+        )
+    )
+    folded = events.groupBy(*keys).agg(rows.alias("_rows"))
+    step = (
+        "(acc, r) -> CASE WHEN acc.last < 0"
+        f" OR r.us - acc.last >= {int(min_gap_us)}L"
+        " THEN struct("
+        "   array_append(acc.out, struct(r.us AS us, r.eid AS eid,"
+        "     true AS kept)) AS out, r.us AS last)"
+        " ELSE struct("
+        "   array_append(acc.out, struct(r.us AS us, r.eid AS eid,"
+        "     false AS kept)) AS out, acc.last AS last) END"
+    )
+    init = (
+        "cast(struct(array() , -1L) as"
+        " struct<out:array<struct<us:bigint,eid:bigint,kept:boolean>>,"
+        "last:bigint>)"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(f"aggregate(_rows, {init}, {step}).out")
+        ).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        F.col("_s.eid").alias(id_col),
+        F.col("_s.us").alias("ts_us"),
+        F.col("_s.kept").alias("kept"),
+    )

@@ -1,0 +1,91 @@
+"""butterfly counting, kept-anchor debounce, source entropy."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from kafka2iceberg_spark import graph as gr
+from kafka2iceberg_spark import textops as tx
+from kafka2iceberg_spark import timeseries as ts
+
+
+def test_butterfly_pairs_counts_bicliques(spark):
+    # c1,c2 share suppliers {10,11,12} -> shared=3, butterflies=C(3,2)=3
+    # c3 shares only {10} with each -> shared=1, butterflies=0
+    rel = spark.createDataFrame(
+        [
+            (1, 10), (1, 11), (1, 12),
+            (2, 10), (2, 11), (2, 12),
+            (3, 10),
+        ],
+        "cust long, supp long",
+    )
+    got = {
+        (x["c1"], x["c2"]): (x["shared"], x["butterflies"])
+        for x in gr.butterfly_pairs(rel).collect()
+    }
+    assert got[(1, 2)] == (3, 3)
+    assert got[(1, 3)] == (1, 0)
+    assert got[(2, 3)] == (1, 0)
+
+
+def test_butterfly_max_degree_cap_excludes_hubs(spark):
+    # supplier 99 is a hub with 3 customers; cap 2 removes its wedges
+    rel = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99), (1, 5), (2, 5)],
+        "cust long, supp long",
+    )
+    got = {
+        (x["c1"], x["c2"]): x["shared"]
+        for x in gr.butterfly_pairs(rel, max_degree=2).collect()
+    }
+    # only supplier 5 (degree 2) contributes
+    assert got == {(1, 2): 1}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t)
+            for i, (s, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_debounce_kept_anchor_not_lag_diff(spark):
+    # burst at t=0,1,2,3 with gap 2s: kept-anchor keeps {0,2}; a naive
+    # lag-diff filter would keep only {0}
+    df = _ev(spark, [(0, 7, "a"), (1, 7, "a"), (2, 7, "a"), (3, 7, "a")])
+    got = {
+        x["event_id"]: x["kept"]
+        for x in ts.debounce(
+            df, ["user_id", "event_type"], min_gap_us=2_000_000
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_debounce_keys_isolated(spark):
+    df = _ev(spark, [(0, 7, "a"), (0, 8, "a"), (1, 7, "b")])
+    got = ts.debounce(
+        df, ["user_id", "event_type"], min_gap_us=60_000_000
+    ).collect()
+    assert all(x["kept"] for x in got)  # all first-in-key
+
+
+def test_source_entropy_uniform_and_degenerate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd", "u"),   # 4 tokens, all distinct -> ln(4)
+            (2, "zz zz zz zz", "d"),   # one token repeated -> 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        x["source"]: (x["n_tokens"], x["distinct_tokens"], x["entropy"])
+        for x in tx.source_entropy(docs).collect()
+    }
+    assert got["u"] == (4, 4, round(math.log(4), 6))
+    assert got["d"][2] == 0.0 and got["d"] == (4, 1, 0.0)
