@@ -1881,6 +1881,23 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.source_entropy(_read(spark, sf_dir, "documents"))
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part-pair association rules (assoc.association_rules):
+    Apriori level-2 via one basket-keyed self-join (per-basket work
+    bounded by basket size, not catalog size); confidence/lift from
+    exact BIGINT counts."""
+    from kafka2iceberg_spark import assoc
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    out = assoc.association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    return out.orderBy(
+        F.desc("support"), "item_a", "item_b"
+    ).limit(20)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1989,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_pairs": q_butterflies,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -3985,5 +4003,28 @@ SELECT source, n_tokens, distinct_tokens,
        round(ln(CAST(n_tokens AS DOUBLE)) - (s / 1e9) / n_tokens, 6)
          AS entropy
 FROM a
+""",
+        "assoc_rules": """
+WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+            FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM it),
+isup AS (SELECT item, CAST(count(*) AS BIGINT) AS sup_i
+         FROM it GROUP BY item),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT item_a, item_b, support,
+       sa.sup_i AS sup_a, sb.sup_i AS sup_b,
+       round(support / sa.sup_i, 6) AS confidence,
+       round((n.nb * support) / (sa.sup_i * sb.sup_i), 6) AS lift
+FROM p
+JOIN isup sa ON sa.item = item_a
+JOIN isup sb ON sb.item = item_b
+CROSS JOIN n
+ORDER BY support DESC, item_a, item_b LIMIT 20
 """,
     }

@@ -89,3 +89,28 @@ def test_source_entropy_uniform_and_degenerate(spark):
     }
     assert got["u"] == (4, 4, round(math.log(4), 6))
     assert got["d"][2] == 0.0 and got["d"] == (4, 1, 0.0)
+
+
+def test_association_rules_hand_example(spark):
+    from kafka2iceberg_spark import assoc
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (3, "a"),  # duplicate line in same basket must not double-count
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {
+        (x["item_a"], x["item_b"]): x
+        for x in assoc.association_rules(
+            df, "bk", "item", min_support=2
+        ).collect()
+    }
+    r = got[("a", "b")]
+    assert r["support"] == 2 and r["sup_a"] == 3 and r["sup_b"] == 2
+    assert r["confidence"] == round(2 / 3, 6)
+    # lift = nb * sup_ab / (sup_a * sup_b) = 3*2/(3*2) = 1.0
+    assert r["lift"] == 1.0
+    # (a,c) and (b,c) have support 1 -> filtered by min_support
+    assert set(got) == {("a", "b")}
