@@ -421,3 +421,132 @@ def debounce(
         F.col("_s.us").alias("ts_us"),
         F.col("_s.kept").alias("kept"),
     )
+
+
+def debounce_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_us: int = 60_000_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``debounce``: the kept-anchor throttle as a
+    stateful operator (``applyInPandasWithState``, event-time timeouts).
+
+    Finalize-on-watermark semantics: an event's keep/drop decision is
+    emitted exactly once, when the watermark passes its timestamp — at
+    that point every earlier event has either been processed or is
+    late-beyond-watermark (dropped, the documented policy), so the anchor
+    recurrence sees the same event order as the batch operator and the
+    two agree row-for-row on in-watermark data (pytest asserts stream ==
+    batch on the same input). Buffered not-yet-final events re-arm an
+    event-time timeout at their earliest timestamp; the per-key anchor
+    (last kept ts) persists after the buffer drains so a throttle window
+    spanning micro-batches still holds.
+
+    State per key = O(events inside the watermark delay), exactly the
+    bound every stateful op in this repo carries; the anchor itself is a
+    single BIGINT.
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .windows import with_watermark
+
+    events = with_watermark(events, ts_col, watermark_delay)
+    key_fields = [
+        StructField(f.name, f.dataType)
+        for f in events.schema.fields
+        if f.name in keys
+    ]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(id_col, LongType()),
+            StructField("ts_us", LongType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last", LongType()),
+            StructField("us_json", StringType()),
+            StructField("eid_json", StringType()),
+        ]
+    )
+
+    def _unpack(state):
+        if not state.exists:
+            return -1, [], []
+        last, us_json, eid_json = state.get
+        return last, _json.loads(us_json), _json.loads(eid_json)
+
+    def _emit(key, finalized):
+        rows = {
+            f.name: [k] * len(finalized)
+            for f, k in zip(key_fields, key)
+        }
+        rows[id_col] = [e for _, e, _ in finalized]
+        rows["ts_us"] = [u for u, _, _ in finalized]
+        rows["kept"] = [k for _, _, k in finalized]
+        return pd.DataFrame(rows)
+
+    def fn(key, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        last, us, eid = _unpack(state)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                new_us = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                ).tolist()
+                new_eid = pdf[id_col].astype("int64").tolist()
+                for u, e in zip(new_us, new_eid):
+                    if u > wm_us:  # late-beyond-watermark: dropped
+                        us.append(u)
+                        eid.append(e)
+        pending = sorted(zip(us, eid))
+        finalized, remain = [], []
+        for u, e in pending:
+            if u <= wm_us:
+                kept = last < 0 or u - last >= min_gap_us
+                if kept:
+                    last = u
+                finalized.append((u, e, kept))
+            else:
+                remain.append((u, e))
+        state.update(
+            (
+                last,
+                _json.dumps([u for u, _ in remain]),
+                _json.dumps([e for _, e in remain]),
+            )
+        )
+        if remain:
+            state.setTimeoutTimestamp(
+                max(remain[0][0] // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if finalized:
+            yield _emit(key, finalized)
+
+    return events.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
