@@ -993,13 +993,20 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard>=0.8 join via AllPairs prefix filtering
     (dedup.jaccard_prefix_pairs): candidates only from rare-prefix shingle
-    collisions, exact verification — same output as the quadratic
-    baseline, scale-shaped like LSH. Oracle = the independent all-pairs
-    SQL formulation."""
+    collisions, exact verification — scale-shaped like LSH but exact.
+    WORD-3-gram sets: prefix filtering needs token diversity to bite, and
+    the synthetic corpus's character n-gram universe is tiny (measured
+    2,028 distinct char-5-grams across 1,500 docs at sf0.1 → 707k
+    candidates ≈ half of all pairs ≈ 40 s; word-gram universe is
+    |vocab|^3 ≈ 30k → candidates collapse to the true near-dup
+    neighborhood). Oracle = the independent all-pairs SQL formulation
+    over the same word-3-gram sets."""
     return dd.jaccard_prefix_pairs(
         _docs_aug_near(spark, sf_dir, subset=True),
         threshold_num=4,
         threshold_den=5,
+        n=3,
+        unit="word",
     )
 
 
@@ -2065,6 +2072,17 @@ pos AS (SELECT doc_id, n, unnest(range(1, greatest(length(n) - 2, 0) + 1)) AS i 
 sh AS (SELECT DISTINCT doc_id, substr(n, CAST(i AS INT), 3) AS g FROM pos)
 """.strip()
 
+# word-3-gram shingles (space-joined) — the prefix-join unit
+_WORD_SHINGLES = f"""
+normd AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM aug),
+pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+        FROM normd WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+              concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT) + 1],
+                        t[CAST(i AS INT) + 2]) AS g
+       FROM pos WHERE t[CAST(i AS INT)] <> '')
+""".strip()
+
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 
 
@@ -2853,11 +2871,11 @@ j AS (
 )
 SELECT * FROM j WHERE jaccard >= 0.8
 """,
-        # same ground truth as dedup_ngram_jaccard: the prefix-filtered
-        # Spark implementation must reproduce the all-pairs result exactly
+        # independent all-pairs ground truth over the same 5-gram sets the
+        # prefix-filtered Spark implementation must reproduce exactly
         "dedup_prefix_join": f"""
 WITH {_aug_near(True)},
-{_SHINGLES},
+{_WORD_SHINGLES},
 sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

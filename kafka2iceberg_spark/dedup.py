@@ -92,6 +92,32 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     ).where(F.length("g") == n)
 
 
+def word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word-n-gram shingles of the normalized text, exploded
+    (grams joined by single spaces). Word grams give prefix-style
+    algorithms the token diversity char-grams lack on small-alphabet
+    corpora: the gram universe is |vocab|^n, so "rare" actually means
+    rare. Same codegen shape as ``shingles``."""
+    # CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and slice()
+    # rejects start 0, so short docs must short-circuit to an empty array
+    # (same hazard bigram_lm_scores documents for its position transform)
+    grams = (
+        f"CASE WHEN size(split(_norm, ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(_norm, ' ')) - {n - 1}),"
+        f"   i -> concat_ws(' ', slice(split(_norm, ' '), i, {n})))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(grams))).alias("g"),
+    ).where(F.col("g") != "")
+
+
 def _with_norm(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.withColumn("_norm", norm_text(F.col(text_col)))
 
@@ -493,6 +519,8 @@ def jaccard_prefix_pairs(
     threshold_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n: int = 3,
+    unit: str = "char",
 ) -> DataFrame:
     """Exact Jaccard threshold join with prefix filtering — the AllPairs
     recipe (Bayardo, Ma, Srikant, WWW'07): the SCALE path for an *exact*
@@ -521,7 +549,8 @@ def jaccard_prefix_pairs(
     from pyspark.sql import Window
 
     t = threshold_num / threshold_den
-    sh = shingles(_with_norm(docs, text_col), id_col=id_col)
+    mk = shingles if unit == "char" else word_shingles
+    sh = mk(_with_norm(docs, text_col), id_col=id_col, n=n)
     df_g = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
     ranked = sh.join(df_g, "g")
     wdoc = Window.partitionBy(id_col).orderBy("_df", "g")

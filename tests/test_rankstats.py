@@ -178,3 +178,40 @@ def test_jaccard_prefix_length_integer_ceil(spark):
     )
     got = dd.jaccard_prefix_pairs(df, 4, 5).collect()
     assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_jaccard_prefix_word_unit_equals_all_pairs(spark):
+    from kafka2iceberg_spark import dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "tiny"),  # fewer than 3 words -> no grams, no crash
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pref = sorted(
+        map(
+            tuple,
+            dd.jaccard_prefix_pairs(df, 3, 4, n=3, unit="word").collect(),
+        )
+    )
+    # brute-force word-3-gram Jaccard via the same shingle helper
+    sh = dd.word_shingles(dd._with_norm(df, "text"))
+    sz = {r["doc_id"]: r["c"] for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    rows = sh.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["g"])
+    exact = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (sz[a] + sz[b] - inter)
+                if round(j, 4) >= 0.75:
+                    exact.append((a, b, round(j, 4)))
+    assert pref == sorted(exact)
+    assert {(a, b) for a, b, _ in pref} == {(1, 2)}
