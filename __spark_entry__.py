@@ -1905,6 +1905,26 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-revenue autocorrelation at lags 1-3
+    (timeseries.autocorr): exact BIGINT moment formulation, one window
+    pass + one aggregation, single final division per lag."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.autocorr(r, ["event_type"], "v_cents", max_lag=3)
+
+
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type (timeseries.dow_profile):
+    weekday from pure epoch-day arithmetic (engine-identical, unlike
+    dialect-divergent dayofweek()), exact ppm shares."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.dow_profile(r, ["event_type"], "v_cents")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2014,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
         "assoc_rules": q_assoc_rules,
+        "autocorr_daily": q_autocorr,
+        "dow_profile": q_dow_profile,
     }
 
 
@@ -4044,5 +4066,68 @@ JOIN isup sa ON sa.item = item_a
 JOIN isup sb ON sb.item = item_b
 CROSS JOIN n
 ORDER BY support DESC, item_a, item_b LIMIT 20
+""",
+        "autocorr_daily": """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS x1,
+         lag(v, 2) OVER w AS x2,
+         lag(v, 3) OVER w AS x3
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         CAST(sum(v * v) AS BIGINT) AS q,
+         CAST(sum(v * x1) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN x1 IS NOT NULL THEN v END) AS BIGINT) AS b1,
+         CAST(sum(x1) AS BIGINT) AS a1, CAST(sum(v * x2) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN x2 IS NOT NULL THEN v END) AS BIGINT) AS b2,
+         CAST(sum(x2) AS BIGINT) AS a2, CAST(sum(v * x3) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN x3 IS NOT NULL THEN v END) AS BIGINT) AS b3,
+         CAST(sum(x3) AS BIGINT) AS a3
+  FROM l GROUP BY 1
+)
+SELECT event_type, CAST(1 AS INT) AS lag, n,
+       round((n * n * c1 - n * sx * (a1 + b1) + (n - 1) * sx * sx)
+             / (n * (n * q - sx * sx)), 6) AS acf
+FROM m WHERE n > 1
+UNION ALL
+SELECT event_type, CAST(2 AS INT) AS lag, n,
+       round((n * n * c2 - n * sx * (a2 + b2) + (n - 2) * sx * sx)
+             / (n * (n * q - sx * sx)), 6) AS acf
+FROM m WHERE n > 2
+UNION ALL
+SELECT event_type, CAST(3 AS INT) AS lag, n,
+       round((n * n * c3 - n * sx * (a3 + b3) + (n - 3) * sx * sx)
+             / (n * (n * q - sx * sx)), 6) AS acf
+FROM m WHERE n > 3
+""",
+        "dow_profile": """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type,
+         CAST(((bucket_us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(v) AS BIGINT) AS v_cents
+  FROM b GROUP BY 1, 2
+)
+SELECT event_type, dow, n_buckets, v_cents,
+       round(v_cents / n_buckets, 6) AS mean_cents,
+       CAST(v_cents * 1000000 // sum(v_cents) OVER (PARTITION BY event_type)
+         AS BIGINT) AS share_ppm
+FROM p
 """,
     }

@@ -86,6 +86,9 @@ HEADLINE_EXTRA = [
     "cube_role_tool",
     "dedup_prefix_join",
     "pagerank_topk",
+    "assoc_rules",
+    "source_entropy",
+    "debounce_events",
 ]
 
 SCALE_GEN = dict(

@@ -550,3 +550,117 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def autocorr(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags 1..max_lag over bucket
+    summaries — the seasonality/persistence probe run before forecasting
+    or anomaly thresholds:
+
+        r_L = sum_{t<=n-L} (x_t - mu)(x_{t+L} - mu) / sum (x_t - mu)^2
+
+    Exactness: with C = sum x_t*x_{t+L}, A/B the head/tail partial sums,
+    Sx/Q the full-series sum/sum-of-squares, multiply through by n^2:
+
+        r_L = (n^2*C - n*Sx*(A+B) + (n-L)*Sx^2) / (n*(n*Q - Sx^2))
+
+    — every term an exact BIGINT product of cent-scale sums (fits 2^63
+    for cent values up to ~10^6 and series up to ~10^4 buckets, the
+    resampled regime by construction), one final double division,
+    rounded to 6. Engine-identical.
+
+    Shuffle shape: ONE per-key window pass computes all max_lag lag
+    columns; one aggregation per key collects the lag moments and the
+    full-series moments together. No self-joins.
+    """
+    w = Window.partitionBy(*keys).orderBy("bucket_us")
+    x = F.col(value_col)
+    lagged = resampled.select(
+        *keys,
+        x.alias("_x"),
+        *[
+            F.lag(x, L).over(w).alias(f"_xl{L}")
+            for L in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("q"),
+    ]
+    for L in range(1, max_lag + 1):
+        xl = F.col(f"_xl{L}")
+        aggs += [
+            F.sum(F.col("_x") * xl).alias(f"c{L}"),
+            F.sum(F.when(xl.isNotNull(), F.col("_x"))).alias(f"b{L}"),
+            F.sum(xl).alias(f"a{L}"),
+        ]
+    m = lagged.groupBy(*keys).agg(*aggs)
+    n, sx, q = F.col("n"), F.col("sx"), F.col("q")
+    den = n * (n * q - sx * sx)
+    out_rows = []
+    for L in range(1, max_lag + 1):
+        num = (
+            n * n * F.col(f"c{L}")
+            - n * sx * (F.col(f"a{L}") + F.col(f"b{L}"))
+            + (n - F.lit(L)) * sx * sx
+        )
+        out_rows.append(
+            m.select(
+                *keys,
+                F.lit(L).alias("lag"),
+                "n",
+                F.round(F.try_divide(num, den), 6).alias("acf"),
+            ).where(n > F.lit(L))
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def dow_profile(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality profile per key: bucket count, cent sum,
+    exact mean, and each weekday's parts-per-million share of the key's
+    total — the load-shape summary behind weekly seasonal adjustment.
+
+    Weekday derives from pure epoch-day arithmetic, (epoch_day + 4) % 7
+    with 0 = Sunday (1970-01-01 was a Thursday) — engine-identical by
+    construction, unlike dayofweek() whose 0/1-basing differs across SQL
+    dialects. One (keys, dow) aggregation + one per-key window total.
+    """
+    dow = (
+        (F.col("bucket_us") / F.lit(86_400_000_000)).cast("long")
+        + F.lit(4)
+    ) % F.lit(7)
+    per = (
+        resampled.withColumn("dow", dow)
+        .groupBy(*keys, "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(value_col).alias("v_cents"),
+        )
+    )
+    tot = Window.partitionBy(*keys)
+    return per.select(
+        *keys,
+        "dow",
+        "n_buckets",
+        "v_cents",
+        F.round(F.col("v_cents") / F.col("n_buckets"), 6).alias(
+            "mean_cents"
+        ),
+        F.expr(
+            "v_cents * 1000000L div sum(v_cents) over "
+            f"(partition by {', '.join(keys)})"
+        ).alias("share_ppm"),
+    )

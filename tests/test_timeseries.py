@@ -146,3 +146,32 @@ def test_trend_exact_line_and_r2(spark):
     # flat series: slope 0; R^2 undefined (zero y-variance) -> NULL,
     # matching SQL division-by-zero semantics
     assert got["b"] == (5, 0.0, 100.0, None)
+
+
+def test_autocorr_hand_example_and_constant_null(spark):
+    rows = [("a", i * HOUR_US, v) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [("c", i * HOUR_US, 5) for i in range(4)]  # constant series
+    r = spark.createDataFrame(rows, "key string, bucket_us long, v long")
+    got = {
+        (x["key"], x["lag"]): x["acf"]
+        for x in ts.autocorr(r, ["key"], "v", max_lag=2).collect()
+    }
+    # series 1,2,3,4: mean 2.5; lag1 acf = 1.25/5 = 0.25
+    assert got[("a", 1)] == 0.25
+    # lag2: (1-2.5)(3-2.5)+(2-2.5)(4-2.5) = -0.75-0.75 = -1.5 -> -0.3
+    assert got[("a", 2)] == -0.3
+    # zero variance -> NULL, not a crash or infinity
+    assert got[("c", 1)] is None and got[("c", 2)] is None
+
+
+def test_dow_profile_epoch_arithmetic(spark):
+    day = 86_400_000_000
+    # epoch day 0 = Thursday(4), day 3 = Sunday(0)
+    rows = [("a", 0 * day, 100), ("a", 3 * day, 300)]
+    r = spark.createDataFrame(rows, "key string, bucket_us long, v long")
+    got = {
+        x["dow"]: (x["v_cents"], x["mean_cents"], x["share_ppm"])
+        for x in ts.dow_profile(r, ["key"], "v").collect()
+    }
+    assert got[4] == (100, 100.0, 250_000)
+    assert got[0] == (300, 300.0, 750_000)
