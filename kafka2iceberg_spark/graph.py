@@ -193,7 +193,9 @@ def butterfly_pairs(
             .where(F.col("_d") <= int(max_degree))
             .drop("_d")
         )
-    a, b = r.alias("a"), r.alias("b")
+    a, b = r.alias("a"), r.hint("shuffle_hash").alias("b")
+    # shuffle-hash hint: the wedge join repeats every right-node key many
+    # times — hash build beats sorting both sides (repo-wide convention)
     pairs = (
         a.join(b, F.col("a.s") == F.col("b.s"))
         .where(F.col("a.c") < F.col("b.c"))
