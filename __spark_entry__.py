@@ -1925,6 +1925,19 @@ def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.dow_profile(r, ["event_type"], "v_cents")
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (sketches.kmv_set_ops): union/intersection
+    distinct-user estimates for click vs view audiences from two 256-value
+    sketches alone — the mergeable-summary path; deterministic md5 hashes
+    make the estimates engine-exact."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    ucol = F.col("user_id").cast("string")
+    return sk.kmv_set_ops(a, b, ucol, ucol, k=256)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2036,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "autocorr_daily": q_autocorr,
         "dow_profile": q_dow_profile,
+        "kmv_set_ops": q_kmv_set_ops,
     }
 
 
@@ -4129,5 +4143,45 @@ SELECT event_type, dow, n_buckets, v_cents,
        CAST(v_cents * 1000000 // sum(v_cents) OVER (PARTITION BY event_type)
          AS BIGINT) AS share_ppm
 FROM p
+""",
+        "kmv_set_ops": """
+WITH a AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'view'
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+       ORDER BY h LIMIT 256),
+f AS (
+  SELECT ku.h,
+         CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+              THEN 1 ELSE 0 END AS in_ab
+  FROM ku LEFT JOIN ka ON ku.h = ka.h LEFT JOIN kb ON ku.h = kb.h
+),
+g AS (
+  SELECT max(h) AS kth_hash,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(in_ab) AS BIGINT) AS in_both
+  FROM f
+)
+SELECT kth_hash,
+       CAST(n AS INT) AS union_sketch_size,
+       CAST(in_both AS INT) AS in_both,
+       round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0
+                       / CAST(kth_hash AS DOUBLE) END, 3) AS est_union,
+       round(in_both / n, 6) AS est_jaccard,
+       round((CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                   ELSE 255.0 * 1152921504606846976.0
+                        / CAST(kth_hash AS DOUBLE) END)
+             * (in_both / n), 3) AS est_intersection
+FROM g
 """,
     }

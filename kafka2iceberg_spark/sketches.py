@@ -472,3 +472,65 @@ class StreamingTopK:
     def estimate(self, spark) -> DataFrame:
         """Current top-k estimates from the committed summary table."""
         return self.table.read(spark).select("token", "est_count", "err")
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_a: Column,
+    value_b: Column,
+    k: int = 256,
+) -> DataFrame:
+    """KMV sketch set algebra (Beyer et al., SIGMOD'07): distinct-count
+    estimates for the UNION and INTERSECTION of two sets from their
+    k-minimum-values sketches alone — the mergeable-summary property that
+    lets 1000 executors sketch locally and combine without re-scanning.
+
+        K(A ∪ B)   = k smallest of K(A) ∪ K(B)
+        |A ∪ B|    ≈ (k-1) * 2^60 / h_(k)      (exact when < k values)
+        ρ (Jaccard) = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|
+        |A ∩ B|    ≈ ρ * |A ∪ B|
+
+    Everything derives from the deterministic md5-based ``h60`` hash, so
+    the whole pipeline — sketches, merge, estimates — is engine-identical
+    and the DuckDB oracle replays it verbatim. Each sketch is a k-row
+    TakeOrdered (per-partition partial top-k, no global sort); the merge
+    and membership joins touch at most 2k rows.
+    """
+    ha = df_a.select(h60(value_a).alias("h")).distinct().orderBy("h").limit(k)
+    hb = df_b.select(h60(value_b).alias("h")).distinct().orderBy("h").limit(k)
+    union_sk = (
+        ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    )
+    flagged = (
+        union_sk.join(ha.withColumn("_ia", F.lit(1)), "h", "left")
+        .join(hb.withColumn("_ib", F.lit(1)), "h", "left")
+        .select(
+            "h",
+            (
+                F.coalesce(F.col("_ia"), F.lit(0))
+                * F.coalesce(F.col("_ib"), F.lit(0))
+            ).alias("_both"),
+        )
+    )
+    agg = flagged.agg(
+        F.max("h").alias("kth_hash"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_both").alias("in_both"),
+    )
+    est_union = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << 60))
+        / F.col("kth_hash").cast("double")
+    )
+    rho = F.col("in_both") / F.col("n")
+    return agg.select(
+        F.col("kth_hash"),
+        F.col("n").cast("int").alias("union_sketch_size"),
+        F.col("in_both").cast("int").alias("in_both"),
+        F.round(est_union, 3).alias("est_union"),
+        F.round(rho, 6).alias("est_jaccard"),
+        F.round(est_union * rho, 3).alias("est_intersection"),
+    )

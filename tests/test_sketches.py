@@ -177,3 +177,40 @@ def test_hist_quantiles_grouped(spark):
         for r in sk.hist_quantiles(h, ["g"], 100, [50]).collect()
     }
     assert out == {("a", 50): 100, ("b", 50): 10}
+
+
+class TestKMVSetOps:
+    def test_exact_below_k_and_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka2iceberg_spark import sketches as sk
+
+        a = spark.createDataFrame([(i,) for i in range(50)], "v long")
+        b = spark.createDataFrame([(i,) for i in range(25, 75)], "v long")
+        out = sk.kmv_set_ops(
+            a, b, F.col("v").cast("string"), F.col("v").cast("string"),
+            k=256,
+        ).collect()[0]
+        # fewer than k distinct union values -> sketch is exact
+        assert out["union_sketch_size"] == 75
+        assert out["est_union"] == 75.0
+        assert out["in_both"] == 25
+        assert out["est_jaccard"] == round(25 / 75, 6)
+        assert out["est_intersection"] == 25.0
+
+    def test_estimate_error_bound_above_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka2iceberg_spark import sketches as sk
+
+        a = spark.createDataFrame([(i,) for i in range(4000)], "v long")
+        b = spark.createDataFrame(
+            [(i,) for i in range(2000, 6000)], "v long"
+        )
+        out = sk.kmv_set_ops(
+            a, b, F.col("v").cast("string"), F.col("v").cast("string"),
+            k=256,
+        ).collect()[0]
+        # |A u B| = 6000, |A n B| = 2000; KMV rse ~ 1/sqrt(k-2) ~ 6%
+        assert abs(out["est_union"] - 6000) / 6000 < 0.25
+        assert abs(out["est_intersection"] - 2000) / 2000 < 0.35
