@@ -1010,6 +1010,20 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein near-dup join (dedup.edit_distance_pairs):
+    length-banded candidates, JVM levenshtein verification — banding is
+    lossless (length diff ≤ k ⇒ adjacent buckets), so the result equals
+    the all-pairs formulation the DuckDB oracle computes quadratically.
+    Texts are capped to 160 chars up front so the DP cost per candidate
+    is bounded — the cap is part of the query, applied identically on
+    both engines."""
+    docs = _docs_aug_near(spark, sf_dir, subset=True).select(
+        "doc_id", F.substring("text", 1, 160).alias("text")
+    )
+    return dd.edit_distance_pairs(docs, max_dist=15)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         _docs_aug_near(spark, sf_dir, subset=False), threshold=0.875
@@ -1324,6 +1338,351 @@ def q_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias(
             "spend_to_date"
         ),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The fact table is joined through TWO independent dimension chains
+    (supplier→nation, orders→customer→nation) — every dimension broadcast,
+    the lineitem scan is filtered by the broadcast semi before any shuffle,
+    and the only exchange is the final 3-key aggregation."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    pair = n.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = pair.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(rev).cast("double").alias("volume"))
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold to ASIA
+    customers, per order year. Conditional aggregation over one joined scan
+    — share = sum(CASE)/sum() with exact decimal numerators, one double
+    division at the end. The part filter broadcast-semi-prunes the fact scan
+    before the orders join."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == F.col("c_custkey"), "left_semi")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum(rev).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus retail-cost proxy — the
+    testdata star has no partsupp, so p_retailprice stands in for
+    ps_supplycost) per supplier nation and order year. All dimensions
+    broadcast; the single wide exchange is the fact↔orders key join."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders,
+    including k=0. The fact table is pre-aggregated to one row per customer
+    (one shuffle on o_custkey, map-side combine), then the per-customer
+    counts — dimension-sized — are BROADCAST back to the customer table for
+    the left join; the second aggregation groups a dimension-sized input."""
+    _utc(spark)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(F.broadcast(per_cust), c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-part share of revenue per ship month, in
+    integer parts-per-million so the share survives cross-engine hashing.
+    Revenue is exact DECIMAL scale-4; ×10^4 makes it an exact BIGINT and
+    ppm is a pure integer floor-division — no float until never."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    rev4 = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * F.lit(10000)
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0)))
+            .alias("promo_rev4"),
+            F.sum(rev4).alias("total_rev4"),
+        )
+    )
+    return agg.select(
+        F.unix_micros(F.col("ship_month")).alias("ship_month_us"),
+        # decimal(38,0) keeps rev4*1e6 exact (long would overflow past sf1);
+        # `div` is integral division — identical floor semantics to DuckDB //
+        F.expr(
+            "CAST((CAST(promo_rev4 AS DECIMAL(38,0)) * 1000000)"
+            " div total_rev4 AS BIGINT)"
+        ).alias("promo_ppm"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of Brand#1
+    parts — lineitems whose quantity is below 20% of that part's average.
+    The per-part average is kept as an exact rational (sum, count) and the
+    predicate 5·qty·n < sum is pure integer arithmetic — no float boundary
+    for a row to flip across engines. The brand's per-part aggregate is
+    dimension-sized and broadcast back; the fact is scanned once."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    brand_items = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    qty_c = (_dec("l_quantity") * F.lit(100)).cast("long")
+    per_part = brand_items.groupBy("l_partkey").agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_items")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        brand_items.join(F.broadcast(per_part), "l_partkey")
+        .where(qty_c * F.lit(5) * F.col("n_items") < F.col("sum_qty_c"))
+        .agg(
+            F.sum(rev).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items_small"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 units, with
+    the customer attached. The HAVING side is one fact aggregation (exact
+    integer cents); survivors are order-count-sized, so the orders/customer
+    attachment is a broadcast of the survivors — the big tables are never
+    re-shuffled."""
+    _utc(spark)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    qty_c = (_dec("l_quantity") * F.lit(100)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > 300 * 100)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_us"
+            ),
+            (F.col("sum_qty_c") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: one revenue total under an OR-of-ANDs predicate
+    spanning both join sides (brand × size × quantity bands). Catalyst
+    distributes the disjunction: the part-side conjuncts prune the
+    broadcast build, the common quantity bound pushes to the fact scan."""
+    _utc(spark)
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & qty.between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & qty.between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of customers richer
+    than the positive-balance average with no order since 1999. The global
+    average is carried as an exact rational (sum_cents, n) broadcast scalar
+    — bal·n > sum is integer-exact on both engines — and the no-recent-
+    orders test is a LEFT ANTI join against the distinct recent custkeys
+    (dimension-sized, broadcast)."""
+    _utc(spark)
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    bal_c = (_dec("c_acctbal") * F.lit(100)).cast("long")
+    thresh = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_c).alias("sum_bal_c"), F.count(F.lit(1)).alias("n_pos")
+        )
+    )
+    buyers = (
+        o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = (
+        c.crossJoin(F.broadcast(thresh))
+        .where(bal_c * F.col("n_pos") > F.col("sum_bal_c"))
+        .join(F.broadcast(buyers), c.c_custkey == buyers.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal_c).alias("total_bal_cents"),
+    )
+
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape per nation: the highest-revenue supplier in each
+    nation via a rank window over the per-supplier aggregate. One fact
+    shuffle on l_suppkey with map-side combine; the ranked relation is
+    supplier-sized, so the window and the nation attachment are nearly
+    free. Ties break on exact decimal revenue then s_suppkey —
+    deterministic across engines."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    rev4 = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * F.lit(10000)
+    ).cast("long")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev4).alias("rev4"))
+    ranked = (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("rev4").desc(), F.col("s_suppkey")
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "n_name",
+        "s_suppkey",
+        "s_name",
+        (F.col("rev4") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped more than
+    90 days after the order date, counted per priority — an EXISTS
+    semi-join whose predicate spans both sides. The semi-join keeps the
+    orders side single-scan; lineitem carries only (orderkey, shipdate)
+    into the exchange."""
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li.hint("shuffle_hash"),
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
     )
 
 
@@ -1992,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_prefix_join": q_dedup_prefix,
+        "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
@@ -2016,6 +2376,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_supplier_revenue": q_region_supplier_revenue,
         "brand_volume": q_brand_volume,
         "cumulative_spend": q_cumulative_spend,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "order_count_distribution": q_order_count_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "top_supplier_per_nation": q_top_supplier_per_nation,
+        "late_shipment_priority": q_late_shipment_priority,
         "asof_attribution": q_asof_attribution,
         "range_join_counts": q_range_join_counts,
         "scd2_history": q_scd2_history,
@@ -2927,6 +3298,25 @@ j AS (
 )
 SELECT * FROM j WHERE jaccard >= 0.8
 """,
+        "dedup_editdist": f"""
+WITH capped AS (
+  SELECT doc_id, substr(text, 1, 160) AS text
+  FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, substr(text, 8) AS text
+    FROM documents WHERE doc_id % 10 = 0
+  )
+),
+normd AS (SELECT doc_id, {_NORM} AS nrm FROM capped)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.nrm, b.nrm) AS INTEGER) AS dist
+FROM normd a
+JOIN normd b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.nrm) - length(b.nrm)) <= 15
+WHERE levenshtein(a.nrm, b.nrm) <= 15
+""",
         "dedup_minhash_lsh": f"""
 WITH {_aug_near(False)},
 {_SHINGLES},
@@ -3364,6 +3754,156 @@ SELECT o_custkey,
             OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS spend_to_date
 FROM orders
+""",
+        "volume_shipping": """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "market_share": """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type = 'PROMO'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+)
+SELECT order_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE) AS nation_volume,
+       CAST(sum(rev) AS DOUBLE) AS total_volume,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY order_year
+""",
+        "product_profit": """
+SELECT n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+        "order_count_distribution": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(n, 0) AS n_orders, count(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+""",
+        "promo_revenue_share": """
+WITH x AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT epoch_us(ship_month) AS ship_month_us,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) * 1000000
+            // sum(rev4) AS BIGINT) AS promo_ppm
+FROM x
+GROUP BY ship_month
+""",
+        "small_qty_revenue": """
+WITH brand_items AS (
+  SELECT l_partkey, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+),
+per_part AS (
+  SELECT l_partkey, sum(qty_c) AS sum_qty_c, count(*) AS n_items
+  FROM brand_items GROUP BY l_partkey
+)
+SELECT CAST(sum(rev) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_items_small
+FROM brand_items b JOIN per_part p USING (l_partkey)
+WHERE b.qty_c * 5 * p.n_items < p.sum_qty_c
+""",
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 30000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(sum_qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+""",
+        "idle_rich_customers": """
+WITH t AS (
+  SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_bal_c,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_bal_cents
+FROM customer, t
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * t.n_pos > t.sum_bal_c
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+        "top_supplier_per_nation": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS rev4
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT n_name, s_suppkey, s_name, rev4,
+         row_number() OVER (PARTITION BY n_name ORDER BY rev4 DESC, s_suppkey) AS rk
+  FROM per_supp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_suppkey, s_name, CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM ranked WHERE rk = 1
+""",
+        "late_shipment_priority": """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
 """,
         "asof_attribution": """
 WITH p AS (

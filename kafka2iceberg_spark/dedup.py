@@ -594,3 +594,64 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(t))
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Levenshtein near-dup join with length banding.
+
+    A pair within edit distance k differs in length by at most k, so docs
+    are bucketed by ``len div k`` and each doc is emitted into its own
+    bucket AND the next one — any qualifying pair then shares a bucket
+    (lengths within k span at most two adjacent buckets), which makes the
+    banding lossless: the output equals the all-pairs formulation row for
+    row (the DuckDB oracle IS that quadratic formulation, with the same
+    length filter as a sanity predicate).
+
+    Levenshtein runs on the NORMALIZED text (textops.norm_text) via the
+    JVM built-in — codegen'd, no Python — and only on banded candidates.
+    Scale shape: one shuffle on the (bucket) key; per-bucket work is
+    |bucket|² on a short-window population, the same df-cap discipline as
+    sparse_cosine_pairs — at corpus scale pick k ≪ typical length so
+    buckets stay narrow, or pre-block on a fingerprint prefix.
+
+    Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= max_dist.
+    """
+    d = _with_norm(docs, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("_norm"),
+        F.length("_norm").alias("_len"),
+    )
+    bucket = F.expr(f"_len div {max_dist}")
+    banded = d.select(
+        "_id", "_norm", "_len", bucket.alias("_bkt")
+    ).unionByName(
+        d.select("_id", "_norm", "_len", (bucket + 1).alias("_bkt"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b.hint("shuffle_hash"), F.col("a._bkt") == F.col("b._bkt"))
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            & (
+                F.abs(F.col("a._len") - F.col("b._len"))
+                <= F.lit(max_dist)
+            )
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._norm").alias("_na"),
+            F.col("b._norm").alias("_nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("_na"), F.col("_nb")))
+        .where(F.col("dist") <= F.lit(max_dist))
+        .select("doc_a", "doc_b", "dist")
+    )

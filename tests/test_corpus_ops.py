@@ -386,3 +386,48 @@ def test_bigram_lm_scores_single_token_doc_has_no_bigrams(spark):
     docs = spark.createDataFrame([(1, "hello"), (2, "a b")], ["doc_id", "text"])
     got = {r.doc_id for r in tx.bigram_lm_scores(docs).collect()}
     assert got == {2}  # no bigram -> no row (callers left-join if needed)
+
+
+def test_edit_distance_pairs_banding_is_lossless(spark, docs):
+    """Banded result == brute-force levenshtein over all pairs, and the
+    boundary cases behave: exact dup at dist 0, one-substitution near-dup
+    at its true distance, unrelated pair excluded."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dd.edit_distance_pairs(docs, max_dist=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # exact dup
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 5  # one-word near dup
+    assert (1, 4) not in pairs
+    # brute-force reference over the same normalized texts
+    rows = docs.select(
+        "doc_id", tx.norm_text(F.col("text")).alias("n")
+    ).collect()
+    brute = {}
+    for a in rows:
+        for b in rows:
+            if a["doc_id"] < b["doc_id"]:
+                la, lb = a["n"], b["n"]
+                # exact DP (small strings) — no external libs
+                m, n = len(la), len(lb)
+                prev = list(range(n + 1))
+                for i in range(1, m + 1):
+                    cur = [i] + [0] * n
+                    for j in range(1, n + 1):
+                        cur[j] = min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (la[i - 1] != lb[j - 1]),
+                        )
+                    prev = cur
+                if prev[n] <= 10:
+                    brute[(a["doc_id"], b["doc_id"])] = prev[n]
+    assert pairs == brute
+
+
+def test_edit_distance_pairs_adjacent_length_buckets(spark):
+    """A pair whose lengths straddle a bucket boundary is still found."""
+    rows = [(1, "a" * 19), (2, "a" * 21)]  # div 10 -> buckets 1 and 2
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dd.edit_distance_pairs(df, max_dist=10).collect()
+    assert len(got) == 1 and got[0]["dist"] == 2
