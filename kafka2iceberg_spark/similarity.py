@@ -482,36 +482,107 @@ def pq_codebook(
     )
 
 
+# sentinel codeword component for (code, pos) slots absent from the codebook
+# (an empty hash bucket). Real components are ~±5e6 micro-units, so the
+# sentinel's per-subspace distance is ~4e18 — always loses, never overflows
+# int64 (4·(1.005e9)² < 2^63).
+_PQ_SENTINEL = 1_000_000_000
+
+
+def _pq_dense_codebook(codebook: DataFrame, ks: int) -> DataFrame:
+    """Collapse the (s, code, pos, c) codebook relation into ONE row holding
+    a dense array indexed by code*64 + pos (1-based via element_at) — the
+    broadcast-a-single-row idiom that turns every downstream codeword
+    lookup into O(1) element_at instead of a join or an array_position
+    scan. Missing (code, pos) slots get the losing sentinel."""
+    entries = codebook.select(
+        (F.col("code") * 64 + F.col("pos")).cast("int").alias("k"),
+        F.col("c"),
+    )
+    # dense fill via grid join (O(n)) — NOT an array_position probe per
+    # slot, which would be O(n²) interpreted ops on a single task
+    grid = (
+        codebook.groupBy()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(ks * 64 - 1))).alias("k")
+        )
+    )
+    dense = grid.join(F.broadcast(entries), "k", "left").select(
+        "k",
+        F.coalesce(F.col("c"), F.lit(_PQ_SENTINEL).cast("long")).alias("c"),
+    )
+    return (
+        dense.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("k", "c"))).alias("_l"))
+        .select(F.transform(F.col("_l"), lambda st: st["c"]).alias("_cb"))
+    )
+
+
+def _pq_subspace_dist(s, code, vec_col: str, m: int):
+    """Exact integer L2² between subspace s of the row's quantized vector
+    and codeword `code` — pure in-row element_at arithmetic against the
+    dense codebook array (no join, no shuffle)."""
+    subdim = 64 // m
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(subdim - 1)),
+        F.lit(0).cast("long"),
+        lambda a, j: a
+        + (
+            F.element_at(F.col(vec_col), (s * subdim + j + 1).cast("int"))
+            - F.element_at(
+                F.col("_cb"), (code * 64 + s * subdim + j + 1).cast("int")
+            )
+        )
+        * (
+            F.element_at(F.col(vec_col), (s * subdim + j + 1).cast("int"))
+            - F.element_at(
+                F.col("_cb"), (code * 64 + s * subdim + j + 1).cast("int")
+            )
+        ),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = PQ_M,
+    ks: int = PQ_KS,
 ) -> DataFrame:
-    """Encode each vector as m 4-bit codes: per subspace, the codeword
-    minimizing exact integer L2² (ties to the smaller code). The codebook
-    is broadcast; the join key is the component position, so each vector
-    row expands to dim*ks component pairs, partial-aggregated map-side to
-    m*ks sums before the shuffle. Output: (vec_id, codes array<int>)."""
-    ex = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(quantize(F.col(vec_col))).alias("pos", "v"),
-    )
-    j = ex.join(F.broadcast(codebook), "pos")
-    d2 = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
-    per = j.groupBy("vec_id", "s", "code").agg(F.sum(d2).alias("d"))
-    w = Window.partitionBy("vec_id", "s").orderBy(F.col("d"), F.col("code"))
-    best = (
-        per.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "s", "code")
-    )
-    return best.groupBy("vec_id").agg(
+    """Encode each vector as m small codes: per subspace, the codeword
+    minimizing exact integer L2² (ties to the smaller code — array_min +
+    first array_position). The codebook rides as ONE broadcast dense-array
+    row, so encoding is a single map over the corpus with m·ks·subdim
+    in-row integer ops per vector — no explode, no shuffle, no window.
+    (The previous formulation exploded every vector into dim·ks joined
+    component rows and re-aggregated them; same values, ~64× the rows.)
+    Output: (vec_id, codes array<int>)."""
+    cb_row = _pq_dense_codebook(codebook, ks)
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("_v")
+    ).crossJoin(F.broadcast(cb_row))
+    # nested per-subspace distance arrays, materialized once per vector;
+    # the argmin then runs over the BOUND lambda element (no re-evaluation)
+    dists_all = q.select(
+        "vec_id",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda st: st["code"],
-        ).alias("codes")
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(ks - 1)),
+                lambda code: _pq_subspace_dist(s, code, "_v", m),
+            ),
+        ).alias("_d"),
+    )
+    return dists_all.select(
+        "vec_id",
+        F.transform(
+            F.col("_d"),
+            lambda arr: (F.array_position(arr, F.array_min(arr)) - 1).cast(
+                "int"
+            ),
+        ).alias("codes"),
     )
 
 
@@ -537,28 +608,31 @@ def pq_adc_topk(
     distances, ties to the smaller neighbor_id — fully deterministic.
     """
     cb = pq_codebook(corpus, id_col, vec_col, m, ks)
-    codes = pq_encode(corpus, cb, id_col, vec_col, m).select(
+    codes = pq_encode(corpus, cb, id_col, vec_col, m, ks).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
-    qex = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(quantize(F.col(vec_col))).alias("pos", "v"),
-    )
-    qj = qex.join(F.broadcast(cb), "pos")
-    qd = qj.groupBy("query_id", "s", "code").agg(
-        F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d")
-    )
-    # LUT rows exist for exactly the codebook's (s, code) pairs; lookups
-    # go through array_position on the parallel index array, so an empty
-    # hash bucket (absent code) costs nothing and cannot misalign
-    lut = qd.groupBy("query_id").agg(
-        F.array_sort(F.collect_list(F.struct("s", "code", "d"))).alias("_l")
-    ).select(
-        "query_id",
-        F.transform(F.col("_l"), lambda st: st["d"]).alias("lut"),
-        F.transform(F.col("_l"), lambda st: st["s"] * ks + st["code"]).alias(
-            "lut_idx"
-        ),
+    cb_row = _pq_dense_codebook(cb, ks)
+    # DENSE per-query LUT: one flat m*ks array indexed s*ks + code (1-based
+    # via element_at), built with the same in-row integer arithmetic as
+    # encoding — absent codebook slots carry sentinel distances that can
+    # never be referenced (pq_encode can't emit an absent code). The scan
+    # side then pays m O(1) lookups per row instead of m O(m·ks)
+    # array_position scans.
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("_v"),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * ks - 1)),
+                lambda i: _pq_subspace_dist(
+                    F.floor(i / ks).cast("int"), i % ks, "_v", m
+                ),
+            ).alias("lut"),
+        )
     )
     scored = codes.crossJoin(F.broadcast(lut)).where(
         F.col("query_id") != F.col("neighbor_id")
@@ -571,12 +645,9 @@ def pq_adc_topk(
             lambda acc, s: acc
             + F.element_at(
                 F.col("lut"),
-                (
-                    F.array_position(
-                        F.col("lut_idx"),
-                        s * ks + F.element_at(F.col("codes"), s + 1),
-                    )
-                ).cast("int"),
+                (s * ks + F.element_at(F.col("codes"), s + 1) + 1).cast(
+                    "int"
+                ),
             ),
         ).alias("adc_dist_q"),
     )
