@@ -2297,6 +2297,20 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_set_ops(a, b, ucol, ucol, k=256)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts (graph.triangle_counts) over the
+    co-order projection (graph.supplier_coorder_edges, min_shared=30):
+    degree-ordered wedge enumeration (Schank-Wagner) so wedge work is
+    bounded by Σ outdeg² = O(m·√m), not hub-degree². Oracle = independent
+    SQL a<b<c closed-wedge join credited to all three corners."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    edges = gr.supplier_coorder_edges(li, min_shared=30)
+    return gr.triangle_counts(edges).orderBy("node")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2415,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "rank_correlation": q_rank_correlation,
         "butterfly_pairs": q_butterflies,
+        "triangle_counts": q_triangles,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
         "assoc_rules": q_assoc_rules,
@@ -4547,6 +4562,30 @@ p AS (
 SELECT c1, c2, shared,
        CAST(shared * (shared - 1) // 2 AS BIGINT) AS butterflies
 FROM p ORDER BY shared DESC, c1, c2 LIMIT 20
+""",
+        "triangle_counts": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e AS (
+  SELECT a.s AS x, b.s AS y
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+t AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y
+),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
 """,
         "debounce_events": """
 WITH RECURSIVE e AS (

@@ -210,3 +210,96 @@ def butterfly_pairs(
         "shared",
         F.expr("shared * (shared - 1) div 2").alias("butterflies"),
     )
+
+
+def supplier_coorder_edges(
+    lineitem: DataFrame, min_shared: int = 25
+) -> DataFrame:
+    """Unipartite supplier graph: an edge (a, b, shared) for every supplier
+    pair co-appearing in at least ``min_shared`` orders — the one-mode
+    projection of the order×supplier bipartite relation, the standard
+    prelude to cohesion metrics that need a unipartite graph (the
+    customer↔supplier graph is bipartite and triangle-free by
+    construction).
+
+    Scale shape: distinct (order, supplier) first (bounded by lineitem,
+    usually far smaller), then a self-join keyed on the order — per-order
+    work is C(basket, 2) with basket ≤ lines-per-order, the same bounded-
+    basket discipline as assoc.association_rules. The threshold keeps the
+    projection sparse (one-mode projections densify quadratically without
+    it)."""
+    rel = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a, b = rel.alias("a"), rel.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("node_a"),
+            F.col("b.l_suppkey").alias("node_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Latapy / Schank-Wagner): orient every undirected edge from the
+    endpoint with the smaller (degree, id) to the larger, enumerate wedges
+    only from each node's OUT-neighbours, and close them against the
+    oriented edge list. Out-degrees under this orientation are bounded by
+    O(√m), so wedge count is Σ outdeg² — the classic bound that keeps
+    hub nodes from exploding the join (no sampling, exact counts).
+
+    Input: (node_a, node_b) undirected with node_a < node_b, one row per
+    edge. Output: (node, n_triangles) for every node in ≥1 triangle.
+    Each triangle is produced exactly once (its wedge center is the
+    orientation-minimal corner) and credited to all three corners.
+
+    Scale shape: one degree aggregation, two broadcast degree joins, one
+    wedge self-join hash-keyed on the center, one closure semi-probe —
+    all exchanges on BIGINT node keys.
+    """
+    e = edges.select("node_a", "node_b")
+    deg = (
+        e.select(F.col("node_a").alias("node"))
+        .unionByName(e.select(F.col("node_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("node_a"), F.col("deg").alias("_da")
+    )
+    db = deg.select(
+        F.col("node").alias("node_b"), F.col("deg").alias("_db")
+    )
+    ranked = e.join(F.broadcast(da), "node_a").join(F.broadcast(db), "node_b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("node_a") < F.col("node_b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("node_a")).otherwise(F.col("node_b")).alias(
+            "src"
+        ),
+        F.when(a_first, F.col("node_b")).otherwise(F.col("node_a")).alias(
+            "dst"
+        ),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.hint("shuffle_hash").alias("o2")
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).where(
+        F.col("o1.dst") != F.col("o2.dst")
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closure = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closure.hint("shuffle_hash"), ["v", "w"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -76,3 +76,45 @@ def test_degree_stats(spark):
     e = _edges(spark, [(1, 2), (1, 3), (3, 1)])
     d = {x["node"]: (x["out_deg"], x["in_deg"]) for x in gr.degree_stats(e).collect()}
     assert d == {1: (2, 1), 2: (0, 1), 3: (1, 1)}
+
+
+def _undirected(spark, pairs):
+    return spark.createDataFrame(pairs, "node_a long, node_b long")
+
+
+def test_triangle_counts_known_graph(spark):
+    # triangles {1,2,3} and {2,3,4}; edge (5,6) is triangle-free
+    e = _undirected(
+        spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6)]
+    )
+    got = {x["node"]: x["n_triangles"] for x in gr.triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_k4_complete(spark):
+    # K4: C(4,3)=4 triangles, each node in C(3,2)=3 of them
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        x["node"]: x["n_triangles"]
+        for x in gr.triangle_counts(_undirected(spark, pairs)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_hub_star_is_triangle_free(spark):
+    # star around 0: wedges abound but zero closures
+    pairs = [(0, i) for i in range(1, 8)]
+    assert gr.triangle_counts(_undirected(spark, pairs)).count() == 0
+
+
+def test_supplier_coorder_edges_threshold_and_ordering(spark):
+    # suppliers 3,4 co-appear in 2 orders; 3,5 in 1
+    li = spark.createDataFrame(
+        [(100, 3), (100, 4), (101, 4), (101, 3), (101, 3), (102, 3), (102, 5)],
+        "l_orderkey long, l_suppkey long",
+    )
+    got = {
+        (x["node_a"], x["node_b"]): x["shared"]
+        for x in gr.supplier_coorder_edges(li, min_shared=2).collect()
+    }
+    assert got == {(3, 4): 2}  # dup (101,3) deduped; (3,5) below threshold
