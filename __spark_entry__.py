@@ -2311,6 +2311,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_counts(edges).orderBy("node")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication stats (dedup.dup_span_stats): per-doc
+    coverage by word 4-grams occurring >= 2 times corpus-wide — the Lee
+    et al. 2021 boilerplate detector document-level dedup misses. The
+    merge-intervals sweep (running-max window over span starts) keeps
+    overlapping spans from double-counting; oracle replays the identical
+    sweep in SQL."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return dd.dup_span_stats(docs, n=4).orderBy("doc_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2430,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_correlation": q_rank_correlation,
         "butterfly_pairs": q_butterflies,
         "triangle_counts": q_triangles,
+        "dup_spans": q_dup_spans,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
         "assoc_rules": q_assoc_rules,
@@ -4586,6 +4599,44 @@ corners AS (
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node ORDER BY node
+""",
+        "dup_spans": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+w AS (SELECT doc_id, string_split(nm, ' ') AS w FROM d),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+        FROM w)
+),
+c AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+dup AS (SELECT doc_id, pos FROM g JOIN c USING (g) WHERE c.c >= 2),
+sw AS (
+  SELECT doc_id, pos, pos + 3 AS e,
+         max(pos + 3) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pe
+  FROM dup
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_grams,
+         sum(greatest(0, e - greatest(coalesce(pe, 0), pos - 1))) AS dup_tokens
+  FROM sw GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(w) - 3) AS BIGINT) AS n_grams
+  FROM w
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       CAST(coalesce(cv.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(cv.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN b.n_tokens = 0 THEN 0
+            ELSE coalesce(cv.dup_tokens, 0) * 1000000 // b.n_tokens
+            END AS BIGINT) AS dup_ppm
+FROM base b LEFT JOIN cov cv USING (doc_id) ORDER BY doc_id
 """,
         "debounce_events": """
 WITH RECURSIVE e AS (

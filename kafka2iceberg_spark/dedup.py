@@ -655,3 +655,114 @@ def edit_distance_pairs(
         .where(F.col("dist") <= F.lit(max_dist))
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    doc, how much of it is covered by word n-grams that occur >= 2 times
+    ANYWHERE in the corpus (other docs or elsewhere in the same doc).
+
+    Document-level dedup (exact/MinHash) misses boilerplate: a unique page
+    wrapping a duplicated license header stays in the corpus and the model
+    memorizes the header. This operator measures that: positional n-grams
+    (NOT distinct — position matters), a corpus-wide occurrence count, and
+    per-doc interval union of the duplicated spans [pos, pos+n-1] so
+    overlapping grams are not double-counted.
+
+    Dataflow: one gram scan (codegen'd transform over a bound token
+    array), one agg keyed on the gram text for corpus counts, one join
+    back (grams never leave their hash partition twice), then a per-doc
+    ordered window doing the classic merge-intervals sweep:
+    covered += max(0, end - max(prev_max_end, pos-1)) with
+    prev_max_end = running max of span ends over earlier starts. No
+    collect, no quadratic step; the gram-count agg is the only wide
+    exchange over data volume.
+
+    Output: (doc_id, n_tokens, n_grams, n_dup_grams, dup_tokens, dup_ppm)
+    with dup_ppm = dup_tokens*1e6 div n_tokens (integer-exact).
+    """
+    gram_expr = (
+        f"CASE WHEN size(_toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> struct(i AS pos, concat_ws(' ', slice(_toks, i, {n})) AS g))"
+        f" END"
+    )
+    base = (
+        _with_norm(docs, text_col)
+        .withColumn("_toks", F.split(F.col("_norm"), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size("_toks").alias("n_tokens"),
+            F.col("_toks"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(gram_expr)).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    dup = grams.join(counts.where(F.col("_c") >= 2), "g").select(
+        "doc_id", "pos"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = dup.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") + F.lit(n - 1)).alias("_end"),
+        F.max(F.col("pos") + F.lit(n - 1)).over(w).alias("_prev_end"),
+    ).select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("_end")
+            - F.greatest(
+                F.coalesce(F.col("_prev_end"), F.lit(0)),
+                F.col("pos") - F.lit(1),
+            ),
+        ).alias("_covered"),
+    )
+    per_doc = swept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("_covered").alias("dup_tokens"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(
+                F.lit(0), F.col("n_tokens") - F.lit(n - 1)
+            )
+            .cast("long")
+            .alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0 ELSE"
+                " coalesce(dup_tokens, 0) * 1000000 div n_tokens END"
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

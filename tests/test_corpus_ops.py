@@ -431,3 +431,74 @@ def test_edit_distance_pairs_adjacent_length_buckets(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = dd.edit_distance_pairs(df, max_dist=10).collect()
     assert len(got) == 1 and got[0]["dist"] == 2
+
+
+# ---------------------------------------------------------------- dup spans
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_shared_gram_both_docs_flagged(spark):
+    # docs share exactly one 4-gram ("a b c d"); each doc: 1 dup gram,
+    # 4 covered tokens
+    out = {
+        r["doc_id"]: r
+        for r in dd.dup_span_stats(
+            _span_docs(
+                spark,
+                [(1, "a b c d x y z w"), (2, "p q r s a b c d")],
+            ),
+            n=4,
+        ).collect()
+    }
+    assert out[1]["n_dup_grams"] == 1 and out[1]["dup_tokens"] == 4
+    assert out[2]["n_dup_grams"] == 1 and out[2]["dup_tokens"] == 4
+    assert out[1]["n_tokens"] == 8 and out[1]["n_grams"] == 5
+    assert out[1]["dup_ppm"] == 4 * 1_000_000 // 8
+
+
+def test_dup_spans_overlapping_grams_union_not_sum(spark):
+    # "a b c d e" duplicated verbatim: doc 1 has 2 dup grams at pos 1,2
+    # overlapping on [2,4] -> union covers 5 tokens, not 8
+    out = {
+        r["doc_id"]: r
+        for r in dd.dup_span_stats(
+            _span_docs(
+                spark,
+                [(1, "a b c d e x x y y z"), (2, "a b c d e q q w w v")],
+            ),
+            n=4,
+        ).collect()
+    }
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["dup_tokens"] == 5  # union of [1,4] and [2,5]
+
+
+def test_dup_spans_within_doc_repeat_counts(spark):
+    # the same 4-gram twice INSIDE one doc is duplication too (Lee et al.
+    # count any repeat); disjoint spans -> 8 covered tokens
+    out = dd.dup_span_stats(
+        _span_docs(spark, [(1, "a b c d z z a b c d")]), n=4
+    ).collect()[0]
+    assert out["n_dup_grams"] == 2
+    assert out["dup_tokens"] == 8
+
+
+def test_dup_spans_clean_doc_zero(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dd.dup_span_stats(
+            _span_docs(spark, [(1, "a b c d e"), (2, "f g h i j")]), n=4
+        ).collect()
+    }
+    assert all(
+        o["n_dup_grams"] == 0 and o["dup_tokens"] == 0 and o["dup_ppm"] == 0
+        for o in out.values()
+    )
+    # short doc: fewer tokens than n -> zero grams
+    short = dd.dup_span_stats(
+        _span_docs(spark, [(9, "a b c")]), n=4
+    ).collect()[0]
+    assert short["n_grams"] == 0 and short["dup_ppm"] == 0
