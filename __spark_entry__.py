@@ -2323,6 +2323,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_span_stats(docs, n=4).orderBy("doc_id")
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (similarity.kmeans_lloyd, k=8, iters=2): deterministic
+    min-id seeding, integer-L2² assignment via a JVM array_min argmin,
+    truncated-mean centroid updates held driver-side (k·dim scalars) and
+    broadcast — the MLlib discipline, zero wide exchanges over the data.
+    Oracle unrolls the identical three assignment passes in SQL."""
+    _utc(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, k=8, iters=2).orderBy("vec_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2443,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_pairs": q_butterflies,
         "triangle_counts": q_triangles,
         "dup_spans": q_dup_spans,
+        "kmeans_clusters": q_kmeans,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
         "assoc_rules": q_assoc_rules,
@@ -2464,6 +2476,42 @@ _NORM = (
 _PERM_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd.MINHASH_PERMS)
 )
+
+
+def _km_assign(tag: str, cent: str) -> str:
+    """One Lloyd assignment pass: integer L2² vs every centroid, argmin
+    with smaller-cluster tie-break (mirrors similarity.kmeans_lloyd)."""
+    return f"""
+s{tag} AS (
+  SELECT d.vec_id, d.q, c.c,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS BIGINT) AS dist
+  FROM d, {cent} c
+),
+a{tag} AS (
+  SELECT vec_id, q, c, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM s{tag}) WHERE rn = 1
+)"""
+
+
+def _km_update(tag: str, assign: str, prev: str) -> str:
+    """One Lloyd centroid update: per-dim truncated mean; empty clusters
+    keep the previous centroid (LEFT JOIN + coalesce)."""
+    return f"""
+p{tag} AS (
+  SELECT c, i, SUM(q[CAST(i AS INT)]) AS s, COUNT(*) AS cnt
+  FROM (SELECT c, unnest(range(1, 65)) AS i, q FROM {assign})
+  GROUP BY c, i
+),
+n{tag} AS (
+  SELECT c, list(CAST(s // cnt AS BIGINT) ORDER BY i) AS cq
+  FROM p{tag} GROUP BY c
+),
+c{tag} AS (
+  SELECT p.c, coalesce(n.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN n{tag} n ON n.c = p.c
+)"""
 
 # The 8 tables × 4 planes × 64 dims of deterministic LSH hyperplanes, inlined
 # as SQL literals exactly like _PERM_VALUES — Python float repr round-trips
@@ -4637,6 +4685,24 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
             ELSE coalesce(cv.dup_tokens, 0) * 1000000 // b.n_tokens
             END AS BIGINT) AS dup_ppm
 FROM base b LEFT JOIN cov cv USING (doc_id) ORDER BY doc_id
+""",
+        "kmeans_clusters": f"""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, q AS cq
+  FROM d ORDER BY vec_id LIMIT 8
+),
+{_km_assign("0", "seed")},
+{_km_update("1", "a0", "seed")},
+{_km_assign("1", "c1")},
+{_km_update("2", "a1", "c1")},
+{_km_assign("2", "c2")}
+SELECT vec_id, c AS cluster, dist AS dist_q FROM a2 ORDER BY vec_id
 """,
         "debounce_events": """
 WITH RECURSIVE e AS (

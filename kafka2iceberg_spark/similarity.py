@@ -728,3 +728,110 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over quantized vectors: ``iters`` rounds of
+    assign-to-nearest / recompute-centroid, integer-exact end to end.
+
+    Seeding is deterministic — the ``k`` vectors with the smallest ids —
+    so every engine replays the identical trajectory (no random init, no
+    kmeans++ sampling nondeterminism). Distances are integer L2² in
+    micro-units; new centroids are per-dimension TRUNCATED means
+    (``s div c``, matching SQL ``//``); a cluster that loses all members
+    keeps its previous centroid.
+
+    Scale shape (the MLlib discipline): centroids are k·dim scalars —
+    driver-held literals, broadcast into each assignment pass; the data
+    never shuffles. Per round: one broadcast cross-score + per-vector
+    argmin (partial-aggregated min, no window over data), one
+    (cluster, dim) sum/count agg of |k·dim| output rows collected to the
+    driver. At 10^9 vectors each round is two scans, zero wide exchanges
+    over the data.
+
+    Output: (vec_id, cluster, dist_q) — final-round assignment.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("q")
+    )
+    seeds = v.orderBy("vec_id").limit(k).collect()
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["q"])) for i, r in enumerate(seeds)
+    ]
+    dim = len(cents[0][1])
+
+    def assign(cent_rows):
+        c = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("c"),
+                    F.array(*[F.lit(x) for x in cq]).alias("cq"),
+                )
+                for ci, cq in cent_rows
+            ]
+        )
+        # per-vector argmin folded JVM-side: array_min over (dist, c)
+        # structs — struct ordering gives min-distance with smaller-index
+        # tie-break; no per-vector window, no shuffle
+        scored = v.select(
+            "vec_id",
+            "q",
+            F.array_min(
+                F.transform(
+                    c,
+                    lambda s: F.struct(
+                        _l2q(F.col("q"), s["cq"]).alias("d"),
+                        s["c"].alias("c"),
+                    ),
+                )
+            ).alias("best"),
+        )
+        return scored.select(
+            "vec_id",
+            "q",
+            F.col("best.c").alias("cluster"),
+            F.col("best.d").alias("dist_q"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        per_dim = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .withColumn("m", F.expr("s div c"))
+        )
+        new = (
+            per_dim.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("_pm"), lambda s: s["m"]).alias("cq"),
+            )
+            .collect()
+        )
+        got = {r["cluster"]: list(r["cq"]) for r in new}
+        cents = [(ci, got.get(ci, cq)) for ci, cq in cents]
+
+    return assign(cents).select("vec_id", "cluster", "dist_q")
+
+
+def _l2q(q: Column, cq: Column) -> Column:
+    """Integer L2² between two quantized vectors (ordered fold, exact)."""
+    return F.aggregate(
+        F.zip_with(q, cq, lambda a, b: a - b),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d * d,
+    )

@@ -502,3 +502,58 @@ def test_dup_spans_clean_doc_zero(spark):
         _span_docs(spark, [(9, "a b c")]), n=4
     ).collect()[0]
     assert short["n_grams"] == 0 and short["dup_ppm"] == 0
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_two_obvious_groups(spark):
+    pts = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, 0.0]),
+        (3, [9.9, 10.0]),
+        (4, [0.0, 0.2]),
+        (5, [10.0, 9.8]),
+    ]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.kmeans_lloyd(_vecs(spark, pts), k=2, iters=2).collect()
+    }
+    assert got[0] == got[2] == got[4] == 0  # seeded from vec 0
+    assert got[1] == got[3] == got[5] == 1
+
+
+def test_kmeans_tie_breaks_to_smaller_cluster(spark):
+    # point 2 exactly equidistant from both seeds -> cluster 0
+    pts = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.kmeans_lloyd(_vecs(spark, pts), k=2, iters=1).collect()
+    }
+    assert got[2] == 0
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    pts = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    a = sorted(
+        map(
+            tuple,
+            sim.kmeans_lloyd(
+                _vecs(spark, pts).repartition(1), k=3, iters=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.kmeans_lloyd(
+                _vecs(spark, pts).repartition(8), k=3, iters=2
+            ).collect(),
+        )
+    )
+    assert a == b
