@@ -2334,6 +2334,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_lloyd(emb, k=8, iters=2).orderBy("vec_id")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop flags (dedup.semdedup_flags): within-cluster
+    cosine >= 0.35 to a lower id ⇒ drop — deterministic min-id survivor
+    per duplicate link, cluster-blocked pairwise join. Oracle = quadratic
+    within-label SQL with the identical round-6 cosine."""
+    _utc(spark)
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    return dd.semdedup_flags(emb, threshold=0.35).orderBy("vec_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2455,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangles,
         "dup_spans": q_dup_spans,
         "kmeans_clusters": q_kmeans,
+        "semdedup_flags": q_semdedup,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
         "assoc_rules": q_assoc_rules,
@@ -4703,6 +4714,19 @@ seed AS (
 {_km_update("2", "a1", "c1")},
 {_km_assign("2", "c2")}
 SELECT vec_id, c AS cluster, dist AS dist_q FROM a2 ORDER BY vec_id
+""",
+        "semdedup_flags": f"""
+WITH {_EMB_D},
+p AS (
+  SELECT b.vec_id AS v, count(*) AS n
+  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a', 'b')}, 6) >= 0.35
+  GROUP BY b.vec_id
+)
+SELECT d.vec_id, d.label,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_lower_dups,
+       coalesce(p.n, 0) = 0 AS keep
+FROM d LEFT JOIN p ON p.v = d.vec_id ORDER BY vec_id
 """,
         "debounce_events": """
 WITH RECURSIVE e AS (

@@ -766,3 +766,42 @@ def dup_span_stats(
             .alias("dup_ppm"),
         )
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup keep/drop flags (Abbas et al. 2023, arXiv:2303.09540):
+    semantic deduplication by embedding cosine WITHIN coarse clusters —
+    a vector is dropped when some LOWER-id vector in its cluster is
+    within ``threshold`` cosine, so exactly one deterministic
+    representative (the min id) survives each duplicate chain link.
+
+    Pairs come from ``embedding_neardup_pairs`` (cluster-blocked — the
+    pairwise join never goes global; at 10^9 vectors the block key is the
+    k-means/IVF cell, here the provided label). The keep rule is one
+    aggregation over the pair list keyed on the higher id — no windows,
+    no second scan of the vectors.
+
+    Output: (vec_id, label, n_lower_dups, keep).
+    """
+    pairs = embedding_neardup_pairs(
+        emb, threshold, id_col, vec_col, block_col
+    )
+    dups = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        emb.select(F.col(id_col), F.col(block_col))
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            block_col,
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_lower_dups"),
+            (F.coalesce("_n", F.lit(0)) == 0).alias("keep"),
+        )
+    )
