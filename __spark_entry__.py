@@ -2344,6 +2344,36 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semdedup_flags(emb, threshold=0.35).orderBy("vec_id")
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / Resource-Allocation link prediction
+    (graph.adamic_adar_topk) over the supplier co-order projection:
+    top-20 non-adjacent distance-2 pairs by Σ 1/ln(deg(z)) over common
+    neighbours z. Integer micro-unit weight sums (order-insensitive) —
+    the DuckDB oracle replays the identical quantization."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    edges = gr.supplier_coorder_edges(li, min_shared=30)
+    return gr.adamic_adar_topk(edges, k=20)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope/intercept over the top-100 corpus tokens
+    (textops.zipf_fit): exact integer moment sums of micro-quantized
+    ln(rank)/ln(freq); one final double expression."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return tx.zipf_fit(d, top_n=100)
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary Jaccard (textops.source_vocab_overlap):
+    distinct (source, token) scan, token-keyed self-join (fanout ≤
+    |sources|² per token), broadcast vocabulary sizes."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return tx.source_vocab_overlap(d).orderBy("source_a", "source_b")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2472,6 +2502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_daily": q_autocorr,
         "dow_profile": q_dow_profile,
         "kmv_set_ops": q_kmv_set_ops,
+        "adamic_adar": q_adamic_adar,
+        "zipf_fit": q_zipf_fit,
+        "vocab_overlap": q_vocab_overlap,
     }
 
 
@@ -4903,5 +4936,103 @@ SELECT kth_hash,
                         / CAST(kth_hash AS DOUBLE) END)
              * (in_both / n), 3) AS est_intersection
 FROM g
+""",
+        "adamic_adar": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e AS (
+  SELECT a.s AS x, b.s AS y
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+adj AS (
+  SELECT x AS z, y AS leaf FROM e
+  UNION ALL SELECT y, x FROM e
+),
+deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+w AS (
+  SELECT z,
+         CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS aa_u,
+         CAST(round(1000000 / CAST(deg AS DOUBLE)) AS BIGINT) AS ra_u
+  FROM deg WHERE deg >= 2
+),
+wedge AS (
+  SELECT a.leaf AS u, b.leaf AS v, w.aa_u, w.ra_u
+  FROM adj a JOIN adj b ON a.z = b.z AND a.leaf < b.leaf
+  JOIN w ON w.z = a.z
+),
+cand AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(aa_u) AS BIGINT) AS s_aa,
+         CAST(sum(ra_u) AS BIGINT) AS s_ra
+  FROM wedge
+  GROUP BY u, v
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e ON e.x = c.u AND e.y = c.v
+  WHERE e.x IS NULL
+)
+SELECT u AS node_u, v AS node_v, n_common,
+       round(s_aa / 1e6, 6) AS aa_score,
+       round(s_ra / 1e6, 6) AS ra_score
+FROM nonedge
+ORDER BY aa_score DESC, node_u, node_v LIMIT 20
+""",
+        "zipf_fit": f"""
+WITH normd AS (SELECT {_NORM} AS nm FROM documents),
+tok0 AS (SELECT unnest(string_split(nm, ' ')) AS token FROM normd),
+counts AS (
+  SELECT token, count(*) AS n FROM tok0 WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, n
+  FROM counts ORDER BY n DESC, token LIMIT 100
+),
+q AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fit,
+         CAST(sum(x) AS BIGINT) AS sxi,
+         CAST(sum(y) AS BIGINT) AS syi,
+         CAST(sum(x * y) AS BIGINT) AS sxyi,
+         CAST(sum(x * x) AS BIGINT) AS sxxi
+  FROM q
+)
+SELECT n_fit,
+       round(((sxyi / 1e12) - (sxi / 1e6) * (syi / 1e6) / CAST(n_fit AS DOUBLE))
+             / ((sxxi / 1e12) - (sxi / 1e6) * (sxi / 1e6) / CAST(n_fit AS DOUBLE)),
+             6) AS slope,
+       round(((syi / 1e6)
+              - (((sxyi / 1e12) - (sxi / 1e6) * (syi / 1e6) / CAST(n_fit AS DOUBLE))
+                 / ((sxxi / 1e12) - (sxi / 1e6) * (sxi / 1e6) / CAST(n_fit AS DOUBLE)))
+                * (sxi / 1e6)) / CAST(n_fit AS DOUBLE), 6) AS intercept
+FROM m
+""",
+        "vocab_overlap": f"""
+WITH normd AS (SELECT source, {_NORM} AS nm FROM documents),
+v AS (
+  SELECT source, unnest(string_split(nm, ' ')) AS token FROM normd
+),
+v2 AS (SELECT DISTINCT source, token FROM v WHERE token <> ''),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM v2 GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM v2 a JOIN v2 b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_inter,
+       sa.n_vocab + sb.n_vocab - i.n_inter AS n_union,
+       round(i.n_inter / (sa.n_vocab + sb.n_vocab - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
 """,
     }

@@ -679,3 +679,105 @@ def source_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over corpus token frequencies: least-squares slope of
+    ln(freq) on ln(rank) for the ``top_n`` most frequent tokens (a healthy
+    natural-language corpus fits slope ≈ −1; boilerplate/spam corpora bend
+    it — a standard corpus-health diagnostic next to token_entropy).
+
+    Numeric parity: ln(rank)/ln(freq) are quantized to micro-units
+    (round(ln·1e6) BIGINT) and the regression is computed from EXACT
+    integer moment sums (Σx, Σy, Σxy, Σxx fit comfortably in BIGINT at
+    top_n ≤ 1e4) — one double expression at the end, identical on both
+    engines; slope/intercept rounded to 6 dp.
+
+    Scale shape: token counting is one hash aggregation (map-side partial);
+    top-n is TakeOrderedAndProject (no global sort); the regression runs
+    over top_n rows. Output: single row (n_fit, slope, intercept).
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(int(top_n))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+            .alias("rank"),
+            "n",
+        )
+    )
+    x = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    y = F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("n_fit").cast("double")
+    sx = F.col("_sx") / 1e6
+    sy = F.col("_sy") / 1e6
+    sxy = F.col("_sxy") / 1e12
+    sxx = F.col("_sxx") / 1e12
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return m.select(
+        "n_fit",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def source_vocab_overlap(docs: DataFrame) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: how much two slices of
+    a corpus share their token vocabulary — the standard first look at
+    domain overlap before choosing mixture weights (near-1 pairs are
+    near-duplicate feeds; near-0 pairs are genuinely distinct domains).
+
+    Exact integer counts + one final double division — no float sums, so
+    the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one distinct (source, token) shuffle (the corpus scan);
+    the token self-join fans out at most |sources|² rows PER TOKEN (a
+    universal stopword costs C(20,2)=190 rows, not |corpus|²), and the
+    per-source vocabulary sizes broadcast. Output: one row per source
+    pair (source_a < source_b) with intersection, union, jaccard.
+    """
+    v = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = v.alias("a"), v.hint("shuffle_hash").alias("b")
+    inter = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_vocab").alias("_nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -114,3 +114,53 @@ def test_association_rules_hand_example(spark):
     assert r["lift"] == 1.0
     # (a,c) and (b,c) have support 1 -> filtered by min_support
     assert set(got) == {("a", "b")}
+
+
+def test_adamic_adar_path_and_existing_edge_excluded(spark):
+    # square 1-2, 2-3, 3-4, 1-4 plus diagonal 1-3:
+    #   candidate (2,4): common neighbours {1, 3}, both deg 3
+    #   (1,3) is an EDGE -> excluded even though it has common neighbours
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["node_a", "node_b"]
+    )
+    out = gr.adamic_adar_topk(edges, k=10).collect()
+    assert [(r.node_u, r.node_v) for r in out] == [(2, 4)]
+    r = out[0]
+    assert r.n_common == 2
+    expected = 2 * round(1_000_000 / math.log(3)) / 1e6
+    assert abs(r.aa_score - round(expected, 6)) < 1e-9
+    assert abs(r.ra_score - round(2 * round(1_000_000 / 3) / 1e6, 6)) < 1e-9
+
+
+def test_zipf_exact_law_recovers_slope(spark):
+    # frequencies n(r) = round(1000 * r^-1): docs with token t_r repeated
+    rows = []
+    for r in range(1, 21):
+        n = max(1, round(1000 / r))
+        rows.append((r, " ".join([f"tok{r:02d}"] * n),))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.zipf_fit(docs, top_n=20).collect()[0]
+    assert out.n_fit == 20
+    # quantized-integer frequencies still fit ~ -1 closely
+    assert -1.02 < out.slope < -0.98
+    assert abs(out.intercept - math.log(1000)) < 0.05
+
+
+def test_vocab_overlap_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "beta gamma delta", "s2"),
+            (3, "epsilon", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in tx.source_vocab_overlap(docs).collect()
+    }
+    r12 = out[("s1", "s2")]
+    assert (r12.n_inter, r12.n_union) == (2, 4)
+    assert abs(r12.jaccard - 0.5) < 1e-9
+    # s3 shares nothing -> no inter rows at all for its pairs
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
