@@ -2358,6 +2358,19 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.adamic_adar_topk(edges, k=20)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-order projection (graph.kcore_peel,
+    4 fixed peeling rounds): iteratively drop degree<3 nodes; exact
+    integer counting per round, so the DuckDB oracle replays the peel
+    with unrolled CTEs. Converged peel ⇒ extra rounds are no-ops."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    edges = gr.supplier_coorder_edges(li, min_shared=30)
+    return gr.kcore_peel(edges, k=3, rounds=4).orderBy("node")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope/intercept over the top-100 corpus tokens
     (textops.zipf_fit): exact integer moment sums of micro-quantized
@@ -2503,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_profile": q_dow_profile,
         "kmv_set_ops": q_kmv_set_ops,
         "adamic_adar": q_adamic_adar,
+        "kcore": q_kcore,
         "zipf_fit": q_zipf_fit,
         "vocab_overlap": q_vocab_overlap,
     }
@@ -4936,6 +4950,37 @@ SELECT kth_hash,
                         / CAST(kth_hash AS DOUBLE) END)
              * (in_both / n), 3) AS est_intersection
 FROM g
+""",
+        "kcore": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e0 AS (
+  SELECT a.s AS node_a, b.s AS node_b
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+"""
+        + ",\n".join(
+            f"""d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT node_a AS node FROM e{i - 1}
+    UNION ALL SELECT node_b FROM e{i - 1}
+  ) GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= 3),
+e{i} AS (
+  SELECT node_a, node_b FROM e{i - 1}
+  WHERE node_a IN (SELECT node FROM k{i})
+    AND node_b IN (SELECT node FROM k{i})
+)"""
+            for i in range(1, 5)
+        )
+        + """
+SELECT node, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
+  SELECT node_a AS node FROM e4 UNION ALL SELECT node_b FROM e4
+) GROUP BY node ORDER BY node
 """,
         "adamic_adar": """
 WITH rel AS (

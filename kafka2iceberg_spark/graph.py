@@ -386,3 +386,53 @@ def adamic_adar_topk(edges: DataFrame, k: int = 20) -> DataFrame:
     ).orderBy(
         F.col("aa_score").desc(), F.col("node_u"), F.col("node_v")
     ).limit(int(k))
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop nodes
+    of degree < k (and their incident edges); the surviving subgraph after
+    convergence is the k-core (Seidman 1983) — the standard cohesion
+    filter before community/centrality work on a noisy projection.
+
+    Fixed ``rounds`` (not convergence-tested) for the same reason as
+    :func:`pagerank`: every operation is exact integer counting, so R
+    peels are bit-identical on any engine and the DuckDB oracle is an
+    unrolled-CTE replay. A converged peel is a fixpoint — extra rounds
+    are no-ops — so choosing R ≥ the true peel depth yields the exact
+    k-core; the driver holds no data (localCheckpoint truncates lineage
+    each round, per-round work is one degree aggregation + two hash
+    semi-joins on BIGINT node keys).
+
+    Input: (node_a, node_b) undirected, node_a < node_b, one row per
+    edge. Output: (node, deg_in_core) over the edge set surviving R
+    peels, i.e. the k-core when converged.
+    """
+    e = edges.select("node_a", "node_b").localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        deg = (
+            e.select(F.col("node_a").alias("node"))
+            .unionByName(e.select(F.col("node_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= int(k)).select("node")
+        e = (
+            e.join(
+                keep.hint("shuffle_hash").withColumnRenamed("node", "node_a"),
+                "node_a",
+                "left_semi",
+            )
+            .join(
+                keep.hint("shuffle_hash").withColumnRenamed("node", "node_b"),
+                "node_b",
+                "left_semi",
+            )
+            .select("node_a", "node_b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("node_a").alias("node"))
+        .unionByName(e.select(F.col("node_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg_in_core"))
+    )

@@ -557,3 +557,32 @@ def test_kmeans_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_semdedup_min_id_survives_duplicate_chain(spark):
+    # ids 1,2,3 share a block and are pairwise near-identical: only the
+    # min id keeps; 9 sits in another block and is untouched
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.999, 0.01], "a"),
+            (3, [0.998, 0.02], "a"),
+            (9, [1.0, 0.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {
+        r["vec_id"]: (r["keep"], r["n_lower_dups"])
+        for r in dd.semdedup_flags(emb, threshold=0.99).collect()
+    }
+    assert got == {1: (True, 0), 2: (False, 1), 3: (False, 2), 9: (True, 0)}
+
+
+def test_semdedup_blocks_isolate_identical_vectors(spark):
+    # identical vectors in DIFFERENT blocks never pair — both keep
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.0], "b")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {r["vec_id"]: r["keep"] for r in dd.semdedup_flags(emb, 0.99).collect()}
+    assert got == {1: True, 2: True}

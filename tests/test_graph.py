@@ -118,3 +118,30 @@ def test_supplier_coorder_edges_threshold_and_ordering(spark):
         for x in gr.supplier_coorder_edges(li, min_shared=2).collect()
     }
     assert got == {(3, 4): 2}  # dup (101,3) deduped; (3,5) below threshold
+
+
+def test_kcore_peel_cascade_leaves_k4(spark):
+    # K4 on {0..3} plus a pendant chain 0-4-5-6: peeling the chain takes
+    # three rounds (6, then 5, then 4 drop in turn) before K4 stands alone
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs += [(0, 4), (4, 5), (5, 6)]
+    got = {
+        x["node"]: x["deg_in_core"]
+        for x in gr.kcore_peel(_undirected(spark, pairs), k=3, rounds=4).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_peel_tree_has_no_2core(spark):
+    # any tree peels to nothing for k >= 2
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5)]
+    assert gr.kcore_peel(_undirected(spark, pairs), k=2, rounds=6).count() == 0
+
+
+def test_kcore_peel_extra_rounds_are_noops(spark):
+    # converged peel is a fixpoint: rounds=4 and rounds=8 agree exactly
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 4), (4, 5)]
+    e = _undirected(spark, pairs)
+    r4 = sorted(map(tuple, gr.kcore_peel(e, k=3, rounds=4).collect()))
+    r8 = sorted(map(tuple, gr.kcore_peel(e, k=3, rounds=8).collect()))
+    assert r4 == r8 and r4
