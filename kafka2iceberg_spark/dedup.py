@@ -795,9 +795,11 @@ def semdedup_flags(
     dups = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
         F.count(F.lit(1)).alias("_n")
     )
+    # the aggregated dup side is at most one row per vector and usually far
+    # smaller — hash it rather than sort-merging both sides
     return (
         emb.select(F.col(id_col), F.col(block_col))
-        .join(dups, id_col, "left")
+        .join(dups.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             block_col,

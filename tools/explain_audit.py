@@ -84,6 +84,7 @@ PLAN_PROXY = {
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # subset audit: print to stdout, don't rewrite PLANS.md
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
@@ -100,7 +101,7 @@ def main() -> None:
 
     rows = []
     for name, fn in entry.queries().items():
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         df = PLAN_PROXY.get(name, fn)(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(  # noqa: SLF001
@@ -176,10 +177,17 @@ def main() -> None:
         "dedup_clusters: the executed loop checkpoints each iteration, "
         "and the per-round join+partial-sum is the plan that repeats.",
     ]
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
-    with open(path, "w") as fh:
-        fh.write("\n".join(out) + "\n")
-    print(f"wrote {path} ({len(rows)} queries, {total_smj} sort-merge joins)")
+    if only:
+        for r in rows:
+            print(r)
+        print(f"(subset audit: {len(rows)} queries, {total_smj} sort-merge joins)")
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+        )
+        with open(path, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+        print(f"wrote {path} ({len(rows)} queries, {total_smj} sort-merge joins)")
     spark.stop()
 
 
