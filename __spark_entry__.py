@@ -1686,6 +1686,180 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD small part, the European
+    supplier(s) whose best observed price equals the regional minimum —
+    the classic correlated-scalar-subquery shape, expressed as one
+    (part, supplier) aggregation plus a min window over the part key (the
+    pair relation is orders-of-magnitude smaller than the fact, so the
+    window repartition is cheap). Costs compared as exact decimal cents —
+    no float boundary can flip a survivor. The European supplier filter
+    broadcast-semi-prunes the fact scan before its only shuffle."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _read(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    cost_c = (_dec("l_extendedprice") * F.lit(100)).cast("long")
+    pair = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name")
+        .agg(F.min(cost_c).alias("cost_c"))
+    )
+    best = pair.withColumn(
+        "best_c", F.min("cost_c").over(Window.partitionBy("l_partkey"))
+    )
+    return best.where(F.col("cost_c") == F.col("best_c")).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_name",
+        (F.col("cost_c") / F.lit(100.0)).alias("min_cost"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_1-supplied value exceeds
+    1/1000 of the national total — a group aggregate HAVING against a
+    scalar subquery. The threshold compare is exact integer algebra
+    (value·1000 > total, both in cents) and the one-row total is
+    broadcast, so the fact is scanned once and shuffled once."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    nat_s = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val_c = (_dec("l_extendedprice") * F.lit(100)).cast("long")
+    per_part = (
+        li.join(F.broadcast(nat_s), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val_c).alias("val_c"))
+    )
+    total = per_part.agg(F.sum("val_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val_c") * F.lit(1000) > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_c") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    over the observed part↔supplier relation, with a NOT-IN supplier
+    exclusion (negative account balance) as a broadcast anti-join. The
+    relation is deduped with one (part, supp) shuffle before the
+    part-attribute attachment; the count-distinct reuses that exchange."""
+    _utc(spark)
+    s_excl = _read(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    p = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13))
+    )
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(s_excl.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    return rel.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_2 suppliers who moved more than 100 units
+    of SMALL parts during 1997 — nested semi-joins feeding a HAVING
+    aggregate. The part filter broadcast-semi-prunes the fact before its
+    one shuffle; the surviving per-supplier relation is tiny, so the
+    supplier/nation attachment broadcasts. Quantities are exact cents."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    qty_c = (_dec("l_quantity") * F.lit(100)).cast("long")
+    per_supp = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .where(F.col("qty_c") > 100 * 100)
+    )
+    return (
+        per_supp.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("qty_c") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in multi-supplier orders, the supplier who alone
+    holds the latest ship date "kept the order waiting" — counted per
+    supplier. Spark formulation: one (order, supplier) max-shipdate
+    aggregation, then ONE window pass over the order key computing the
+    order's supplier count, its max ship date, and how many suppliers
+    achieve it; the filter (≥2 suppliers, unique max, mine) replaces the
+    classic EXISTS + NOT-EXISTS pair — which is exactly what the DuckDB
+    oracle runs, making the two formulations genuinely independent. The
+    pair relation is fact-aggregated once; everything after is
+    pair-relation-sized."""
+    _utc(spark)
+    s = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("pair_ms")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "pair_ms",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("pair_ms").over(w).alias("order_ms"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(
+            F.when(F.col("pair_ms") == F.col("order_ms"), 1).otherwise(0)
+        ).over(w),
+    )
+    waiting = marked.where(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_max") == 1)
+        & (F.col("pair_ms") == F.col("order_ms"))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (windows.asof_join): each purchase attributes to the
     latest prior-or-same-instant click by the same user — one hash shuffle
@@ -2517,6 +2691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "adamic_adar": q_adamic_adar,
         "kcore": q_kcore,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "promotable_suppliers": q_promotable_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
         "zipf_fit": q_zipf_fit,
         "vocab_overlap": q_vocab_overlap,
     }
@@ -4981,6 +5160,68 @@ e{i} AS (
 SELECT node, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
   SELECT node_a AS node FROM e4 UNION ALL SELECT node_b FROM e4
 ) GROUP BY node ORDER BY node
+""",
+        "min_cost_supplier": """
+WITH eu AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pc AS (
+  SELECT l_partkey AS p_partkey, s_name,
+         min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cost_c
+  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size <= 10)
+  GROUP BY 1, 2)
+SELECT p_partkey, s_name, cost_c / 100.0 AS min_cost
+FROM pc p
+WHERE cost_c = (SELECT min(cost_c) FROM pc p2 WHERE p2.p_partkey = p.p_partkey)
+""",
+        "important_parts": """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS val_c
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1')
+  GROUP BY 1)
+SELECT p_partkey, val_c / 100.0 AS value
+FROM v WHERE val_c * 1000 > (SELECT sum(val_c) FROM v)
+""",
+        "supplier_part_counts": """
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+        "promotable_suppliers": """
+SELECT s_suppkey, s_name, qty_c / 100.0 AS total_qty
+FROM (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1 HAVING qty_c > 100 * 100)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+""",
+        "waiting_suppliers": """
+WITH pair AS (
+  SELECT l_orderkey AS o, l_suppkey AS s, max(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1, 2)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pair p JOIN supplier ON p.s = s_suppkey
+WHERE EXISTS (SELECT 1 FROM pair p2 WHERE p2.o = p.o AND p2.s <> p.s)
+  AND NOT EXISTS (
+    SELECT 1 FROM pair p3 WHERE p3.o = p.o AND p3.s <> p.s AND p3.ms >= p.ms)
+GROUP BY 1
 """,
         "adamic_adar": """
 WITH rel AS (
