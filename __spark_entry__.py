@@ -2545,6 +2545,65 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.kcore_peel(edges, k=3, rounds=4).orderBy("node")
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (graph.bfs_hops, 3 rounds) from NATION_1's
+    suppliers over the co-order projection: hop = shortest distance to
+    any seed. Frontier expansion is one shuffle-hash join + anti-join per
+    round (each node visited once, O(E) total); exact integer hops make
+    the DuckDB oracle an unrolled-CTE replay."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    edges = gr.supplier_coorder_edges(li, min_shared=30)
+    seeds = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select(F.col("s_suppkey").alias("node"))
+    return gr.bfs_hops(edges, seeds, rounds=3).orderBy("node")
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase within 3 days
+    (timeseries.window_funnel, ClickHouse windowFunnel analogue). The
+    chain-anchor recurrence depends on its own output, so it runs as the
+    repo's per-key JVM fold over (ts, event_id)-sorted events — exact
+    integer microseconds, engine-identical; the oracle replays the
+    recurrence with a recursive CTE."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return ts.window_funnel(
+        ev,
+        ["view", "click", "purchase"],
+        window_us=3 * 86_400_000_000,
+    ).orderBy("user_id")
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (self-join size) estimate of events.user_id
+    via the AMS tug-of-war sketch (sketches.ams_f2_estimate): 64 ±1
+    counters from salted md5 signs, median-of-means over 4 groups. The
+    shuffle carries ≤64 rows per partition regardless of input size and
+    counter tables merge by addition — the planner-side join-size probe
+    at 100 TB. Oracle: verbatim integer replay."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return sk.ams_f2_estimate(ev, F.col("user_id"))
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions (textops.source_js_divergence): usage-level domain
+    similarity for mixture weighting, 0 = identical, ln2 = disjoint.
+    Only vocabulary intersections are joined (private tokens contribute
+    closed-form ln2 mass); nano-nat quantized logs keep the sums exact
+    BIGINTs, replayed verbatim by the oracle."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    return tx.source_js_divergence(d).orderBy("source_a", "source_b")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope/intercept over the top-100 corpus tokens
     (textops.zipf_fit): exact integer moment sums of micro-quantized
@@ -2698,6 +2757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "zipf_fit": q_zipf_fit,
         "vocab_overlap": q_vocab_overlap,
+        "bfs_hops": q_bfs_hops,
+        "window_funnel": q_window_funnel,
+        "ams_f2": q_ams_f2,
+        "source_divergence": q_source_divergence,
     }
 
 
@@ -5299,6 +5362,137 @@ SELECT n_fit,
                  / ((sxxi / 1e12) - (sxi / 1e6) * (sxi / 1e6) / CAST(n_fit AS DOUBLE)))
                 * (sxi / 1e6)) / CAST(n_fit AS DOUBLE), 6) AS intercept
 FROM m
+""",
+        "bfs_hops": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e0 AS (
+  SELECT a.s AS node_a, b.s AS node_b
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+adj AS (
+  SELECT node_a AS u, node_b AS v FROM e0
+  UNION ALL SELECT node_b, node_a FROM e0
+),
+h0 AS (
+  SELECT DISTINCT s_suppkey AS node FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'
+),
+n1 AS (
+  SELECT DISTINCT v AS node FROM adj
+  WHERE u IN (SELECT node FROM h0) AND v NOT IN (SELECT node FROM h0)
+),
+n2 AS (
+  SELECT DISTINCT v AS node FROM adj
+  WHERE u IN (SELECT node FROM n1)
+    AND v NOT IN (SELECT node FROM h0)
+    AND v NOT IN (SELECT node FROM n1)
+),
+n3 AS (
+  SELECT DISTINCT v AS node FROM adj
+  WHERE u IN (SELECT node FROM n2)
+    AND v NOT IN (SELECT node FROM h0)
+    AND v NOT IN (SELECT node FROM n1)
+    AND v NOT IN (SELECT node FROM n2)
+)
+SELECT node, CAST(hop AS INT) AS hop FROM (
+  SELECT node, 0 AS hop FROM h0
+  UNION ALL SELECT node, 1 FROM n1
+  UNION ALL SELECT node, 2 FROM n2
+  UNION ALL SELECT node, 3 FROM n3
+) ORDER BY node
+""",
+        "window_funnel": f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 END AS k
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+         AS rn
+  FROM ev
+),
+rec AS (
+  SELECT user_id, 0 AS rn, CAST(-1 AS BIGINT) AS s1,
+         CAST(-1 AS BIGINT) AS s2, CAST(-1 AS BIGINT) AS s3
+  FROM (SELECT DISTINCT user_id FROM o)
+  UNION ALL
+  SELECT o.user_id, o.rn,
+    CASE WHEN o.k = 1 THEN greatest(r.s1, o.us) ELSE r.s1 END,
+    CASE WHEN o.k = 2 AND r.s1 >= 0 AND o.us - r.s1 <= {3 * 86_400_000_000}
+         THEN greatest(r.s2, r.s1) ELSE r.s2 END,
+    CASE WHEN o.k = 3 AND r.s2 >= 0 AND o.us - r.s2 <= {3 * 86_400_000_000}
+         THEN greatest(r.s3, r.s2) ELSE r.s3 END
+  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+),
+fin AS (SELECT user_id, max(rn) AS mr FROM rec GROUP BY 1)
+SELECT r.user_id,
+       CAST(CASE WHEN s3 >= 0 THEN 3 WHEN s2 >= 0 THEN 2
+                 WHEN s1 >= 0 THEN 1 ELSE 0 END AS INT) AS funnel_depth
+FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rn = f.mr
+ORDER BY r.user_id
+""",
+        "ams_f2": """
+WITH c AS (
+  SELECT ctr,
+         sum(CASE WHEN (CAST(concat('0x', substr(md5(concat('ams',
+                    CAST(ctr AS VARCHAR), ':', CAST(user_id AS VARCHAR))),
+                    1, 15)) AS BIGINT) & 1) = 1
+                  THEN 1 ELSE -1 END) AS c
+  FROM events, range(64) t(ctr)
+  GROUP BY 1
+),
+g AS (
+  SELECT ctr % 4 AS grp, sum(c * c) / 16.0 AS mean_c2 FROM c GROUP BY 1
+)
+SELECT median(mean_c2) AS est_f2, CAST(64 AS INT) AS n_counters FROM g
+""",
+        "source_divergence": f"""
+WITH normd AS (SELECT source, {_NORM} AS nm FROM documents),
+tok AS (
+  SELECT source, unnest(string_split(nm, ' ')) AS w FROM normd
+),
+cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE w <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+pj AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.c AS ca, b.c AS cb
+  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+),
+jt AS (
+  SELECT p.*, ta.n AS na, tb.n AS nb
+  FROM pj p JOIN tot ta ON ta.source = p.source_a
+  JOIN tot tb ON tb.source = p.source_b
+),
+agg AS (
+  SELECT source_a, source_b,
+         sum(ca * CAST(round(ln((2.0 * ca * nb) / (ca * nb + cb * na)) * 1e9)
+                       AS BIGINT)) AS sa_nano,
+         sum(cb * CAST(round(ln((2.0 * cb * na) / (ca * nb + cb * na)) * 1e9)
+                       AS BIGINT)) AS sb_nano,
+         sum(ca) AS inter_a, sum(cb) AS inter_b
+  FROM jt GROUP BY 1, 2
+),
+allp AS (
+  SELECT ta.source AS source_a, tb.source AS source_b, ta.n AS na, tb.n AS nb,
+         coalesce(sa_nano, 0) AS sa_nano, coalesce(sb_nano, 0) AS sb_nano,
+         coalesce(inter_a, 0) AS inter_a, coalesce(inter_b, 0) AS inter_b
+  FROM tot ta JOIN tot tb ON ta.source < tb.source
+  LEFT JOIN agg ON agg.source_a = ta.source AND agg.source_b = tb.source
+)
+SELECT source_a, source_b,
+       round((((sa_nano + 693147181 * (na - inter_a)) / 1e9 / na)
+            + ((sb_nano + 693147181 * (nb - inter_b)) / 1e9 / nb)) / 2, 6)
+           AS js_nats
+FROM allp ORDER BY source_a, source_b
 """,
         "vocab_overlap": f"""
 WITH normd AS (SELECT source, {_NORM} AS nm FROM documents),

@@ -436,3 +436,54 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg_in_core"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Multi-source BFS hop counts over an undirected edge list — the
+    reachability primitive behind influence radii, contamination blast
+    zones, and "within-k-hops" feature joins.
+
+    Per round r, the frontier (nodes first reached at hop r-1) expands
+    one edge; nodes already labelled are anti-joined away, so every node
+    is visited exactly once and total work is O(E) across all rounds —
+    the textbook Pregel BFS. Hop labels are exact integers, so fixed
+    ``rounds`` is bit-identical on any engine and the DuckDB oracle is an
+    unrolled-CTE replay (same discipline as :func:`pagerank` /
+    :func:`kcore_peel`). Nodes unreached after ``rounds`` are absent
+    (their hop is > rounds, not NULL).
+
+    Input: edges (node_a, node_b) undirected; seeds (node). Output:
+    (node, hop) with hop = 0 for seeds.
+    """
+    adj = (
+        edges.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"))
+        .unionByName(
+            edges.select(
+                F.col("node_b").alias("u"), F.col("node_a").alias("v")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    hops = (
+        seeds.select("node", F.lit(0).cast("int").alias("hop"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = hops
+    for r in range(1, int(rounds) + 1):
+        reached = (
+            adj.join(
+                frontier.hint("shuffle_hash").withColumnRenamed("node", "u"),
+                "u",
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(hops.hint("shuffle_hash").select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        hops = hops.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return hops

@@ -534,3 +534,66 @@ def kmv_set_ops(
         F.round(rho, 6).alias("est_jaccard"),
         F.round(est_union * rho, 3).alias("est_intersection"),
     )
+
+
+def ams_counters(
+    df: DataFrame, value: Column, counters: int = 64
+) -> DataFrame:
+    """AMS/Tug-of-War sketch counters for the second frequency moment
+    F2 = Σ_key count(key)² (Alon-Matias-Szegedy 1996) — the self-join /
+    shuffle-output size estimator a planner consults before picking a
+    join strategy or a skew mitigation.
+
+    Counter r accumulates a ±1 vote per ROW, with the sign drawn from the
+    salted 60-bit md5 hash of the key (``ams<r>:<key>``) — deterministic,
+    engine-portable, four-wise-independent-enough for the standard
+    E[c_r²] = F2 analysis. The groupBy partial-aggregates map-side, so
+    the shuffle carries at most ``counters`` rows per partition
+    regardless of input size, and counter tables from disjoint slices
+    MERGE by plain addition (signs depend only on the key).
+
+    Output: (ctr:int, c:bigint), exact integers.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(counters - 1))).alias("ctr")
+    exploded = df.select(value.cast("string").alias("_k")).select("_k", rows)
+    sign = (
+        F.when(
+            h60(
+                F.concat(
+                    F.lit("ams"), F.col("ctr").cast("string"), F.lit(":"), F.col("_k")
+                )
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return exploded.select("ctr", sign.alias("_s")).groupBy("ctr").agg(
+        F.sum("_s").alias("c")
+    )
+
+
+def ams_f2_estimate(
+    df: DataFrame, value: Column, counters: int = 64, groups: int = 4
+) -> DataFrame:
+    """F2 point estimate from the AMS counters: median over ``groups``
+    buckets of the per-bucket mean of c², the classic
+    median-of-means variance/tail reduction. Everything up to the final
+    division is exact BIGINT (c² sums fit: |c| ≤ rows, rows ≤ 3·10⁹ at
+    100 TB per counter would overflow — callers shard the input first,
+    merge counter tables by addition, then estimate once).
+
+    Output: one row (est_f2:double, n_counters:int).
+    """
+    per = int(counters) // int(groups)
+    cs = ams_counters(df, value, counters).select(
+        (F.col("ctr") % groups).alias("grp"), (F.col("c") * F.col("c")).alias("c2")
+    )
+    means = cs.groupBy("grp").agg(
+        (F.sum("c2") / F.lit(per)).alias("mean_c2")
+    )
+    return means.agg(
+        F.expr("percentile(mean_c2, 0.5)").alias("est_f2"),
+        F.lit(int(counters)).cast("int").alias("n_counters"),
+    )

@@ -781,3 +781,99 @@ def source_vocab_overlap(docs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def source_js_divergence(docs: "DataFrame") -> "DataFrame":
+    """Pairwise Jensen-Shannon divergence between source token
+    DISTRIBUTIONS — the mixture-weighting complement to
+    :func:`source_vocab_overlap`: vocabulary Jaccard sees only supports,
+    JS sees how differently two sources USE a shared vocabulary
+    (0 = identical usage, ln 2 = disjoint). The standard similarity
+    input for corpus mixing and duplicated-feed detection.
+
+    Decomposition that keeps the big relation small: with per-source
+    token counts a_w (total N_a) and b_w (total N_b),
+
+        KL(P‖M) = (1/N_a)·[ Σ_{w∈A∩B} a_w·ln(2·a_w·N_b /
+                            (a_w·N_b + b_w·N_a))  +  ln2·(N_a − Σ_{A∩B} a_w) ]
+
+    — tokens private to one source contribute exactly ln2·mass, so ONLY
+    the intersection join is materialized (same |sources|²-per-token
+    bound as vocab_overlap); JS = (KL(P‖M) + KL(Q‖M))/2.
+
+    Engine-exactness: each per-token ln is quantized to integer
+    nano-nats BEFORE the weighted sum (the bigram_lm/source_entropy
+    idiom), totals are exact BIGINTs, and the only floats are the final
+    two divisions — the DuckDB oracle replays the identical quantized
+    arithmetic. Scale shape: one (source, token) count shuffle, one
+    token-keyed pair join, per-source totals broadcast.
+
+    Output: (source_a, source_b, js_nats) with source_a < source_b.
+    """
+    c = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = c.groupBy("source").agg(F.sum("c").alias("n"))
+    a, b = c.alias("a"), c.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(b, F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+    )
+    ta = F.broadcast(
+        totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    )
+    tb = F.broadcast(
+        totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    )
+    j = pairs.join(ta, "source_a").join(tb, "source_b")
+    # nano-nat quantized per-token logs, weighted by exact counts
+    ln_a = F.round(
+        F.log(
+            (F.lit(2) * F.col("ca") * F.col("nb"))
+            / (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na"))
+        )
+        * 1e9
+    ).cast("long")
+    ln_b = F.round(
+        F.log(
+            (F.lit(2) * F.col("cb") * F.col("na"))
+            / (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na"))
+        )
+        * 1e9
+    ).cast("long")
+    agg = j.groupBy("source_a", "source_b").agg(
+        F.sum(F.col("ca") * ln_a).alias("sa_nano"),
+        F.sum(F.col("cb") * ln_b).alias("sb_nano"),
+        F.sum("ca").alias("inter_a"),
+        F.sum("cb").alias("inter_b"),
+    )
+    # vocabulary-disjoint pairs never reach the intersection join but have
+    # JS exactly ln2 — enumerate every pair from the (tiny) totals relation
+    # and left-join the intersection stats, zero-defaulted
+    all_pairs = (
+        ta.crossJoin(tb)
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(agg), ["source_a", "source_b"], "left")
+        .fillna(0, ["sa_nano", "sb_nano", "inter_a", "inter_b"])
+    )
+    ln2_nano = 693147181  # round(ln(2)*1e9), pinned so both engines agree
+    kl_a = (
+        F.col("sa_nano") + F.lit(ln2_nano) * (F.col("na") - F.col("inter_a"))
+    ) / 1e9 / F.col("na")
+    kl_b = (
+        F.col("sb_nano") + F.lit(ln2_nano) * (F.col("nb") - F.col("inter_b"))
+    ) / 1e9 / F.col("nb")
+    return all_pairs.select(
+        "source_a",
+        "source_b",
+        F.round((kl_a + kl_b) / 2, 6).alias("js_nats"),
+    )

@@ -664,3 +664,81 @@ def dow_profile(
             f"(partition by {', '.join(keys)})"
         ).alias("share_ppm"),
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel depth within a time window (the ClickHouse
+    ``windowFunnel`` analogue): per key, the deepest prefix of ``steps``
+    for which events occur in order with the whole chain inside
+    ``window_us`` of its step-1 anchor — conversion analysis
+    (view → click → purchase) where a plain per-step EXISTS join would
+    ignore both ordering and the window.
+
+    Recurrence (per key, over (ts, id)-sorted events; state = one
+    chain-anchor timestamp per depth, -1 = unreached): a step-1 event
+    advances the level-1 anchor to max(anchor, ts) — the LATEST possible
+    chain start maximizes remaining window slack, so tracking the max
+    anchor per level dominates every other chain choice; a step-k event
+    within ``window_us`` of the level-(k-1) anchor promotes that anchor
+    to level k (again kept as the max). Anchors are prefix-contiguous by
+    construction, so depth = count of reached levels.
+
+    The state depends on the fold's own output (which events anchor a
+    chain depends on earlier promotions), so — like ``debounce`` — no
+    window function expresses it; it uses the repo's fold idiom: one
+    collect_list per key, one JVM higher-order ``aggregate``, exact
+    integer microseconds throughout. Engine-identical, so the DuckDB
+    oracle replays the identical recurrence with a recursive CTE. Per-key
+    event sequences must fit a task (sessionize contract).
+
+    Output: (key, funnel_depth) for every key with ≥1 step event.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k_map = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(key),
+        F.struct(
+            us.alias("us"),
+            F.col(id_col).alias("eid"),
+            k_map[F.col(type_col)].alias("k"),
+        ).alias("_r"),
+    )
+    folded = ev.groupBy(key).agg(
+        F.array_sort(F.collect_list("_r")).alias("_rows")
+    )
+    n = len(steps)
+    w = int(window_us)
+    # acc[i] (0-based lambda index, 1-based element_at) = latest anchor
+    # for depth i+1; element_at(acc, i) is the depth-i predecessor.
+    step_expr = (
+        "(acc, r) -> transform(acc, (s, i) -> CASE"
+        " WHEN r.k != i + 1 THEN s"
+        " WHEN i = 0 THEN greatest(s, r.us)"
+        f" WHEN element_at(acc, i) >= 0 AND r.us - element_at(acc, i) <= {w}L"
+        "   THEN greatest(s, element_at(acc, i))"
+        " ELSE s END)"
+    )
+    final = folded.select(
+        key,
+        F.expr(
+            f"aggregate(_rows, array_repeat(-1L, {n}), {step_expr})"
+        ).alias("_anchors"),
+    )
+    return final.select(
+        key,
+        F.expr("size(filter(_anchors, s -> s >= 0))")
+        .cast("int")
+        .alias("funnel_depth"),
+    )

@@ -145,3 +145,27 @@ def test_kcore_peel_extra_rounds_are_noops(spark):
     r4 = sorted(map(tuple, gr.kcore_peel(e, k=3, rounds=4).collect()))
     r8 = sorted(map(tuple, gr.kcore_peel(e, k=3, rounds=8).collect()))
     assert r4 == r8 and r4
+
+
+def test_bfs_hops_path_distances(spark):
+    # path 1-2-3-4-5 seeded at 1: hops = index; 5 unreached in 3 rounds
+    e = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {x["node"]: x["hop"] for x in gr.bfs_hops(e, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    # seeds at both ends of a path: middle node takes the nearer hop
+    e = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {x["node"]: x["hop"] for x in gr.bfs_hops(e, seeds, rounds=3).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_isolated_seed_kept(spark):
+    # a seed absent from the edge list still reports hop 0
+    e = _undirected(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(9,)], "node long")
+    got = sorted(map(tuple, gr.bfs_hops(e, seeds, rounds=2).collect()))
+    assert got == [(9, 0)]

@@ -164,3 +164,30 @@ def test_vocab_overlap_hand_counts(spark):
     assert abs(r12.jaccard - 0.5) < 1e-9
     # s3 shares nothing -> no inter rows at all for its pairs
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "s1"),
+            (2, "the cat sat", "s2"),
+            (3, "quantum flux nodes", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["js_nats"]
+        for r in tx.source_js_divergence(docs).collect()
+    }
+    assert got[("s1", "s2")] == 0.0
+    assert abs(got[("s1", "s3")] - math.log(2)) < 1e-6
+    assert abs(got[("s2", "s3")] - math.log(2)) < 1e-6
+
+
+def test_js_divergence_partial_overlap_between_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "a"), (2, "the cat ran far", "b")],
+        "doc_id long, text string, source string",
+    )
+    js = tx.source_js_divergence(docs).collect()[0]["js_nats"]
+    assert 0.0 < js < math.log(2)

@@ -214,3 +214,33 @@ class TestKMVSetOps:
         # |A u B| = 6000, |A n B| = 2000; KMV rse ~ 1/sqrt(k-2) ~ 6%
         assert abs(out["est_union"] - 6000) / 6000 < 0.25
         assert abs(out["est_intersection"] - 2000) / 2000 < 0.35
+
+
+class TestAMS:
+    def test_f2_within_error_bound(self, spark):
+        # 50 keys x 100 rows: F2 = 50 * 100^2 = 500k; AMS with 64
+        # counters should land within ~50% (median-of-means bound)
+        df = spark.createDataFrame([(i % 50,) for i in range(5000)], "k long")
+        est = sk.ams_f2_estimate(df, F.col("k")).collect()[0]["est_f2"]
+        assert 250_000 <= est <= 750_000
+
+    def test_counters_merge_by_addition(self, spark):
+        # sketching two halves and adding counters == sketching the whole
+        rows = [(i % 13,) for i in range(400)]
+        whole = spark.createDataFrame(rows, "k long")
+        h1 = spark.createDataFrame(rows[:200], "k long")
+        h2 = spark.createDataFrame(rows[200:], "k long")
+        cw = {r["ctr"]: r["c"] for r in sk.ams_counters(whole, F.col("k")).collect()}
+        c1 = {r["ctr"]: r["c"] for r in sk.ams_counters(h1, F.col("k")).collect()}
+        c2 = {r["ctr"]: r["c"] for r in sk.ams_counters(h2, F.col("k")).collect()}
+        merged = {k: c1.get(k, 0) + c2.get(k, 0) for k in set(c1) | set(c2)}
+        assert {k: v for k, v in merged.items() if v != 0} == {
+            k: v for k, v in cw.items() if v != 0
+        }
+
+    def test_uniform_signs_deterministic(self, spark):
+        # same input twice -> identical counters (md5 signs, no RNG)
+        df = spark.createDataFrame([(i,) for i in range(300)], "k long")
+        a = sorted(map(tuple, sk.ams_counters(df, F.col("k")).collect()))
+        b = sorted(map(tuple, sk.ams_counters(df, F.col("k")).collect()))
+        assert a == b

@@ -175,3 +175,72 @@ def test_dow_profile_epoch_arithmetic(spark):
     }
     assert got[4] == (100, 100.0, 250_000)
     assert got[0] == (300, 300.0, 750_000)
+
+
+def _funnel_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+
+
+def test_window_funnel_depths(spark):
+    T = dt.datetime(2000, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    ev = _funnel_events(
+        spark,
+        [
+            # full chain inside the window
+            (1, T, 1, "view"), (1, T + 10 * sec, 2, "click"),
+            (1, T + 20 * sec, 3, "purchase"),
+            # click too late: depth stalls at 1
+            (2, T, 4, "view"), (2, T + dt.timedelta(hours=2), 5, "click"),
+            # out of order: purchase before any view
+            (3, T, 6, "purchase"), (3, T + sec, 7, "click"),
+        ],
+    )
+    out = {
+        r["user_id"]: r["funnel_depth"]
+        for r in ts.window_funnel(
+            ev, ["view", "click", "purchase"], window_us=3600 * 1_000_000
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 0}
+
+
+def test_window_funnel_later_anchor_wins(spark):
+    # the second view restarts the clock: purchase is within the window
+    # of the LATER view only — a first-anchor-only fold would miss it
+    T = dt.datetime(2000, 1, 1)
+    m = dt.timedelta(minutes=1)
+    ev = _funnel_events(
+        spark,
+        [
+            (1, T, 1, "view"),
+            (1, T + 50 * m, 2, "view"),
+            (1, T + 55 * m, 3, "click"),
+            (1, T + 70 * m, 4, "purchase"),
+        ],
+    )
+    out = ts.window_funnel(
+        ev, ["view", "click", "purchase"], window_us=3600 * 1_000_000
+    ).collect()
+    assert out[0]["funnel_depth"] == 3
+
+
+def test_window_funnel_window_binds_to_chain_anchor(spark):
+    # click within window of view, purchase within window of the CHAIN
+    # ANCHOR (the view), not of the click — classic windowFunnel contract
+    T = dt.datetime(2000, 1, 1)
+    m = dt.timedelta(minutes=1)
+    ev = _funnel_events(
+        spark,
+        [
+            (1, T, 1, "view"),
+            (1, T + 50 * m, 2, "click"),
+            (1, T + 80 * m, 3, "purchase"),  # 80m > 60m from the view
+        ],
+    )
+    out = ts.window_funnel(
+        ev, ["view", "click", "purchase"], window_us=3600 * 1_000_000
+    ).collect()
+    assert out[0]["funnel_depth"] == 2
