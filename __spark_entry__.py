@@ -2604,6 +2604,64 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.source_js_divergence(d).orderBy("source_a", "source_b")
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford shortest paths (graph.sssp, 3 relaxation rounds)
+    from NATION_1's suppliers over the co-order projection, edge cost =
+    1e6 div shared-order count (strong ties are cheap). Per round one
+    shuffle-hash join + min-agg; exact BIGINT distances make the DuckDB
+    oracle an unrolled-CTE replay of the ≤3-edge shortest distances."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    edges = gr.supplier_coorder_edges(li, min_shared=30).select(
+        "node_a",
+        "node_b",
+        F.expr("1000000 div shared").cast("long").alias("w"),
+    )
+    seeds = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select(F.col("s_suppkey").alias("node"))
+    return gr.sssp(edges, seeds, rounds=3).orderBy("node")
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (windows.multitouch_attribution):
+    each purchase's value split equally across the user's clicks in the
+    preceding hour — banded range join (two bucket probes per click,
+    zero cartesian) + ONE window pass per conversion. Weights are exact
+    integer ppm (1e6 div n); credit is the single final double multiply."""
+    _utc(spark)
+    # UTC-pinned NTZ→TIMESTAMP cast (range_join_within needs unix_micros)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    touches = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("touch_id")
+    )
+    convs = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("conv_id"), "value"
+    )
+    return win.multitouch_attribution(
+        touches, convs, ["user_id"], window_sec=3600, model="linear"
+    ).orderBy("conv_id", "touch_id")
+
+
+def q_cross_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain LM filter (textops.cross_lm_scores, Wenzek et al.
+    2020 CCNet-style): every document scored under the add-one bigram LM
+    fitted ONLY on the src0 slice — the trusted-domain ranking used to
+    filter crawl text. Train-side relations are vocabulary-sized; the
+    scored corpus pays one bigram-keyed join (plan-neutral vs the
+    in-corpus scorer). Nano-ln quantized, oracle-replayed."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    train = d.where(F.col("source") == "src0")
+    return tx.cross_lm_scores(d, train).orderBy("doc_id")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope/intercept over the top-100 corpus tokens
     (textops.zipf_fit): exact integer moment sums of micro-quantized
@@ -2761,6 +2819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "ams_f2": q_ams_f2,
         "source_divergence": q_source_divergence,
+        "sssp": q_sssp,
+        "attribution_linear": q_attribution_linear,
+        "cross_lm": q_cross_lm,
     }
 
 
@@ -5493,6 +5554,109 @@ SELECT source_a, source_b,
             + ((sb_nano + 693147181 * (nb - inter_b)) / 1e9 / nb)) / 2, 6)
            AS js_nats
 FROM allp ORDER BY source_a, source_b
+""",
+        "sssp": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e0 AS (
+  SELECT a.s AS node_a, b.s AS node_b,
+         1000000 // count(*) AS w
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+adj AS (
+  SELECT node_a AS u, node_b AS v, w FROM e0
+  UNION ALL SELECT node_b, node_a, w FROM e0
+),
+d0 AS (
+  SELECT DISTINCT s_suppkey AS node, CAST(0 AS BIGINT) AS dist FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'
+),
+d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT adj.v, d0.dist + adj.w FROM adj JOIN d0 ON adj.u = d0.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT adj.v, d1.dist + adj.w FROM adj JOIN d1 ON adj.u = d1.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT adj.v, d2.dist + adj.w FROM adj JOIN d2 ON adj.u = d2.node
+  ) GROUP BY node
+)
+SELECT node, dist FROM d3 ORDER BY node
+""",
+        "attribution_linear": """
+WITH t AS (
+  SELECT user_id, ts, event_id AS touch_id FROM events
+  WHERE event_type = 'click'
+),
+c AS (
+  SELECT user_id, ts, event_id AS conv_id, value FROM events
+  WHERE event_type = 'purchase'
+),
+pr AS (
+  SELECT c.conv_id, t.touch_id, c.value
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND c.ts > t.ts
+   AND epoch_us(c.ts) <= epoch_us(t.ts) + CAST(3600 AS BIGINT) * 1000000
+),
+n AS (SELECT conv_id, count(*) AS n_touches FROM pr GROUP BY 1)
+SELECT pr.conv_id, pr.touch_id, n.n_touches,
+       1000000 // n.n_touches AS weight_ppm,
+       round(pr.value * CAST(1000000 // n.n_touches AS DOUBLE) / 1e6, 6)
+           AS credit
+FROM pr JOIN n ON pr.conv_id = n.conv_id
+ORDER BY pr.conv_id, pr.touch_id
+""",
+        "cross_lm": """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+trn AS (SELECT * FROM d WHERE source = 'src0'),
+flat AS (
+  SELECT t[i] AS w1 FROM trn, unnest(generate_series(1, len(t))) s(i)
+),
+uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+vocab AS (SELECT count(*) AS v FROM uni),
+tpairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM trn, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM tpairs GROUP BY w1, w2),
+spairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+sc AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(c1, 0) + v AS DOUBLE)) * 1e9)
+              AS BIGINT) AS lp_nano
+  FROM spairs
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round((CAST(sum(lp_nano) AS BIGINT) / 1e9) / count(*), 6)
+         AS lm_score
+FROM sc GROUP BY doc_id ORDER BY doc_id
 """,
         "vocab_overlap": f"""
 WITH normd AS (SELECT source, {_NORM} AS nm FROM documents),

@@ -487,3 +487,57 @@ def bfs_hops(
         hops = hops.unionByName(reached).localCheckpoint(eager=True)
         frontier = reached
     return hops
+
+
+def sssp(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Single/multi-source shortest paths over a weighted undirected edge
+    list by fixed-round Bellman-Ford relaxation — BFS's weighted sibling
+    (cheapest-connection radii, weighted influence zones).
+
+    Per round: dist'(v) = min(dist(v), min over edges (u,v) of
+    dist(u) + w) — one shuffle-hash join of the current distance table to
+    the (pre-partitioned, reused) adjacency plus one min-aggregation,
+    lineage truncated per round. After r rounds the labels are exactly
+    the shortest distances using ≤ r edges, a well-defined quantity in
+    exact BIGINT weight arithmetic — so the DuckDB oracle replays the
+    rounds as unrolled CTEs bit-for-bit (the pagerank/kcore/bfs_hops
+    discipline); choosing r ≥ the graph's weighted-path hop diameter
+    yields true SSSP.
+
+    Input: edges (node_a, node_b, w:bigint ≥ 0), seeds (node). Output:
+    (node, dist:bigint) for nodes reachable within ``rounds`` edges
+    (seeds at 0).
+    """
+    adj = (
+        edges.select(
+            F.col("node_a").alias("u"), F.col("node_b").alias("v"), "w"
+        )
+        .unionByName(
+            edges.select(
+                F.col("node_b").alias("u"), F.col("node_a").alias("v"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("node", F.lit(0).cast("long").alias("dist"))
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        relaxed = (
+            adj.join(
+                dist.hint("shuffle_hash").withColumnRenamed("node", "u"),
+                "u",
+            )
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist

@@ -877,3 +877,89 @@ def source_js_divergence(docs: "DataFrame") -> "DataFrame":
         "source_b",
         F.round((kl_a + kl_b) / 2, 6).alias("js_nats"),
     )
+
+
+def cross_lm_scores(
+    docs: "DataFrame",
+    train_docs: "DataFrame",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> "DataFrame":
+    """Cross-domain language-model scoring: score every document under an
+    add-one-smoothed bigram LM fitted on a SEPARATE reference corpus —
+    the CCNet-style domain filter (Wenzek et al. 2020): rank crawl text
+    by its likelihood under a trusted-domain model, instead of the
+    in-corpus self-score of :func:`bigram_lm_scores`.
+
+        score(d) = mean over d's bigrams of
+                   ln((c_train(w1,w2) + 1) / (c_train(w1) + V_train))
+
+    Unseen words/bigrams degrade smoothly via the add-one floor
+    (c2=0, c1=0 → ln(1/V)). Same engine-exactness contract as the
+    in-corpus scorer: per-bigram log-probs quantized to integer nano-lns
+    before the order-free sum; one final division.
+
+    Scale shape: the TRAIN corpus contributes only vocabulary-sized
+    count relations (broadcast candidates); the scored corpus pays one
+    bigram-keyed join — identical to bigram_lm_scores, so switching the
+    filter from self- to cross-scoring is plan-neutral.
+
+    Output: (doc_id, n_bigrams, lm_score) for docs with ≥2 tokens.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+
+    def _pairs(rel, with_id):
+        d = rel.select(
+            *( [F.col(doc_id_col).alias("doc_id")] if with_id else [] ),
+            arr.alias("_t"),
+        )
+        return (
+            d.where(F.size("_t") >= 2)
+            .select(
+                *( ["doc_id"] if with_id else [] ),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_t) - 1),"
+                        " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .select(*( ["doc_id"] if with_id else [] ), "p.w1", "p.w2")
+        )
+
+    uni = (
+        train_docs.select(arr.alias("_t"))
+        .select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = _pairs(train_docs, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    scored = (
+        _pairs(docs, with_id=True)
+        .join(big.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(uni.hint("shuffle_hash"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_nano",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+                * 1e9
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum("lp_nano") / 1e9) / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )

@@ -459,3 +459,82 @@ def interval_join_stream(
         .withColumnsRenamed({f"{k}_l__key": k for k in on})
         .drop(*[f"{k}_r__key" for k in on])
     )
+
+
+def multitouch_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    on: list[str],
+    window_sec: int,
+    model: str = "linear",
+    touch_ts: str = "ts",
+    conv_ts: str = "ts",
+    touch_id: str = "touch_id",
+    conv_id: str = "conv_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch attribution: split each conversion's value across the
+    touches (clicks/views) by the same key inside the lookback window
+    ``(conv_ts - window_sec, conv_ts]`` — the marketing-analytics
+    complement to :func:`asof_join`'s single last-touch answer.
+
+    Models: ``linear`` (equal credit), ``first`` / ``last`` (all credit
+    to the earliest/latest touch; ties on timestamp break on the smaller
+    touch id, deterministically). Weights are exact integer ppm
+    (1e6 div n, remainder unassigned — honest about integer splitting
+    rather than pretending thirds are exact); credit is the single final
+    double multiply, rounded.
+
+    Scale shape: the touch↔conversion pairing reuses
+    :func:`range_join_within`'s banded equi-join (two bucket probes per
+    touch, zero cartesian); per-conversion stats are ONE window pass over
+    the pair relation, partitioned by the conversion id.
+
+    Output: (conv_id, touch_id, n_touches, weight_ppm, credit).
+    """
+    if model not in ("linear", "first", "last"):
+        raise ValueError(f"unknown attribution model: {model}")
+    pairs = range_join_within(
+        touches.select(*on, F.col(touch_ts), F.col(touch_id)),
+        conversions.select(*on, F.col(conv_ts), F.col(conv_id), F.col(value_col)),
+        on,
+        window_sec,
+        left_ts=touch_ts,
+        right_ts=conv_ts,
+    )
+    tts = f"{touch_ts}_l" if touch_ts == conv_ts else touch_ts
+    w = Window.partitionBy(conv_id)
+    n = F.count(F.lit(1)).over(w)
+    rk_first = F.row_number().over(
+        w.orderBy(F.col(tts).asc(), F.col(touch_id).asc())
+    )
+    rk_last = F.row_number().over(
+        w.orderBy(F.col(tts).desc(), F.col(touch_id).desc())
+    )
+    if model == "linear":
+        weight_ppm = F.expr("1000000 div n_touches")
+    elif model == "first":
+        weight_ppm = F.when(F.col("_rk_first") == 1, F.lit(1_000_000)).otherwise(
+            F.lit(0)
+        )
+    else:
+        weight_ppm = F.when(F.col("_rk_last") == 1, F.lit(1_000_000)).otherwise(
+            F.lit(0)
+        )
+    marked = pairs.select(
+        F.col(conv_id),
+        F.col(touch_id),
+        F.col(value_col),
+        n.cast("long").alias("n_touches"),
+        rk_first.alias("_rk_first"),
+        rk_last.alias("_rk_last"),
+    )
+    return marked.select(
+        conv_id,
+        touch_id,
+        "n_touches",
+        weight_ppm.cast("long").alias("weight_ppm"),
+        F.round(
+            F.col(value_col) * weight_ppm.cast("double") / 1e6, 6
+        ).alias("credit"),
+    )

@@ -586,3 +586,33 @@ def test_semdedup_blocks_isolate_identical_vectors(spark):
     )
     got = {r["vec_id"]: r["keep"] for r in dd.semdedup_flags(emb, 0.99).collect()}
     assert got == {1: True, 2: True}
+
+
+def test_cross_lm_in_domain_scores_higher(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zork blag frop")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in tx.cross_lm_scores(score, train).collect()
+    }
+    assert got[10] > got[11]
+
+
+def test_cross_lm_oov_gets_floor_probability(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "aa bb aa bb")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "qq rr")], "doc_id long, text string"
+    )
+    # fully OOV bigram: ln(1 / V) with V = 2
+    got = tx.cross_lm_scores(score, train).collect()[0]
+    assert abs(got["lm_score"] - math.log(1 / 2)) < 1e-6

@@ -169,3 +169,32 @@ def test_bfs_hops_isolated_seed_kept(spark):
     seeds = spark.createDataFrame([(9,)], "node long")
     got = sorted(map(tuple, gr.bfs_hops(e, seeds, rounds=2).collect()))
     assert got == [(9, 0)]
+
+
+def test_sssp_relaxation_beats_direct_edge(spark):
+    # 1-2 (5), 2-3 (5), 1-3 (20): the two-hop path wins
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 20)], "node_a long, node_b long, w long"
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {x["node"]: x["dist"] for x in gr.sssp(e, s, rounds=3).collect()}
+    assert got == {1: 0, 2: 5, 3: 10}
+
+
+def test_sssp_rounds_bound_hops(spark):
+    # with 1 round only the direct edge is usable
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 20)], "node_a long, node_b long, w long"
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {x["node"]: x["dist"] for x in gr.sssp(e, s, rounds=1).collect()}
+    assert got == {1: 0, 2: 5, 3: 20}
+
+
+def test_sssp_multi_seed_min(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 7), (2, 3, 7)], "node_a long, node_b long, w long"
+    )
+    s = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {x["node"]: x["dist"] for x in gr.sssp(e, s, rounds=2).collect()}
+    assert got == {1: 0, 3: 0, 2: 7}

@@ -260,3 +260,65 @@ def test_asof_join_null_payload_not_overwritten_by_stale_row(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         asof_join(left, right3, on=["user"])
+
+
+def test_multitouch_linear_and_positional(spark):
+    import datetime as dt
+
+    from kafka2iceberg_spark import windows as win
+
+    T = dt.datetime(2000, 1, 1)
+    s = dt.timedelta(seconds=1)
+    touches = spark.createDataFrame(
+        [(7, T, 1), (7, T + 10 * s, 2), (7, T + 9000 * s, 3)],
+        "user_id long, ts timestamp, touch_id long",
+    )
+    convs = spark.createDataFrame(
+        [(7, T + 20 * s, 100, 90.0)],
+        "user_id long, ts timestamp, conv_id long, value double",
+    )
+    lin = {
+        r["touch_id"]: (r["weight_ppm"], r["credit"])
+        for r in win.multitouch_attribution(
+            touches, convs, ["user_id"], 3600, model="linear"
+        ).collect()
+    }
+    # touch 3 is outside the hour window
+    assert lin == {1: (500000, 45.0), 2: (500000, 45.0)}
+    first = {
+        r["touch_id"]: r["credit"]
+        for r in win.multitouch_attribution(
+            touches, convs, ["user_id"], 3600, model="first"
+        ).collect()
+    }
+    assert first == {1: 90.0, 2: 0.0}
+    last = {
+        r["touch_id"]: r["credit"]
+        for r in win.multitouch_attribution(
+            touches, convs, ["user_id"], 3600, model="last"
+        ).collect()
+    }
+    assert last == {1: 0.0, 2: 90.0}
+
+
+def test_multitouch_integer_ppm_thirds(spark):
+    import datetime as dt
+
+    from kafka2iceberg_spark import windows as win
+
+    T = dt.datetime(2000, 1, 1)
+    s = dt.timedelta(seconds=1)
+    touches = spark.createDataFrame(
+        [(7, T + i * s, i) for i in range(3)],
+        "user_id long, ts timestamp, touch_id long",
+    )
+    convs = spark.createDataFrame(
+        [(7, T + 60 * s, 100, 30.0)],
+        "user_id long, ts timestamp, conv_id long, value double",
+    )
+    out = win.multitouch_attribution(
+        touches, convs, ["user_id"], 3600, model="linear"
+    ).collect()
+    # integer ppm: 333333, not a pretended exact third
+    assert {r["weight_ppm"] for r in out} == {333333}
+    assert {round(r["credit"], 6) for r in out} == {9.99999}
