@@ -2662,6 +2662,21 @@ def q_cross_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.cross_lm_scores(d, train).orderBy("doc_id")
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (graph.label_propagation, 3 synchronous rounds, smallest-label ties)
+    over the supplier co-order projection — frequency-based adoption
+    stops at dense community boundaries, unlike the min-label
+    connected-components propagation. Exact integer counts/ids ⇒ the
+    DuckDB oracle replays every round as an unrolled CTE."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    edges = gr.supplier_coorder_edges(li, min_shared=30)
+    return gr.label_propagation(edges, rounds=3).orderBy("node")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope/intercept over the top-100 corpus tokens
     (textops.zipf_fit): exact integer moment sums of micro-quantized
@@ -2822,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "attribution_linear": q_attribution_linear,
         "cross_lm": q_cross_lm,
+        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -5657,6 +5673,43 @@ SELECT doc_id,
        round((CAST(sum(lp_nano) AS BIGINT) / 1e9) / count(*), 6)
          AS lm_score
 FROM sc GROUP BY doc_id ORDER BY doc_id
+""",
+        "lpa_communities": """
+WITH rel AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+e0 AS (
+  SELECT a.s AS node_a, b.s AS node_b
+  FROM rel a JOIN rel b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING count(*) >= 30
+),
+adj AS (
+  SELECT node_a AS u, node_b AS v FROM e0
+  UNION ALL SELECT node_b, node_a FROM e0
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+"""
+        + "".join(
+            f"""c{i} AS (
+  SELECT adj.v AS node, l.label, count(*) AS c
+  FROM adj JOIN l{i - 1} l ON adj.u = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+),
+"""
+            for i in range(1, 4)
+        )
+        + """
+fin AS (SELECT node, label FROM l3)
+SELECT node, label FROM fin ORDER BY node
 """,
         "vocab_overlap": f"""
 WITH normd AS (SELECT source, {_NORM} AS nm FROM documents),

@@ -17,7 +17,7 @@ recurrence with unrolled CTEs — the same determinism discipline as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 RANK_SCALE = 1_000_000_000
 
@@ -541,3 +541,60 @@ def sssp(
         )
         dist = relaxed
     return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): each node adopts the most frequent label among its
+    neighbours, ties broken by the SMALLEST label — the deterministic
+    variant (classic LPA breaks ties randomly; random ties are
+    non-replayable, so the engine pins them). Unlike
+    ``dedup.neardup_components``'s min-label propagation (which converges
+    to connected components), frequency-based adoption stops at dense
+    community boundaries.
+
+    Fixed ``rounds``, exact integer counts and ids ⇒ bit-identical on
+    any engine; the DuckDB oracle replays each round as an unrolled CTE
+    (count per (node, label) → argmax by (count desc, label asc)).
+    Per-round shape: one shuffle-hash join of the label table to the
+    reused adjacency, one (node, label) partial-agg count, one
+    per-node argmax window over label-cardinality-bounded rows.
+
+    Input: (node_a, node_b) undirected. Output: (node, label).
+    """
+    adj = (
+        edges.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"))
+        .unionByName(
+            edges.select(
+                F.col("node_b").alias("u"), F.col("node_a").alias("v")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(rounds)):
+        cnt = (
+            adj.join(
+                labels.hint("shuffle_hash").withColumnRenamed("node", "u"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("node").orderBy(
+                F.col("c").desc(), F.col("label").asc()
+            )
+        )
+        labels = (
+            cnt.withColumn("_rk", rk)
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

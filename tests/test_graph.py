@@ -198,3 +198,39 @@ def test_sssp_multi_seed_min(spark):
     s = spark.createDataFrame([(1,), (3,)], "node long")
     got = {x["node"]: x["dist"] for x in gr.sssp(e, s, rounds=2).collect()}
     assert got == {1: 0, 3: 0, 2: 7}
+
+
+def test_label_propagation_two_triangles(spark):
+    # triangles {1,2,3} and {4,5,6} bridged by 3-4: after enough rounds
+    # the left triangle settles on label 1; synchronous semantics are
+    # pinned exactly (round-2 state hand-traced below)
+    e = _undirected(
+        spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    )
+    got = {
+        x["node"]: x["label"]
+        for x in gr.label_propagation(e, rounds=2).collect()
+    }
+    # hand trace: r1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4};
+    # r2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_label_propagation_ties_take_smallest_label(spark):
+    # a single edge: each node adopts the other's label, deterministically
+    e = _undirected(spark, [(7, 9)])
+    got = {
+        x["node"]: x["label"]
+        for x in gr.label_propagation(e, rounds=1).collect()
+    }
+    assert got == {7: 9, 9: 7}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6) if (a + b) % 3]
+    e = _undirected(spark, pairs)
+    r1 = sorted(map(tuple, gr.label_propagation(e, rounds=3).collect()))
+    r2 = sorted(
+        map(tuple, gr.label_propagation(e.repartition(7), rounds=3).collect())
+    )
+    assert r1 == r2
