@@ -2677,6 +2677,60 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.label_propagation(edges, rounds=3).orderBy("node")
 
 
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history — the
+    composite every warehouse needs: each purchase joined to the user's
+    state AS OF the instant before the purchase (strict), with gap
+    correctness (facts inside a tombstone gap get NULL, not the stale
+    pre-delete state). Shape: scd.scd2 (one exchange) + windows.asof_join
+    on valid_from (union + ordered window — no interval theta-join), then
+    one CASE closing the valid_to edge. The oracle replays the interval
+    semantics with a direct BETWEEN join over the same history."""
+    from kafka2iceberg_spark import scd
+
+    _utc(spark)
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("is_del", F.col("event_type") == F.lit("error"))
+    )
+    hist = scd.scd2(
+        ev.select("user_id", "ts", "event_id", "event_type", "is_del")
+        .distinct(),
+        key=["user_id"],
+        order=["ts", "event_id"],
+        tracked=["event_type"],
+        ts_col="ts",
+        delete_col="is_del",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = win.asof_join(
+        purch,
+        hist,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["state", "valid_to"],
+        strict=True,
+    )
+    in_interval = F.col("_asof_ts").isNotNull() & (
+        F.col("valid_to").isNull() | (F.col("ts") <= F.col("valid_to"))
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(in_interval, F.col("state")).alias("state_at_purchase"),
+    ).orderBy("purchase_id")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope/intercept over the top-100 corpus tokens
     (textops.zipf_fit): exact integer moment sums of micro-quantized
@@ -2838,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "cross_lm": q_cross_lm,
         "lpa_communities": q_lpa_communities,
+        "scd2_pit": q_scd2_pit,
     }
 
 
@@ -5673,6 +5728,42 @@ SELECT doc_id,
        round((CAST(sum(lp_nano) AS BIGINT) / 1e9) / count(*), 6)
          AS lm_score
 FROM sc GROUP BY doc_id ORDER BY doc_id
+""",
+        "scd2_pit": """
+WITH d AS (
+  SELECT DISTINCT user_id, ts, event_id, event_type,
+         (event_type = 'error') AS is_del
+  FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN is_del THEN '<deleted>' ELSE event_type END AS ak,
+         lag(CASE WHEN is_del THEN '<deleted>' ELSE event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pak
+  FROM d
+),
+s AS (SELECT * FROM m WHERE pak IS NULL OR ak <> pak),
+v AS (
+  SELECT *,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM s
+),
+hist AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS vf_us, epoch_us(nts) AS vt_us
+  FROM v WHERE NOT is_del
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts_us,
+       h.state AS state_at_purchase
+FROM purch p
+LEFT JOIN hist h ON h.user_id = p.user_id
+  AND h.vf_us < p.ts_us
+  AND (h.vt_us IS NULL OR p.ts_us <= h.vt_us)
+ORDER BY p.purchase_id
 """,
         "lpa_communities": """
 WITH rel AS (
