@@ -2317,6 +2317,19 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.ewma(r, ["event_type"], "v_cents")
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (trend-aware) smoothing of daily revenue
+    per event type (timeseries.holt_linear, alpha=beta=1/2): level + trend
+    recurrence folded JVM-side over resampled summaries in exact BIGINTs
+    (Spark ``div`` and DuckDB ``//`` both truncate toward zero, so the
+    negative trend values on falling days stay engine-identical); oracle
+    replays the two-register recurrence with a recursive CTE."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.holt_linear(r, ["event_type"], "v_cents")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential Poisson weighted sample (textops.seq_poisson_sample,
     Ohlsson 1998): k=50 documents drawn probability-proportional-to-size
@@ -2861,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_topk": q_pagerank,
         "transition_counts": q_transition_counts,
         "ewma_smooth": q_ewma_smooth,
+        "holt_forecast": q_holt_forecast,
         "weighted_sample": q_weighted_sample,
         "pareto_parts": q_pareto_parts,
         "rank_correlation": q_rank_correlation,
@@ -4981,6 +4995,36 @@ c AS (
 SELECT event_type, bucket_us,
        CAST(v AS BIGINT) AS v_cents,
        CAST(ewma AS BIGINT) AS ewma_cents
+FROM c
+""",
+        "holt_forecast": f"""
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+         ) AS rn
+  FROM b
+),
+c AS (
+  SELECT event_type, bucket_us, rn, v,
+         v AS l, CAST(0 AS BIGINT) AS tr
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_us, o.rn, o.v,
+         (c.l + c.tr + o.v) // 2,
+         (c.tr + ((c.l + c.tr + o.v) // 2 - c.l)) // 2
+  FROM c JOIN o ON o.event_type = c.event_type AND o.rn = c.rn + 1
+)
+SELECT event_type, bucket_us,
+       CAST(v AS BIGINT) AS v_cents,
+       CAST(l AS BIGINT) AS level_cents,
+       CAST(tr AS BIGINT) AS trend_cents,
+       CAST(l + tr AS BIGINT) AS forecast_cents
 FROM c
 """,
         "weighted_sample": """

