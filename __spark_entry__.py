@@ -2675,6 +2675,20 @@ def q_cross_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.cross_lm_scores(d, train).orderBy("doc_id")
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classification (textops.nb_classify):
+    train on doc_id % 5 != 0, classify the held-out fifth. The model is
+    two count relations (per-class priors broadcast, per-(token, class)
+    likelihoods shuffle-hash-joined on token); scores are exact nano-ln
+    BIGINTs so the argmax is engine-identical. The oracle replays the
+    same add-one-smoothed formulation independently in SQL."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 5 != 0)
+    test = d.where(F.col("doc_id") % 5 == 0)
+    return tx.nb_classify(train, test).orderBy("doc_id")
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation communities
     (graph.label_propagation, 3 synchronous rounds, smallest-label ties)
@@ -2905,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "attribution_linear": q_attribution_linear,
         "cross_lm": q_cross_lm,
+        "nb_classify": q_nb_classify,
         "lpa_communities": q_lpa_communities,
         "scd2_pit": q_scd2_pit,
     }
@@ -5734,6 +5749,58 @@ SELECT pr.conv_id, pr.touch_id, n.n_touches,
            AS credit
 FROM pr JOIN n ON pr.conv_id = n.conv_id
 ORDER BY pr.conv_id, pr.touch_id
+""",
+        "nb_classify": f"""
+WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+trtok AS (
+  SELECT cls, t FROM (
+    SELECT source AS cls, unnest(string_split({_NORM}, ' ')) AS t FROM tr
+  ) WHERE t <> ''
+),
+ctc AS (SELECT cls, t, count(*) AS c FROM trtok GROUP BY 1, 2),
+ncls AS (SELECT cls, count(*) AS n_c FROM trtok GROUP BY 1),
+vocab AS (SELECT count(DISTINCT t) AS v FROM trtok),
+clsdocs AS (SELECT source AS cls, count(*) AS docs FROM tr GROUP BY 1),
+total AS (SELECT count(*) AS tot FROM tr),
+model AS (
+  SELECT cd.cls,
+         CAST(round(ln(CAST(docs AS DOUBLE) / tot) * 1e9) AS BIGINT)
+           AS prior_nano,
+         n_c, v
+  FROM clsdocs cd JOIN ncls USING (cls) CROSS JOIN total CROSS JOIN vocab
+),
+ten AS (SELECT doc_id, source AS true_source, {_NORM} AS n FROM te),
+tecnt AS (
+  SELECT doc_id, t, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM ten
+  ) WHERE t <> '' GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tc.doc_id, m.cls,
+         CAST(sum(tc.cnt * CAST(round(ln(
+             CAST(coalesce(ctc.c, 0) + 1 AS DOUBLE)
+             / CAST(m.n_c + m.v AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+           AS tok_nano
+  FROM tecnt tc CROSS JOIN model m
+  LEFT JOIN ctc ON ctc.cls = m.cls AND ctc.t = tc.t
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT ten.doc_id, ten.true_source, m.cls,
+         m.prior_nano + coalesce(c.tok_nano, 0) AS score
+  FROM ten CROSS JOIN model m
+  LEFT JOIN contrib c ON c.doc_id = ten.doc_id AND c.cls = m.cls
+),
+rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, cls ASC
+         ) AS r
+  FROM sc
+)
+SELECT doc_id, true_source, cls AS pred_source,
+       CAST(score AS BIGINT) AS score_nano
+FROM rk WHERE r = 1
 """,
         "cross_lm": """
 WITH d AS (

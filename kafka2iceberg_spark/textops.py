@@ -963,3 +963,116 @@ def cross_lm_scores(
             (F.sum("lp_nano") / 1e9) / F.count(F.lit(1)), 6
         ).alias("lm_score"),
     )
+
+
+def nb_classify(
+    train_docs: "DataFrame",
+    test_docs: "DataFrame",
+    text_col: str = "text",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Multinomial Naive Bayes document classification — the classic
+    supervised baseline for source/domain/quality routing in training-data
+    pipelines (fastText's ancestor), expressed as pure aggregation + joins:
+
+        score(d, c) = ln prior(c)
+                      + sum over tokens t of cnt_d(t) * ln P(t | c)
+        P(t | c)    = (count(t in c) + 1) / (tokens_in_c + V)
+
+    (add-one smoothing; V = train vocabulary size, so out-of-vocabulary
+    tokens degrade smoothly via the 1/(n_c + V) floor — same discipline as
+    :func:`cross_lm_scores`). Per-token log-likelihoods quantize to
+    integer nano-lns BEFORE the per-document sum, so scores are exact
+    BIGINTs: order-free, partition-invariant, engine-identical.
+
+    Scale shape (100 TB): the model is two count relations — per-class
+    priors/totals (|classes| rows, broadcast) and per-(token, class)
+    counts (vocabulary-sized, shuffle-hash-joined on token). The scored
+    corpus pays ONE token-keyed join and one (doc, class) aggregation;
+    the |classes| fan-out is a constant factor, never a data-sized blowup.
+    Zero-token documents still classify (prior-only argmax).
+
+    Output: one row per test document — (id, true label, predicted label,
+    winning score in nano-lns). Prediction ties break on smallest label.
+    """
+    tok = tokens(F.col(text_col))
+
+    cls = (
+        train_docs.groupBy(F.col(label_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    total = train_docs.agg(F.count(F.lit(1)).alias("_total"))
+    train_tok = train_docs.select(
+        F.col(label_col).alias("_cls"), F.explode(tok).alias("_t")
+    )
+    ctc = train_tok.groupBy("_cls", "_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_cls = train_tok.groupBy("_cls").agg(
+        F.count(F.lit(1)).alias("_n_c")
+    )
+    vocab = train_tok.select("_t").distinct().agg(
+        F.count(F.lit(1)).alias("_v")
+    )
+    # model side: |classes| rows with prior + denominator, all broadcast
+    model_cls = (
+        cls.join(per_cls, "_cls")
+        .crossJoin(total)
+        .crossJoin(vocab)
+        .select(
+            "_cls",
+            F.round(
+                F.log(F.col("_docs").cast("double") / F.col("_total"))
+                * 1e9
+            )
+            .cast("long")
+            .alias("_prior_nano"),
+            "_n_c",
+            "_v",
+        )
+    )
+
+    test_cnt = (
+        test_docs.select(F.col(id_col).alias("_id"), F.explode(tok).alias("_t"))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    contrib = (
+        test_cnt.crossJoin(F.broadcast(model_cls.select("_cls", "_n_c", "_v")))
+        .join(ctc.hint("shuffle_hash"), ["_cls", "_t"], "left")
+        .withColumn(
+            "_lp_nano",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_n_c") + F.col("_v")).cast("double")
+                )
+                * 1e9
+            ).cast("long"),
+        )
+        .groupBy("_id", "_cls")
+        .agg(F.sum(F.col("_cnt") * F.col("_lp_nano")).alias("_tok_nano"))
+    )
+    scores = (
+        test_docs.select(
+            F.col(id_col).alias("_id"), F.col(label_col).alias("_true")
+        )
+        .crossJoin(F.broadcast(model_cls.select("_cls", "_prior_nano")))
+        .join(contrib.hint("shuffle_hash"), ["_id", "_cls"], "left")
+        .withColumn(
+            "_score",
+            F.col("_prior_nano") + F.coalesce(F.col("_tok_nano"), F.lit(0)),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_cls"))
+    return (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_true").alias("true_" + label_col),
+            F.col("_cls").alias("pred_" + label_col),
+            F.col("_score").alias("score_nano"),
+        )
+    )

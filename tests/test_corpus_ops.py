@@ -616,3 +616,68 @@ def test_cross_lm_oov_gets_floor_probability(spark):
     # fully OOV bigram: ln(1 / V) with V = 2
     got = tx.cross_lm_scores(score, train).collect()[0]
     assert abs(got["lm_score"] - math.log(1 / 2)) < 1e-6
+
+
+class TestNBClassify:
+    def _fit(self, spark, train_rows, test_rows):
+        train = spark.createDataFrame(
+            train_rows, "doc_id long, text string, source string"
+        )
+        test = spark.createDataFrame(
+            test_rows, "doc_id long, text string, source string"
+        )
+        return {
+            r["doc_id"]: (r["pred_source"], r["score_nano"])
+            for r in tx.nb_classify(train, test).collect()
+        }
+
+    def test_distinctive_vocab_classified_correctly(self, spark):
+        got = self._fit(
+            spark,
+            [
+                (1, "spark shuffle executor partition", "tech"),
+                (2, "executor shuffle codegen partition", "tech"),
+                (3, "violin sonata allegro tempo", "music"),
+                (4, "tempo adagio sonata orchestra", "music"),
+            ],
+            [
+                (10, "shuffle partition codegen", "tech"),
+                (11, "sonata tempo orchestra", "music"),
+            ],
+        )
+        assert got[10][0] == "tech"
+        assert got[11][0] == "music"
+
+    def test_zero_token_doc_gets_prior_argmax(self, spark):
+        import math
+
+        got = self._fit(
+            spark,
+            [
+                (1, "aa bb", "big"),
+                (2, "aa cc", "big"),
+                (3, "zz yy", "small"),
+            ],
+            [(10, "!!! ???", "big")],  # normalizes to zero tokens
+        )
+        # no token evidence -> argmax over priors alone: "big" (2/3 docs)
+        assert got[10][0] == "big"
+        assert got[10][1] == round(math.log(2 / 3) * 1e9)
+
+    def test_all_oov_doc_still_scores_and_breaks_ties_deterministically(
+        self, spark
+    ):
+        import math
+
+        # symmetric classes: identical token counts, identical priors ->
+        # every class scores the same on an OOV-only doc; smallest label
+        # must win deterministically.
+        got = self._fit(
+            spark,
+            [(1, "aa aa", "c1"), (2, "bb bb", "c2")],
+            [(10, "qq", "c1")],
+        )
+        assert got[10][0] == "c1"
+        # prior ln(1/2) + 1 token * floor ln(1/(2 + V)) with V = 2
+        exp = round(math.log(1 / 2) * 1e9) + round(math.log(1 / 4) * 1e9)
+        assert got[10][1] == exp
