@@ -2128,6 +2128,34 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.rrf_fuse, Cormack et al. 2009): BM25
+    top-20 (lexical) fused with brute-cosine top-20 for query vector 0
+    (dense — documents and embeddings share the id space) by integer
+    reciprocal-rank fusion, k=60. Fusion inputs are already-top-n lists,
+    so the union + id-keyed sum is O(queries × n) regardless of corpus
+    size; scores are exact BIGINTs (10^12 div (k + rank)) so the fused
+    ranking is engine-identical."""
+    from kafka2iceberg_spark import search
+
+    docs = _read(spark, sf_dir, "documents", spread=True)
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    lex = search.bm25_topk(docs, BM25_QUERY, k=20).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    dense = sim.brute_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+    return search.rrf_fuse(
+        [
+            lex.select("doc_id", "rank"),
+            dense.select(F.col("neighbor_id").alias("doc_id"), "rank"),
+        ],
+        topn=10,
+    )
+
+
 def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: pull props.$.k out of the JSON column and
     aggregate exactly per event type (codegen'd JSON path, no UDF)."""
@@ -2875,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "inverted_postings": q_inverted_postings,
         "bm25_topk": q_bm25_topk,
+        "hybrid_search": q_hybrid_search,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4672,6 +4701,64 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "hybrid_search": f"""
+WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS token FROM n0),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) / count(*) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+  FROM tf JOIN dl USING (doc_id)
+  WHERE token IN ('spark', 'join', 'window')
+),
+dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+sc AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+  FROM hits JOIN dfq USING (token) CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, round(sum(w), 6) AS score
+  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM lex
+),
+{_EMB_D},
+q AS (SELECT * FROM d WHERE vec_id = 0),
+s AS (
+  SELECT c.vec_id AS doc_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM q JOIN d c ON c.vec_id <> q.vec_id
+),
+denser AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM s QUALIFY rank <= 20
+),
+pts AS (
+  SELECT doc_id, 1000000000000 // (60 + rank) AS pts FROM lexr
+  UNION ALL
+  SELECT doc_id, 1000000000000 // (60 + rank) AS pts FROM denser
+),
+fused AS (
+  SELECT doc_id, CAST(sum(pts) AS BIGINT) AS rrf_score,
+         count(*) AS n_lists
+  FROM pts GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
 """,
         "json_props_rollup": """
 SELECT event_type,

@@ -228,3 +228,57 @@ def sparse_cosine_pairs(
         .where(F.col("cos") >= min_cos)
         .select("doc_a", "doc_b", "dot", "cos")
     )
+
+
+RRF_SCALE = 1_000_000_000_000  # integer RRF: score = sum(SCALE div (k + rank))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (lexical BM25 + dense ANN):
+
+        rrf(d) = sum over lists containing d of SCALE div (k + rank_d)
+
+    computed in exact integer arithmetic (SCALE = 10^12, integer
+    division) instead of the usual 1/(k + rank) doubles: ranks are small
+    integers, so the fused score is an order-free BIGINT sum —
+    partition- and engine-identical, no float-tie ambiguity between
+    engines. k = 60 is the published default.
+
+    Scale shape: each input is an already-top-n list (O(queries × n)
+    rows, NOT corpus-sized), so the fusion union + id-keyed aggregation
+    is a rounding error next to the retrieval stages; the final top-n is
+    a rank window over the fused relation. Ties break on smallest id.
+
+    Output: (id, rrf_score, n_lists) — the fused top ``topn``.
+    """
+    if not rankings:
+        raise ValueError("no rankings to fuse")
+    stacked = None
+    for r in rankings:
+        # true integer division (Spark `div`), NOT double `/` + cast:
+        # 10^12/(k+rank) as a double can round up across the integer
+        # boundary and disagree with the oracle's `//` by one
+        part = r.select(
+            F.col(id_col).alias("_id"),
+            F.expr(
+                f"cast({RRF_SCALE} as bigint)"
+                f" div (cast({k} as bigint) + cast({rank_col} as bigint))"
+            ).alias("_pts"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    fused = stacked.groupBy("_id").agg(
+        F.sum("_pts").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+        .limit(topn)
+        .select(F.col("_id").alias(id_col), "rrf_score", "n_lists")
+    )

@@ -199,3 +199,44 @@ class TestSparseCosine:
         )
         out = search.sparse_cosine_pairs(docs, max_df=3, min_cos=0.0).collect()
         assert out == []  # only shared token was df-capped away
+
+
+class TestRRF:
+    def _lists(self, spark, *rankings):
+        return [
+            spark.createDataFrame(r, "doc_id long, rank long")
+            for r in rankings
+        ]
+
+    def test_hand_computed_fusion(self, spark):
+        S = search.RRF_SCALE
+        lex, dense = self._lists(
+            spark, [(1, 1), (2, 2)], [(2, 1), (3, 2)]
+        )
+        got = {
+            r["doc_id"]: (r["rrf_score"], r["n_lists"])
+            for r in search.rrf_fuse([lex, dense], topn=10).collect()
+        }
+        # doc 2: rank 2 + rank 1 across lists; docs 1/3 single-list
+        assert got[2] == (S // 62 + S // 61, 2)
+        assert got[1] == (S // 61, 1)
+        assert got[3] == (S // 62, 1)
+
+    def test_doc_in_both_lists_outranks_single_list_winner(self, spark):
+        # doc 9 is rank 1 in one list only; doc 5 is rank 3 in BOTH —
+        # 2/(60+3) > 1/(60+1), so consensus wins under k=60
+        a, b = self._lists(
+            spark, [(9, 1), (5, 3)], [(7, 1), (5, 3)]
+        )
+        top = search.rrf_fuse([a, b], topn=1).collect()[0]
+        assert top["doc_id"] == 5 and top["n_lists"] == 2
+
+    def test_topn_and_id_tiebreak(self, spark):
+        # identical single-list ranks -> equal scores -> smallest id first
+        a, b = self._lists(spark, [(8, 1)], [(4, 1)])
+        rows = search.rrf_fuse([a, b], topn=1).collect()
+        assert [r["doc_id"] for r in rows] == [4]
+
+    def test_empty_input_rejected(self, spark):
+        with pytest.raises(ValueError):
+            search.rrf_fuse([])
