@@ -2075,6 +2075,22 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at exact rank-based p01/p99
+    (rankstats.winsorize): one per-group window pass for rank+count,
+    conditional agg to |groups| bound rows, broadcast join back — the
+    clip bounds are pure integer rank arithmetic, engine-identical."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return rk.winsorize(ev, ["event_type"], "v_cents", "event_id")
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers. Moments come from EXACT integer
     cent sums (one small agg, broadcast back) so mu/sigma are the same
@@ -2901,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraints": q_dq_constraints,
         "mixture_sample": q_mixture_sample,
         "anomaly_zscore": q_anomaly_zscore,
+        "winsorize_values": q_winsorize,
         "inverted_postings": q_inverted_postings,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
@@ -4630,6 +4647,34 @@ r AS (
 SELECT r.doc_id, r.source, r.mix_rank
 FROM r JOIN q USING (source)
 WHERE mix_rank <= k_s
+""",
+        "winsorize_values": """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY v_cents, event_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rk = greatest(1, (10000 * n + 999999)
+                                             // 1000000)
+                       THEN v_cents END) AS BIGINT) AS lo_bound,
+         CAST(max(CASE WHEN rk = greatest(1, (990000 * n + 999999)
+                                             // 1000000)
+                       THEN v_cents END) AS BIGINT) AS hi_bound
+  FROM r GROUP BY 1
+)
+SELECT v.event_type, v.event_id, v.v_cents, b.lo_bound, b.hi_bound,
+       least(greatest(v.v_cents, b.lo_bound), b.hi_bound) AS v_cents_winsor
+FROM v JOIN b USING (event_type)
 """,
         "anomaly_zscore": """
 WITH ev AS (

@@ -110,3 +110,65 @@ def spearman(
             6,
         ).alias("rho"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-group winsorization at EXACT rank-based percentiles — the
+    standard outlier-robust feature normalization before training-data
+    statistics (a p99 clip that moves with each group, not a global
+    constant). Spark's ``percentile_approx`` is approximate and
+    engine-specific; this uses the discrete percentile
+
+        bound(q) = value at rank ceil(q * n)   (rank 1-based, clamped)
+
+    computed with pure integer arithmetic (``(q_ppm*n + 999999) div 1e6``),
+    so the clip bounds — and therefore every output row — are
+    engine-identical.
+
+    Plan shape: ONE per-group window pass (rank + count; hash exchange on
+    keys, in-partition sort only — no global sort), one conditional
+    aggregation collapsing each group to its (lo, hi) bound row, and one
+    broadcast join back to the rows (bounds relation = |groups| rows).
+    Ties order by (value, order_col) for a total order; equal values make
+    the bound rank-order-independent anyway.
+
+    Output: the key/order/value columns plus lo/hi bounds and the clipped
+    value (``value`` unchanged when inside the bounds).
+    """
+    if not (0 < lo_ppm <= hi_ppm < 1_000_000):
+        raise ValueError("need 0 < lo_ppm <= hi_ppm < 1e6")
+    w = Window.partitionBy(*keys).orderBy(value_col, order_col)
+    ranked = df.select(*keys, order_col, value_col).withColumn(
+        "_r", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    idx = lambda ppm: F.greatest(  # noqa: E731  (ceil via integer div)
+        F.lit(1).cast("long"),
+        F.expr(f"(cast({ppm} as bigint) * _n + 999999) div 1000000"),
+    )
+    bounds = (
+        ranked.withColumn("_ilo", idx(lo_ppm))
+        .withColumn("_ihi", idx(hi_ppm))
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.when(F.col("_r") == F.col("_ilo"), F.col(value_col))
+            ).alias("lo_bound"),
+            F.max(
+                F.when(F.col("_r") == F.col("_ihi"), F.col(value_col))
+            ).alias("hi_bound"),
+        )
+    )
+    out = df.select(*keys, order_col, value_col).join(
+        F.broadcast(bounds), list(keys)
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("lo_bound")), F.col("hi_bound")
+    )
+    return out.withColumn(value_col + "_winsor", clipped)

@@ -215,3 +215,43 @@ def test_jaccard_prefix_word_unit_equals_all_pairs(spark):
                     exact.append((a, b, round(j, 4)))
     assert pref == sorted(exact)
     assert {(a, b) for a, b, _ in pref} == {(1, 2)}
+
+
+class TestWinsorize:
+    def _w(self, spark, vals, lo=100_000, hi=900_000):
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "key string, oid long, v long",
+        )
+        from kafka2iceberg_spark.rankstats import winsorize
+
+        return {
+            r["oid"]: (r["v_winsor"], r["lo_bound"], r["hi_bound"])
+            for r in winsorize(df, ["key"], "v", "oid", lo, hi).collect()
+        }
+
+    def test_bounds_are_exact_discrete_percentiles(self, spark):
+        # n=10, p10 -> rank ceil(0.1*10)=1 -> value 1; p90 -> rank 9 -> 9
+        got = self._w(spark, list(range(1, 11)))
+        assert got[0] == (1, 1, 9)      # v=1 stays (== lo bound)
+        assert got[9] == (9, 1, 9)      # v=10 clipped to 9
+        assert got[4] == (5, 1, 9)      # interior untouched
+
+    def test_single_row_group_clips_to_itself(self, spark):
+        got = self._w(spark, [42])
+        assert got[0] == (42, 42, 42)
+
+    def test_negative_values_and_ceil_edge(self, spark):
+        # n=3, lo=340000: ceil(0.34*3)=ceil(1.02)=2 -> second value
+        got = self._w(spark, [-50, -10, 30], lo=340_000, hi=900_000)
+        assert got[0] == (-10, -10, 30)  # -50 raised to lo bound -10
+        assert got[2] == (30, -10, 30)   # hi rank ceil(2.7)=3 -> 30
+
+    def test_invalid_ppm_rejected(self, spark):
+        from kafka2iceberg_spark.rankstats import winsorize
+
+        df = spark.createDataFrame([("g", 1, 1)], "key string, oid long, v long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            winsorize(df, ["key"], "v", "oid", 0, 500_000)
