@@ -2342,6 +2342,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_fp"), "node").limit(25)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits, 2 rounds) over the bipartite
+    customer→part purchase graph: per-round max-normalized integer
+    fixed-point, so the DuckDB oracle replays every half-round as an
+    unrolled CTE bit-identically. Top-25 per side, node tie-break."""
+    from kafka2iceberg_spark import graph as gr
+
+    _utc(spark)
+    edges = gr.purchase_edges(
+        _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
+    )
+    sc = gr.hits(edges, rounds=2)
+    w = Window.partitionBy("side").orderBy(F.desc("score_fp"), "node")
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 25)
+        .select("side", "node", "score_fp", "rk")
+    )
+
+
 def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
     (timeseries.transition_counts): one per-user window (lag), one tiny
@@ -2933,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_lines": q_trend_lines,
         "pagerank_topk": q_pagerank,
         "transition_counts": q_transition_counts,
+        "hits_scores": q_hits_scores,
         "ewma_smooth": q_ewma_smooth,
         "holt_forecast": q_holt_forecast,
         "weighted_sample": q_weighted_sample,
@@ -5143,6 +5164,54 @@ SELECT event_type, bucket_us,
        CAST(v AS BIGINT) AS v_cents,
        CAST(ewma AS BIGINT) AS ewma_cents
 FROM c
+""",
+        "hits_scores": """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a1r AS (
+  SELECT dst AS node, CAST(count(*) AS BIGINT) * 1000000 AS raw
+  FROM e GROUP BY 1
+),
+a1 AS (
+  SELECT node, (raw * 1000000) // (SELECT max(raw) FROM a1r) AS s FROM a1r
+),
+h1r AS (
+  SELECT e.src AS node, CAST(sum(a1.s) AS BIGINT) AS raw
+  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1
+),
+h1 AS (
+  SELECT node, (raw * 1000000) // (SELECT max(raw) FROM h1r) AS s FROM h1r
+),
+a2r AS (
+  SELECT e.dst AS node, CAST(sum(h1.s) AS BIGINT) AS raw
+  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1
+),
+a2 AS (
+  SELECT node, (raw * 1000000) // (SELECT max(raw) FROM a2r) AS s FROM a2r
+),
+h2r AS (
+  SELECT e.src AS node, CAST(sum(a2.s) AS BIGINT) AS raw
+  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1
+),
+h2 AS (
+  SELECT node, (raw * 1000000) // (SELECT max(raw) FROM h2r) AS s FROM h2r
+),
+u AS (
+  SELECT 'hub' AS side, node, s FROM h2
+  UNION ALL
+  SELECT 'auth' AS side, node, s FROM a2
+),
+r AS (
+  SELECT side, node, CAST(s AS BIGINT) AS score_fp,
+         row_number() OVER (
+           PARTITION BY side ORDER BY s DESC, node
+         ) AS rk
+  FROM u
+)
+SELECT side, node, score_fp, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 25
 """,
         "holt_forecast": f"""
 WITH RECURSIVE b AS (

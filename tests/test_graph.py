@@ -234,3 +234,54 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         map(tuple, gr.label_propagation(e.repartition(7), rounds=3).collect())
     )
     assert r1 == r2
+
+
+class TestHITS:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in pairs], "src long, dst long"
+        )
+
+    def test_hand_computed_two_rounds(self, spark):
+        from kafka2iceberg_spark import graph as gr
+
+        # customers {1,2} -> parts {10,20}: 1->10, 2->10, 2->20
+        # r1: a(10)=1e6 a(20)=5e5; h(1)=666666 h(2)=1e6
+        # r2: a(10)=1e6 a(20)=600000; h(1)=625000 h(2)=1e6
+        got = {
+            (r["side"], r["node"]): r["score_fp"]
+            for r in gr.hits(
+                self._edges(spark, [(1, 10), (2, 10), (2, 20)]), rounds=2
+            ).collect()
+        }
+        assert got[("auth", 10)] == 1_000_000
+        assert got[("auth", 20)] == 600_000
+        assert got[("hub", 2)] == 1_000_000
+        assert got[("hub", 1)] == 625_000
+
+    def test_star_hub_dominates_and_leaves_equal(self, spark):
+        from kafka2iceberg_spark import graph as gr
+
+        got = {
+            (r["side"], r["node"]): r["score_fp"]
+            for r in gr.hits(
+                self._edges(spark, [(1, 10), (1, 20), (1, 30)]), rounds=2
+            ).collect()
+        }
+        # single hub: every authority saturates at SCALE
+        assert got[("hub", 1)] == gr.HITS_SCALE
+        assert (
+            got[("auth", 10)]
+            == got[("auth", 20)]
+            == got[("auth", 30)]
+            == gr.HITS_SCALE
+        )
+
+    def test_invalid_rounds_rejected(self, spark):
+        from kafka2iceberg_spark import graph as gr
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            gr.hits(self._edges(spark, [(1, 10)]), rounds=0)
