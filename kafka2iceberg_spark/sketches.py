@@ -597,3 +597,129 @@ def ams_f2_estimate(
         F.expr("percentile(mean_c2, 0.5)").alias("est_f2"),
         F.lit(int(counters)).cast("int").alias("n_counters"),
     )
+
+
+class StreamingZScore:
+    """Continuously-maintained anomaly baseline: per-key moment sums
+    (n, s1, s2 — exact BIGINT cents) live in an IcebergLite table and
+    each micro-batch ADDS its own partial moments — moments are the
+    simplest mergeable summary (component-wise addition), so 1000
+    executors aggregate locally, the stream merges |keys| rows per
+    trigger, and state is bounded by key cardinality forever: no
+    watermark, no state store.
+
+    Scoring is decoupled from maintenance (same serve-from-committed
+    discipline as :class:`StreamingHLL`): ``score`` flags any relation's
+    rows against the CURRENT committed baseline — mu/sigma derive from
+    the exact integer sums with the identical IEEE ops as the batch
+    ``anomaly_zscore`` query, so a stream-maintained baseline and a
+    batch-computed one flag the same rows.
+
+    Exactly-once: the merged summary swaps through
+    ``commit_overwrite(batch_id)`` (the summary IS the table),
+    replay-guarded like every data commit.
+    """
+
+    def __init__(self, table, z_ppm: int = 3_000_000) -> None:
+        if sorted(table.pk) != ["key"]:
+            raise ValueError("z-score table pk must be ['key']")
+        if z_ppm <= 0:
+            raise ValueError("z_ppm must be positive")
+        self.table = table
+        self.z_ppm = int(z_ppm)
+
+    def _batch_moments(self, df: DataFrame, key: Column, cents: Column):
+        return (
+            df.select(key.alias("key"), cents.cast("long").alias("_v"))
+            .where(F.col("key").isNotNull() & F.col("_v").isNotNull())
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_v").alias("s1"),
+                F.sum(F.col("_v") * F.col("_v")).alias("s2"),
+            )
+        )
+
+    def apply_batch(
+        self, df: DataFrame, key: Column, cents: Column, batch_id: str
+    ) -> bool:
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        spark = df.sparkSession
+        batch = self._batch_moments(df, key, cents)
+        try:
+            cur = self.table.read(spark).select("key", "n", "s1", "s2")
+        except FileNotFoundError:
+            cur = None
+        if cur is not None:
+            merged = (
+                batch.join(cur, "key", "full")
+                .select(
+                    "key",
+                    *(
+                        (
+                            F.coalesce(batch[c], F.lit(0))
+                            + F.coalesce(cur[c], F.lit(0))
+                        ).cast("long").alias(c)
+                        for c in ("n", "s1", "s2")
+                    ),
+                )
+            )
+        else:
+            merged = batch
+        return self.table.commit_overwrite(
+            merged, str(batch_id), dynamic=False
+        )
+
+    def start(
+        self,
+        stream: DataFrame,
+        key: Column,
+        cents: Column,
+        checkpoint: str,
+        **trigger,
+    ):
+        """Maintain the baseline from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, key, cents, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def moments(self, spark) -> DataFrame:
+        return self.table.read(spark).select("key", "n", "s1", "s2")
+
+    def score(
+        self, spark, df: DataFrame, key: Column, cents: Column
+    ) -> DataFrame:
+        """Flag rows whose value sits beyond z_ppm/1e6 sigmas of the
+        committed baseline. Baseline is |keys| rows — broadcast; keys
+        with n < 2 (or zero variance) never flag (sigma undefined)."""
+        base = (
+            self.moments(spark)
+            .where(F.col("n") >= 2)
+            .withColumn("mu", F.col("s1") / F.col("n"))
+            .withColumn(
+                "sigma",
+                F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("mu"))
+                    / (F.col("n") - 1)
+                ),
+            )
+            .select("key", "mu", "sigma")
+        )
+        z_lim = F.lit(self.z_ppm / 1e6)
+        rows = df.select(key.alias("key"), cents.cast("long").alias("v"))
+        return (
+            rows.join(F.broadcast(base), "key", "left")
+            .withColumn(
+                "z",
+                F.when(
+                    F.col("sigma") > 0,
+                    F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6),
+                ),
+            )
+            .withColumn(
+                "is_anomaly",
+                F.coalesce(F.abs(F.col("z")) > z_lim, F.lit(False)),
+            )
+        )

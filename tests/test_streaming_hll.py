@@ -133,3 +133,73 @@ def test_streaming_topk_validates_pk(tmp_path):
     bad = IcebergLite(str(tmp_path / "b2"), pk=["conv_id"])
     with pytest.raises(ValueError):
         sk.StreamingTopK(bad)
+
+
+def _value_wave(spark, src_dir, rows, mtime, tag):
+    df = spark.createDataFrame(rows, ["key", "cents"])
+    _stamp_wave(df, src_dir, tag, mtime)
+
+
+def test_streaming_zscore_moments_equal_batch_and_flags(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    wave1 = [("a", 100 + i) for i in range(50)] + [("b", 10)] * 20
+    wave2 = [("a", 150 + i) for i in range(50)] + [("b", 12)] * 20
+    _value_wave(spark, src, wave1, t0, "w1")
+    _value_wave(spark, src, wave2, t0 + 1, "w2")
+
+    table = IcebergLite(str(tmp_path / "zs"), pk=["key"], partition_field=None)
+    zs = sk.StreamingZScore(table)
+    stream = (
+        spark.readStream.schema("key string, cents long")
+        .option("maxFilesPerTrigger", "1")  # one wave per micro-batch
+        .parquet(src + "/*")
+    )
+    q = zs.start(stream, F.col("key"), F.col("cents"), str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    # maintained moment table == one-shot batch moments over everything
+    batch_all = spark.read.parquet(src + "/*")
+    want = {
+        (r["key"]): (r["n"], r["s1"], r["s2"])
+        for r in batch_all.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .collect()
+    }
+    got = {r["key"]: (r["n"], r["s1"], r["s2"]) for r in zs.moments(spark).collect()}
+    assert got == want
+
+    # scoring vs the committed baseline: obvious outlier flags, normal doesn't
+    probe = spark.createDataFrame(
+        [("a", 9_000), ("a", 140), ("b", 11), ("unseen", 5)],
+        ["key", "cents"],
+    )
+    flags = {
+        (r["key"], r["v"]): r["is_anomaly"]
+        for r in zs.score(spark, probe, F.col("key"), F.col("cents")).collect()
+    }
+    assert flags[("a", 9_000)] is True
+    assert flags[("a", 140)] is False
+    assert flags[("b", 11)] is False
+    assert flags[("unseen", 5)] is False  # no baseline -> never flags
+
+    # replay with a fresh checkpoint: batch-id guard -> moments unchanged
+    q = zs.start(stream, F.col("key"), F.col("cents"), str(tmp_path / "ck2"))
+    q.awaitTermination()
+    assert {
+        r["key"]: (r["n"], r["s1"], r["s2"]) for r in zs.moments(spark).collect()
+    } == want
+
+
+def test_streaming_zscore_validates_pk_and_threshold(tmp_path):
+    bad = IcebergLite(str(tmp_path / "zb"), pk=["conv_id"])
+    with pytest.raises(ValueError):
+        sk.StreamingZScore(bad)
+    good = IcebergLite(str(tmp_path / "zg"), pk=["key"])
+    with pytest.raises(ValueError):
+        sk.StreamingZScore(good, z_ppm=0)
