@@ -2144,6 +2144,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_conv_size_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of conversation sizes (rankstats.gini) — the
+    skew diagnostic behind the salting decision: equal sizes collapse to
+    a histogram, tie-runs contribute closed-form arithmetic-series
+    terms, so the ranking window runs over distinct SIZE VALUES, never
+    the conv_id domain. Exact BIGINT numerators, one final division."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    sizes = (
+        transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return rk.gini(sizes, "n_turns")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (textops.readability): exact
+    integer word/sentence/syllable-proxy counts computed JVM-side (vowel
+    groups floored at 1/word via a higher-order aggregate — no explode,
+    no shuffle), one fixed-parenthesization double at the end. A pure
+    projection: rides the text scan at any scale."""
+    _utc(spark)
+    return tx.readability(_read(spark, sf_dir, "documents"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (search.rrf_fuse, Cormack et al. 2009): BM25
     top-20 (lexical) fused with brute-cosine top-20 for query vector 0
@@ -2941,6 +2968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
+        "readability": q_readability,
+        "conv_size_gini": q_conv_size_gini,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4767,6 +4796,39 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "conv_size_gini": f"""
+WITH {_TX},
+sizes AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS v
+          FROM transcripts GROUP BY 1),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM sizes GROUP BY 1),
+cum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+        FROM hist),
+agg AS (
+  SELECT CAST(sum(v * cnt * (2 * (c - cnt) + cnt + 1)) AS BIGINT) AS t2,
+         CAST(sum(v * cnt) AS BIGINT) AS s,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n, s, round((t2 - (n + 1) * s) / (n * s), 6) AS gini FROM agg
+""",
+        "readability": f"""
+WITH n0 AS (SELECT doc_id, text, {_NORM} AS n FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n = '' THEN 0
+                   ELSE len(string_split(n, ' ')) END AS BIGINT) AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS n_sentences,
+         CAST(list_sum(list_transform(string_split(n, ' '),
+              w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+           AS BIGINT) AS n_syllables
+  FROM n0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words), 4) AS fre
+FROM c WHERE n_words >= 1
 """,
         "hybrid_search": f"""
 WITH n0 AS (SELECT doc_id, {_NORM} AS n FROM documents),

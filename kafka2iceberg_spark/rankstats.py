@@ -172,3 +172,67 @@ def winsorize(
         F.greatest(F.col(value_col), F.col("lo_bound")), F.col("hi_bound")
     )
     return out.withColumn(value_col + "_winsor", clipped)
+
+
+def gini(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative weight distribution — the skew
+    diagnostic that tells you BEFORE a run whether a key domain (e.g.
+    per-conversation row counts) needs salting: 0 = uniform, →1 = a few
+    mega-keys dominate.
+
+    Uses the rank formulation G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) but
+    NEVER ranks individual rows: equal weights are collapsed to a
+    histogram first, and a tie-run of value v spanning ranks
+    (c−cnt, c] contributes v·cnt·(2(c−cnt)+cnt+1) to 2·Σ i·x_(i) —
+    exact arithmetic-series algebra, all BIGINT. The ordering window
+    therefore runs over DISTINCT WEIGHT VALUES (for count-like weights,
+    thousands at most — count distributions are heavy at small values),
+    not over the key domain, so the plan survives a billion keys: one
+    histogram aggregation + one tiny window + one final division.
+
+    Output per group: (n keys, s total weight, gini rounded to 6).
+    """
+    g = list(group_cols or [])
+    hist = (
+        df.select(*g, F.col(weight_col).cast("long").alias("_v"))
+        .groupBy(*g, "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(*g).orderBy("_v")
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    agg = (
+        cum.select(
+            *g,
+            (
+                F.col("_v")
+                * F.col("_cnt")
+                * (
+                    2 * (F.col("_cum") - F.col("_cnt"))
+                    + F.col("_cnt")
+                    + 1
+                )
+            ).alias("_t2"),
+            (F.col("_v") * F.col("_cnt")).alias("_s"),
+            F.col("_cnt").alias("_n"),
+        )
+        .groupBy(*g)
+        .agg(
+            F.sum("_t2").alias("_T2"),
+            F.sum("_s").alias("s"),
+            F.sum("_n").alias("n"),
+        )
+    )
+    return agg.select(
+        *g,
+        "n",
+        "s",
+        F.round(
+            (F.col("_T2") - (F.col("n") + 1) * F.col("s"))
+            / (F.col("n") * F.col("s")),
+            6,
+        ).alias("gini"),
+    )

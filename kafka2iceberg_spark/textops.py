@@ -1076,3 +1076,67 @@ def nb_classify(
             F.col("_score").alias("score_nano"),
         )
     )
+
+
+def readability(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Flesch reading-ease scoring — the classic readability feature for
+    corpus quality filtering and curriculum binning:
+
+        FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Counts are exact integers computed entirely JVM-side: words from the
+    normalized token array, syllables as per-word vowel-group counts
+    (``[aeiouy]+`` runs, floored at 1 per word — the standard syllable
+    proxy) summed with a higher-order aggregate over the token array (no
+    explode, no shuffle), sentences as ``[.!?]+`` runs over the RAW text
+    floored at 1. The final score is one fixed-parenthesization double
+    expression over those integers, rounded to 4 — engine-identical.
+
+    One scan, zero joins, zero shuffles: a pure projection, so at 100 TB
+    it rides whatever scan already reads the text column. Zero-word
+    documents are dropped (score undefined).
+
+    Output: (id, n_words, n_sentences, n_syllables, fre).
+    """
+    n = norm_text(F.col(text_col))
+    words = n_tokens(F.col(text_col))
+    syl = F.expr(
+        "aggregate(split({n}, ' '),"
+        " cast(0 as bigint),"
+        " (a, w) -> a + cast(greatest(regexp_count(w, '[aeiouy]+'), 1)"
+        " as bigint))".format(
+            n=(
+                "trim(regexp_replace(regexp_replace(lower("
+                + text_col
+                + "), '[^a-z0-9 ]', ' '), ' +', ' '))"
+            )
+        )
+    )
+    sents = F.greatest(
+        F.expr(f"cast(regexp_count({text_col}, '[.!?]+') as bigint)"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            syl.alias("n_syllables"),
+        )
+        .where(F.col("n_words") >= 1)
+        .withColumn(
+            "fre",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables") / F.col("n_words")),
+                4,
+            ),
+        )
+    )

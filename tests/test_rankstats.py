@@ -255,3 +255,69 @@ class TestWinsorize:
 
         with _pt.raises(ValueError):
             winsorize(df, ["key"], "v", "oid", 0, 500_000)
+
+
+class TestGini:
+    def _g(self, spark, weights, groups=None):
+        from kafka2iceberg_spark.rankstats import gini
+
+        if groups is None:
+            df = spark.createDataFrame(
+                [(i, w) for i, w in enumerate(weights)], "k long, w long"
+            )
+            return gini(df, "w").collect()[0]
+        df = spark.createDataFrame(
+            [(g, i, w) for i, (g, w) in enumerate(weights)],
+            "grp string, k long, w long",
+        )
+        return {
+            r["grp"]: r["gini"] for r in gini(df, "w", ["grp"]).collect()
+        }
+
+    def test_uniform_weights_gini_zero(self, spark):
+        r = self._g(spark, [7, 7, 7, 7])
+        assert r["gini"] == 0.0 and r["n"] == 4 and r["s"] == 28
+
+    def test_hand_computed_skewed(self, spark):
+        # sorted [1,1,1,97]: 2*sum(i*x)=788, (n+1)*s=500, n*s=400 -> 0.72
+        r = self._g(spark, [97, 1, 1, 1])
+        assert r["gini"] == 0.72
+
+    def test_tie_collapse_equals_direct_ranks(self, spark):
+        # values with heavy ties: histogram algebra == naive sorted-rank sum
+        ws = [1, 1, 2, 2, 2, 5, 5, 9]
+        xs = sorted(ws)
+        n, s = len(xs), sum(xs)
+        want = round((2 * sum((i + 1) * x for i, x in enumerate(xs))
+                      - (n + 1) * s) / (n * s), 6)
+        assert self._g(spark, ws)["gini"] == want
+
+    def test_groups_independent(self, spark):
+        got = self._g(
+            spark,
+            [("a", 5), ("a", 5), ("b", 1), ("b", 99)],
+            groups=True,
+        )
+        assert got["a"] == 0.0 and got["b"] == 0.49
+
+
+class TestReadability:
+    def _fre(self, spark, text):
+        from kafka2iceberg_spark.textops import readability
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = readability(df).collect()
+        return rows[0] if rows else None
+
+    def test_hand_computed_flesch(self, spark):
+        r = self._fre(spark, "Hello world. Nice!")
+        # words=3, sentences=2, syllables=2+1+2=5
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 2, 5)
+        assert r["fre"] == round(206.835 - 1.015 * (3 / 2) - 84.6 * (5 / 3), 4)
+
+    def test_vowelless_word_floors_at_one_syllable(self, spark):
+        r = self._fre(spark, "zzz grr")
+        assert r["n_syllables"] == 2 and r["n_sentences"] == 1
+
+    def test_empty_doc_dropped(self, spark):
+        assert self._fre(spark, "!!!") is None
