@@ -2144,6 +2144,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the n-gram-marker language classifier and
+    the recorded lang label (rankstats.cohens_kappa): one confusion
+    aggregation is the only data-sized pass; all kappa terms stay exact
+    BIGINTs (the (po-pe)/(1-pe) form multiplied through by n²), one
+    final division."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    pred = d.select("lang", tx.lang_id(F.col("text")).alias("pred"))
+    return rk.cohens_kappa(pred, "lang", "pred")
+
+
 def q_conv_size_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of conversation sizes (rankstats.gini) — the
     skew diagnostic behind the salting decision: equal sizes collapse to
@@ -2970,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "readability": q_readability,
         "conv_size_gini": q_conv_size_gini,
+        "lang_agreement": q_lang_agreement,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4796,6 +4811,28 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "lang_agreement": f"""
+WITH pred AS ({_lang_sql()}),
+j AS (
+  SELECT d.lang AS a, p.pred_lang AS b
+  FROM documents d JOIN pred p USING (doc_id)
+),
+conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+r AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM conf GROUP BY 1),
+cl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM conf GROUP BY 1),
+pe AS (
+  SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+  FROM r JOIN cl ON cl.b = r.a
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS po_num
+  FROM conf
+)
+SELECT n, po_num, pe_num,
+       round((n * po_num - pe_num) / (n * n - pe_num), 6) AS kappa
+FROM tot CROSS JOIN pe
 """,
         "conv_size_gini": f"""
 WITH {_TX},

@@ -236,3 +236,59 @@ def gini(
             6,
         ).alias("gini"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelings
+    (e.g. a heuristic classifier vs gold labels), the standard eval
+    metric for annotation/classifier-agreement pipelines:
+
+        kappa = (n·po_num − pe_num) / (n² − pe_num)
+        po_num = Σ diagonal counts,  pe_num = Σ_l row_l · col_l
+
+    — the usual (po − pe)/(1 − pe) multiplied through by n², so every
+    term stays an exact BIGINT and ONE final division produces the same
+    IEEE double on any engine.
+
+    Plan shape: one confusion-matrix aggregation over the pair relation
+    (the only data-sized pass), then everything is |labels|-sized:
+    marginals, their product join, and two 1-row cross joins. Degenerate
+    case (both sides constant and equal: n² = pe_num) yields NULL.
+
+    Output: one row — (n, po_num, pe_num, kappa).
+    """
+    conf = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    rows = conf.groupBy("_a").agg(F.sum("_c").alias("_ra"))
+    cols = conf.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    pe = (
+        rows.join(cols, rows["_a"] == cols["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_ra") * F.col("_cb")), F.lit(0)
+            ).cast("long").alias("pe_num")
+        )
+    )
+    tot = conf.agg(
+        F.sum("_c").alias("n"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("po_num"),
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "po_num",
+        "pe_num",
+        F.round(
+            # try_divide: the degenerate all-one-label case has a zero
+            # denominator and must yield NULL, not an ANSI error
+            F.try_divide(
+                F.col("n") * F.col("po_num") - F.col("pe_num"),
+                F.col("n") * F.col("n") - F.col("pe_num"),
+            ),
+            6,
+        ).alias("kappa"),
+    )

@@ -321,3 +321,36 @@ class TestReadability:
 
     def test_empty_doc_dropped(self, spark):
         assert self._fre(spark, "!!!") is None
+
+
+class TestKappa:
+    def _k(self, spark, pairs):
+        from kafka2iceberg_spark.rankstats import cohens_kappa
+
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return cohens_kappa(df, "a", "b").collect()[0]
+
+    def test_perfect_agreement_is_one(self, spark):
+        r = self._k(spark, [("x", "x"), ("y", "y"), ("x", "x")])
+        assert r["kappa"] == 1.0
+
+    def test_hand_computed_textbook_case(self, spark):
+        # classic 2x2: conf = [[20, 5], [10, 15]], n=50
+        # po_num=35, pe_num = 25*30 + 25*20 = 1250
+        # kappa = (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+        pairs = (
+            [("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+        )
+        r = self._k(spark, pairs)
+        assert (r["n"], r["po_num"], r["pe_num"]) == (50, 35, 1250)
+        assert r["kappa"] == 0.4
+
+    def test_chance_level_agreement_is_zero(self, spark):
+        # independent marginals: conf [[1,1],[1,1]] -> po=0.5, pe=0.5
+        r = self._k(spark, [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")])
+        assert r["kappa"] == 0.0
+
+    def test_degenerate_constant_labels_null(self, spark):
+        r = self._k(spark, [("x", "x"), ("x", "x")])
+        assert r["kappa"] is None
