@@ -2144,6 +2144,68 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature least squares per brand (rankstats.ols2): regress
+    line revenue (cents) on quantity and discount (ppm) — nine exact
+    BIGINT moment sums in one aggregation pass (the only data-sized
+    work), then Cramer's rule on the 3×3 normal equations in one fixed
+    parenthesization the oracle replays verbatim. Dimension broadcast."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 1_000_000)
+        .cast("long")
+        .alias("disc_ppm"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    return rk.ols2(
+        joined, "price_cents", "qty", "disc_ppm", ["p_brand"]
+    ).orderBy("p_brand")
+
+
+def q_conv_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation survival curve: for each observed depth k, how many
+    conversations reach ≥ k turns and the exact ppm share — the
+    retention/curriculum statistic behind max-turn truncation choices.
+    Same scale discipline as conv_size_gini: lengths collapse to a
+    histogram first, the reverse-cumulative window runs over DISTINCT
+    depth values (tiny domain), never the conv_id domain; shares are
+    exact integer ppm."""
+    _utc(spark)
+    sizes = (
+        transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    hist = sizes.groupBy(F.col("_len").alias("n_turns")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.orderBy(F.desc("n_turns")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = hist.agg(F.sum("_cnt").alias("_total"))
+    return (
+        hist.withColumn("n_reaching", F.sum("_cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_turns",
+            "n_reaching",
+            F.expr("(n_reaching * 1000000) div _total").alias(
+                "survival_ppm"
+            ),
+        )
+    )
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the n-gram-marker language classifier and
     the recorded lang label (rankstats.cohens_kappa): one confusion
@@ -2985,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "conv_size_gini": q_conv_size_gini,
         "lang_agreement": q_lang_agreement,
+        "conv_survival": q_conv_survival,
+        "price_regression": q_price_regression,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4811,6 +4875,78 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "price_regression": """
+WITH v AS (
+  SELECT p.p_brand,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 1000000) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM v GROUP BY 1
+),
+d AS (
+  SELECT p_brand, n,
+         CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+         CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+         CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+         CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+         CAST(s2y AS DOUBLE) AS d2y
+  FROM m
+),
+c AS (
+  SELECT p_brand, n,
+         dn * (d11 * d22 - d12 * d12)
+           - d1 * (d1 * d22 - d12 * d2)
+           + d2 * (d1 * d12 - d11 * d2) AS det,
+         dy * (d11 * d22 - d12 * d12)
+           - d1 * (d1y * d22 - d12 * d2y)
+           + d2 * (d1y * d12 - d11 * d2y) AS det0,
+         dn * (d1y * d22 - d12 * d2y)
+           - dy * (d1 * d22 - d12 * d2)
+           + d2 * (d1 * d2y - d1y * d2) AS det1,
+         dn * (d11 * d2y - d1y * d12)
+           - d1 * (d1 * d2y - d1y * d2)
+           + dy * (d1 * d12 - d11 * d2) AS det2
+  FROM d
+)
+SELECT p_brand, n,
+       round(det0 / det, 6) AS b0,
+       round(det1 / det, 6) AS b1,
+       round(det2 / det, 6) AS b2
+FROM c ORDER BY p_brand
+""",
+        "conv_survival": f"""
+WITH {_TX},
+sizes AS (SELECT conv_id, count(*) AS len FROM transcripts GROUP BY 1),
+hist AS (
+  SELECT CAST(len AS BIGINT) AS n_turns, CAST(count(*) AS BIGINT) AS cnt
+  FROM sizes GROUP BY 1
+),
+cum AS (
+  SELECT n_turns, cnt,
+         CAST(sum(cnt) OVER (
+           ORDER BY n_turns DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_reaching
+  FROM hist
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM hist)
+SELECT n_turns, n_reaching,
+       (n_reaching * 1000000) // total AS survival_ppm
+FROM cum CROSS JOIN tot
 """,
         "lang_agreement": f"""
 WITH pred AS ({_lang_sql()}),

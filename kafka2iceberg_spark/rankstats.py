@@ -292,3 +292,76 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+def ols2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group least squares with TWO regressors — y ≈ b0 + b1·x1 +
+    b2·x2 — the multiple-regression upgrade of ``timeseries.trend``:
+    ONE aggregation pass collects the nine exact-BIGINT moment sums
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y) and the 3×3 normal
+    equations are solved in closed form by Cramer's rule.
+
+    Engine-exactness: the integer sums are exact and (for cent/ppm-scale
+    inputs) below 2^53, so their double images are exact too; the four
+    determinants use one fixed parenthesization replayed verbatim by the
+    oracle — same IEEE ops, same doubles. Rank-deficient groups (constant
+    or collinear regressors ⇒ zero determinant) yield NULL coefficients
+    via try_divide, not an ANSI error.
+
+    Scale shape: the moment aggregation is the only data-sized pass
+    (map-side partial agg); everything after is |groups| rows.
+    """
+    x1, x2, y = (F.col(c).cast("long") for c in (x1_col, x2_col, y_col))
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum(y).alias("_sy"),
+        F.sum(x1 * x1).alias("_s11"),
+        F.sum(x2 * x2).alias("_s22"),
+        F.sum(x1 * x2).alias("_s12"),
+        F.sum(x1 * y).alias("_s1y"),
+        F.sum(x2 * y).alias("_s2y"),
+    )
+    d = {
+        c: F.col(c).cast("double")
+        for c in ("n", "_s1", "_s2", "_sy", "_s11", "_s22", "_s12",
+                  "_s1y", "_s2y")
+    }
+    n, s1, s2, sy = d["n"], d["_s1"], d["_s2"], d["_sy"]
+    s11, s22, s12, s1y, s2y = (
+        d["_s11"], d["_s22"], d["_s12"], d["_s1y"], d["_s2y"]
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return m.select(
+        *group_cols,
+        "n",
+        F.round(F.try_divide(det0, det), 6).alias("b0"),
+        F.round(F.try_divide(det1, det), 6).alias("b1"),
+        F.round(F.try_divide(det2, det), 6).alias("b2"),
+    )

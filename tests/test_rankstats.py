@@ -354,3 +354,36 @@ class TestKappa:
     def test_degenerate_constant_labels_null(self, spark):
         r = self._k(spark, [("x", "x"), ("x", "x")])
         assert r["kappa"] is None
+
+
+class TestOLS2:
+    def _fit(self, spark, rows):
+        from kafka2iceberg_spark.rankstats import ols2
+
+        df = spark.createDataFrame(
+            rows, "grp string, x1 long, x2 long, y long"
+        )
+        return {
+            r["grp"]: (r["b0"], r["b1"], r["b2"])
+            for r in ols2(df, "y", "x1", "x2", ["grp"]).collect()
+        }
+
+    def test_exact_plane_recovered(self, spark):
+        # y = 2 + 3*x1 + 5*x2, zero residual -> coefficients exact
+        pts = [(1, 1), (2, 1), (1, 2), (3, 2), (2, 4), (5, 1)]
+        rows = [("g", a, b, 2 + 3 * a + 5 * b) for a, b in pts]
+        got = self._fit(spark, rows)
+        assert got["g"] == (2.0, 3.0, 5.0)
+
+    def test_collinear_regressors_yield_null(self, spark):
+        # x2 = 2*x1 exactly -> singular normal equations -> NULLs
+        rows = [("g", a, 2 * a, 7 * a) for a in range(1, 6)]
+        got = self._fit(spark, rows)
+        assert got["g"] == (None, None, None)
+
+    def test_groups_fit_independently(self, spark):
+        rows = [("a", x, y, 10 + x + y) for x, y in [(1, 2), (2, 1), (3, 3), (1, 1)]]
+        rows += [("b", x, y, 100 - x + 2 * y) for x, y in [(1, 2), (2, 1), (3, 3), (1, 1)]]
+        got = self._fit(spark, rows)
+        assert got["a"] == (10.0, 1.0, 1.0)
+        assert got["b"] == (100.0, -1.0, 2.0)
