@@ -2144,6 +2144,47 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B two-proportion z-test (rankstats.two_proportion_z): users
+    split by id parity, success = at least one purchase event; one
+    per-user aggregation + one per-variant aggregation, then the pooled
+    z statistic as a single fixed double expression over four exact
+    BIGINT counts."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted")
+    )
+    users = users.withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return rk.two_proportion_z(users, "variant", "converted")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outliers via exact median absolute
+    deviation (rankstats.mad_outliers): rank-selected lower medians, an
+    all-integer flag comparison (|x−med|·1e6 > k·MAD) — the
+    breakdown-resistant twin of anomaly_zscore, engine-identical with no
+    sigma estimate."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return rk.mad_outliers(ev, ["event_type"], "v_cents", "event_id")
+
+
 def q_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature least squares per brand (rankstats.ols2): regress
     line revenue (cents) on quantity and discount (ppm) — nine exact
@@ -3049,6 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": q_lang_agreement,
         "conv_survival": q_conv_survival,
         "price_regression": q_price_regression,
+        "mad_outliers": q_mad_outliers,
+        "ab_test_z": q_ab_test,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4875,6 +4918,89 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ab_test_z": """
+WITH u AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS converted,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+),
+per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS x
+  FROM u GROUP BY 1
+),
+one AS (
+  SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+         CAST(count(*) AS BIGINT) AS n_variants,
+         CAST(max(CASE WHEN variant = (SELECT min(variant) FROM per)
+                       THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN variant = (SELECT min(variant) FROM per)
+                       THEN x END) AS BIGINT) AS x_a,
+         CAST(max(CASE WHEN variant = (SELECT max(variant) FROM per)
+                       THEN n END) AS BIGINT) AS n_b,
+         CAST(max(CASE WHEN variant = (SELECT max(variant) FROM per)
+                       THEN x END) AS BIGINT) AS x_b
+  FROM per
+),
+z AS (
+  SELECT *,
+         (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+  FROM one
+)
+SELECT variant_a, variant_b, n_variants, n_a, x_a, n_b, x_b,
+       round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(pool * (1.0 - pool)
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+FROM z
+""",
+        "mad_outliers": """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+r1 AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY v_cents, event_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN v_cents END)
+           AS BIGINT) AS median
+  FROM r1 GROUP BY 1
+),
+dev AS (
+  SELECT v.event_type, v.event_id, v.v_cents, m.median,
+         abs(v.v_cents - m.median) AS adev
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY adev, event_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN adev END)
+           AS BIGINT) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT d.event_type, d.event_id, d.v_cents, d.median, md.mad,
+       (d.adev * 1000000 > 3000000 * md.mad) AS is_outlier
+FROM dev d JOIN mad md USING (event_type)
 """,
         "price_regression": """
 WITH v AS (

@@ -365,3 +365,145 @@ def ols2(
         F.round(F.try_divide(det1, det), 6).alias("b1"),
         F.round(F.try_divide(det2, det), 6).alias("b2"),
     )
+
+
+def median_exact(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Exact per-group lower median (value at rank ceil(n/2)) — the
+    deterministic discrete convention shared with :func:`winsorize`
+    (engines disagree on interpolated medians; a rank-selected VALUE is
+    engine-free). One per-group window pass + one conditional agg down
+    to |groups| rows."""
+    w = Window.partitionBy(*keys).orderBy(value_col, order_col)
+    ranked = (
+        df.select(*keys, order_col, value_col)
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+    )
+    return ranked.groupBy(*keys).agg(
+        F.max(
+            F.when(
+                F.col("_r") == F.expr("(_n + 1) div 2"), F.col(value_col)
+            )
+        ).alias("median"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    k_ppm: int = 3_000_000,
+) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation — the
+    breakdown-resistant alternative to z-scores (one mega-outlier drags
+    a mean/sigma toward itself and masks its neighbours; medians don't
+    move):
+
+        flag(x)  iff  |x − median| * 1e6 > k_ppm * MAD,
+        MAD = median of |x − median|
+
+    Both medians are exact rank-selected values (:func:`median_exact`'s
+    lower-median convention), and the comparison is pure integer
+    arithmetic — no 1.4826 float scaling, no sigma estimate, so flags
+    are engine-identical. Zero-MAD groups (majority at one value) flag
+    everything off the median, the standard convention.
+
+    Plan shape: two window+agg rounds over the same per-group hash
+    partitioning (medians of values, then of deviations), one broadcast
+    join of the |groups|-sized bounds back to the rows.
+    """
+    med = median_exact(df, keys, value_col, order_col)
+    dev = (
+        df.select(*keys, order_col, value_col)
+        .join(F.broadcast(med), list(keys))
+        .withColumn("_adev", F.abs(F.col(value_col) - F.col("median")))
+    )
+    mad = (
+        median_exact(dev, keys, "_adev", order_col)
+        .withColumnRenamed("median", "mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), list(keys))
+        .select(
+            *keys,
+            order_col,
+            value_col,
+            "median",
+            "mad",
+            (
+                F.col("_adev") * F.lit(1_000_000)
+                > F.lit(int(k_ppm)) * F.col("mad")
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B-test primitive: given per-unit
+    (variant, success∈{0,1}) rows, test whether conversion differs
+    between the two variants:
+
+        z = (p_a − p_b) / sqrt( p̂(1−p̂) (1/n_a + 1/n_b) ),
+        p̂ = pooled conversion
+
+    The data-sized work is ONE aggregation to per-variant (n, x) exact
+    BIGINT counts; the statistic is a single fixed-parenthesization
+    double expression over four integers — engine-identical. Variant a =
+    the lexicographically smaller label (deterministic sign). Degenerate
+    pools (p̂ of 0 or 1 ⇒ zero denominator) yield NULL via try_divide.
+    ``n_variants`` rides along so a mis-shaped input (≠2 variants) is
+    visible rather than silently collapsed to min/max labels.
+
+    Output: one row — (variant_a, variant_b, n_variants, n_a, x_a, n_b,
+    x_b, z).
+    """
+    per = df.groupBy(F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(success_col).cast("long")).alias("_x"),
+    )
+    lbl = per.agg(
+        F.min("_v").alias("variant_a"),
+        F.max("_v").alias("variant_b"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    one = (
+        per.crossJoin(F.broadcast(lbl))
+        .groupBy("variant_a", "variant_b", "n_variants")
+        .agg(
+            F.max(F.when(F.col("_v") == F.col("variant_a"), F.col("_n"))).alias("n_a"),
+            F.max(F.when(F.col("_v") == F.col("variant_a"), F.col("_x"))).alias("x_a"),
+            F.max(F.when(F.col("_v") == F.col("variant_b"), F.col("_n"))).alias("n_b"),
+            F.max(F.when(F.col("_v") == F.col("variant_b"), F.col("_x"))).alias("x_b"),
+        )
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pool = (xa + xb) / (na + nb)
+    return one.select(
+        "variant_a",
+        "variant_b",
+        "n_variants",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(
+            F.try_divide(
+                xa / na - xb / nb,
+                F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+            ),
+            6,
+        ).alias("z"),
+    )

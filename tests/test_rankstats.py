@@ -387,3 +387,59 @@ class TestOLS2:
         got = self._fit(spark, rows)
         assert got["a"] == (10.0, 1.0, 1.0)
         assert got["b"] == (100.0, -1.0, 2.0)
+
+
+class TestMAD:
+    def _m(self, spark, vals, k_ppm=3_000_000):
+        from kafka2iceberg_spark.rankstats import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "key string, oid long, v long",
+        )
+        rows = mad_outliers(df, ["key"], "v", "oid", k_ppm).collect()
+        return {r["oid"]: (r["median"], r["mad"], r["is_outlier"]) for r in rows}
+
+    def test_mega_outlier_does_not_mask_itself(self, spark):
+        # [10,11,12,13,1000]: median=12, adevs sorted [0,1,1,2,988] ->
+        # MAD (lower median, rank 3) = 1; 1000 flags (988 > 3*1)
+        got = self._m(spark, [10, 11, 12, 13, 1000])
+        assert got[4] == (12, 1, True)
+        assert got[0] == (12, 1, False)  # |10-12|=2 <= 3
+
+    def test_zero_mad_flags_everything_off_median(self, spark):
+        # majority at one value: MAD=0 -> any deviation flags
+        got = self._m(spark, [5, 5, 5, 9])
+        assert got[3][2] is True and got[0][2] is False
+
+    def test_even_group_uses_lower_median(self, spark):
+        # n=4 -> rank (4+1)//2 = 2 -> lower middle value
+        got = self._m(spark, [1, 2, 8, 9])
+        assert got[0][0] == 2
+
+
+class TestTwoProportionZ:
+    def _z(self, spark, rows):
+        from kafka2iceberg_spark.rankstats import two_proportion_z
+
+        df = spark.createDataFrame(rows, "variant string, ok long")
+        return two_proportion_z(df, "variant", "ok").collect()[0]
+
+    def test_hand_computed_statistic(self, spark):
+        import math
+
+        # A: 8/10, B: 5/10 -> pool 0.65
+        rows = [("A", 1)] * 8 + [("A", 0)] * 2 + [("B", 1)] * 5 + [("B", 0)] * 5
+        r = self._z(spark, rows)
+        want = (0.8 - 0.5) / math.sqrt(0.65 * 0.35 * (0.1 + 0.1))
+        assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (10, 8, 10, 5)
+        assert r["z"] == round(want, 6)
+        assert r["n_variants"] == 2
+
+    def test_identical_rates_z_zero(self, spark):
+        rows = [("A", 1), ("A", 0), ("B", 1), ("B", 0)]
+        assert self._z(spark, rows)["z"] == 0.0
+
+    def test_degenerate_all_converted_null(self, spark):
+        rows = [("A", 1), ("B", 1)]
+        assert self._z(spark, rows)["z"] is None
