@@ -1044,6 +1044,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: after transitive
+    clustering (dedup.neardup_components), keep the LONGEST member
+    (doc_id tie-break) — the keep-best survivor rule real dedup
+    pipelines use instead of min-id. One |docs|-sized join of components
+    to lengths + one per-component rank window; the oracle reuses the
+    closure CTE and replays the argmax."""
+    aug = _docs_aug_near(spark, sf_dir, subset=False)
+    comp = dd.neardup_components(aug, threshold=0.875)
+    joined = comp.join(
+        aug.select("doc_id", F.length("text").alias("n_len")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_len"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        F.col("n_len").cast("long").alias("n_len"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word-5-gram
     with the pseudo-benchmark set (originals whose near-dup variants are in
@@ -3039,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
@@ -3335,7 +3359,7 @@ _PACK_FFD_SQL = _PACK_WITH + "\n" + _PACK_SELECT
 
 def oracle_sql() -> dict[str, str]:
     gap = SESSION_GAP_US
-    return {
+    out = {
         "tumbling_window": f"""
 WITH {_TX}
 SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start_us,
@@ -6497,3 +6521,29 @@ JOIN sizes sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
 """,
     }
+    # cluster_canonical reuses the dedup_clusters closure verbatim and
+    # replays the keep-longest argmax on top — one derivation, not a
+    # second hand-maintained copy of the LSH/closure SQL.
+    closure = out["dedup_clusters"].rstrip()
+    final = "SELECT doc_id, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY doc_id"
+    assert closure.endswith(final)
+    out["cluster_canonical"] = (
+        closure[: -len(final)].rstrip()
+        + ",\n"
+        + """comp AS (
+  SELECT doc_id, CAST(min(comp) AS BIGINT) AS component
+  FROM reach GROUP BY doc_id
+),
+lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len FROM aug),
+j AS (
+  SELECT c.doc_id, c.component, l.n_len
+  FROM comp c JOIN lens l USING (doc_id)
+)
+SELECT doc_id, component, n_len,
+       (row_number() OVER (
+          PARTITION BY component ORDER BY n_len DESC, doc_id
+        ) = 1) AS keep
+FROM j
+"""
+    )
+    return out

@@ -89,6 +89,15 @@ HEADLINE_EXTRA = [
     "assoc_rules",
     "source_entropy",
     "debounce_events",
+    # round-3 session-2 additions
+    "nb_classify",
+    "hybrid_search",
+    "hits_scores",
+    "holt_forecast",
+    "winsorize_values",
+    "mad_outliers",
+    "conv_size_gini",
+    "readability",
 ]
 
 SCALE_GEN = dict(
