@@ -2167,6 +2167,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the click and view value
+    distributions (rankstats.ks_test): per-value histograms, cumulative
+    counts over the DISTINCT value domain, sup in common-denominator
+    integers — the only float is the final division."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+    )
+    return rk.ks_test(ev, "event_type", "v_cents")
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B two-proportion z-test (rankstats.two_proportion_z): users
     split by id parity, success = at least one purchase event; one
@@ -3116,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_regression": q_price_regression,
         "mad_outliers": q_mad_outliers,
         "ab_test_z": q_ab_test,
+        "ks_drift": q_ks_drift,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -4942,6 +4962,40 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ks_drift": """
+WITH v AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+),
+per AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+byv AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM per GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (
+           ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cra,
+         CAST(sum(cb) OVER (
+           ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS crb
+  FROM byv
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM byv
+),
+d AS (
+  SELECT CAST(max(abs(cra * n_b - crb * n_a)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+)
+SELECT 'click' AS group_a, 'view' AS group_b, CAST(2 AS BIGINT) AS n_groups,
+       n_a, n_b, d_num, round(d_num / (n_a * n_b), 6) AS d
+FROM d CROSS JOIN tot
 """,
         "ab_test_z": """
 WITH u AS (

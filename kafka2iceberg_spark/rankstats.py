@@ -507,3 +507,85 @@ def two_proportion_z(
             6,
         ).alias("z"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the
+    distribution-drift test (did this week's feature distribution move
+    vs last week's? does slice A match slice B?), complementing CUSUM
+    (temporal drift) and PSI-style checks:
+
+        D = max over x of | F_a(x) − F_b(x) |
+
+    computed EXACTLY in integers: per-value counts for both samples,
+    cumulative counts over the ordered distinct-value domain, and the
+    sup taken over |ca·n_b − cb·n_a| (common-denominator form) so the
+    only float is the final division. The ordering window runs over
+    DISTINCT VALUES (the :func:`gini` discipline), never sample rows —
+    a billion-row sample with a cent-scale domain costs one histogram
+    aggregation and a tiny window. Group a = lexicographically smaller
+    label; requires exactly two groups (``n_groups`` rides along as the
+    shape check).
+
+    Output: one row — (group_a, group_b, n_groups, n_a, n_b, d_num, d).
+    """
+    per = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    lbl = per.agg(
+        F.min("_g").alias("group_a"),
+        F.max("_g").alias("group_b"),
+        F.count_distinct("_g").alias("n_groups"),
+    )
+    byv = (
+        per.crossJoin(F.broadcast(lbl))
+        .groupBy("group_a", "group_b", "n_groups", "_v")
+        .agg(
+            F.sum(
+                F.when(F.col("_g") == F.col("group_a"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("_g") == F.col("group_b"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("_cb"),
+        )
+    )
+    w = Window.partitionBy("group_a").orderBy("_v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byv.withColumn("_cra", F.sum("_ca").over(w)).withColumn(
+        "_crb", F.sum("_cb").over(w)
+    )
+    tot = byv.groupBy("group_a", "group_b", "n_groups").agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    diff = cum.join(
+        F.broadcast(tot), ["group_a", "group_b", "n_groups"]
+    ).select(
+        "group_a",
+        "group_b",
+        "n_groups",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("_cra") * F.col("n_b") - F.col("_crb") * F.col("n_a")
+        ).alias("_d"),
+    )
+    return (
+        diff.groupBy("group_a", "group_b", "n_groups", "n_a", "n_b")
+        .agg(F.max("_d").alias("d_num"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_groups",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.try_divide(F.col("d_num"), F.col("n_a") * F.col("n_b")), 6
+            ).alias("d"),
+        )
+    )

@@ -443,3 +443,31 @@ class TestTwoProportionZ:
     def test_degenerate_all_converted_null(self, spark):
         rows = [("A", 1), ("B", 1)]
         assert self._z(spark, rows)["z"] is None
+
+
+class TestKS:
+    def _d(self, spark, a_vals, b_vals):
+        from kafka2iceberg_spark.rankstats import ks_test
+
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        return ks_test(df, "g", "v").collect()[0]
+
+    def test_identical_samples_d_zero(self, spark):
+        r = self._d(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+        assert r["d"] == 0.0 and r["n_groups"] == 2
+
+    def test_disjoint_supports_d_one(self, spark):
+        r = self._d(spark, [1, 2, 3], [10, 11, 12])
+        assert r["d"] == 1.0
+
+    def test_hand_computed_sup(self, spark):
+        # a=[1,2], b=[2,3]: F_a(1)=.5,F_b(1)=0 -> .5; F_a(2)=1,F_b(2)=.5 -> .5
+        # sup = 0.5; common denominator: max|ca*nb - cb*na| = 2, nb*na = 4
+        r = self._d(spark, [1, 2], [2, 3])
+        assert (r["d_num"], r["d"]) == (2, 0.5)
+
+    def test_unbalanced_sizes_exact(self, spark):
+        # a=[1], b=[1,2,2]: F_a(1)=1, F_b(1)=1/3 -> sup=2/3
+        r = self._d(spark, [1], [1, 2, 2])
+        assert r["d"] == round(2 / 3, 6)
