@@ -36,7 +36,7 @@ Kafka2IcebergApp.java:60-113 is source→sink); sketches belong to the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import hash64 as h60
@@ -722,4 +722,157 @@ class StreamingZScore:
                 "is_anomaly",
                 F.coalesce(F.abs(F.col("z")) > z_lim, F.lit(False)),
             )
+        )
+
+
+class StreamingDrift:
+    """Continuously-maintained distribution-drift monitor: a per-bucket
+    value histogram lives in an IcebergLite table (pk = bucket, merged
+    by addition — mergeable like :class:`StreamingZScore`'s moments) and
+    every micro-batch is scored against the baseline BEFORE being folded
+    in: the exact two-sample KS statistic (``rankstats.ks_test``'s
+    common-denominator integer form) between the committed histogram and
+    the batch's histogram, appended to a drift-log table. The stream
+    thus audits itself: a feed whose value distribution shifts produces
+    a spike in ``d`` at the batch where it happened.
+
+    State is bounded by the bucket domain forever (cents div
+    bucket_width); both tables commit exactly-once. Crash between the
+    two commits is safe: the drift row is computed against the
+    PRE-MERGE baseline, and on replay the drift append is replay-guarded
+    while the histogram merge proceeds — each commit lands exactly once
+    either way. The first batch has no baseline and logs a NULL d.
+    """
+
+    def __init__(self, hist_table, drift_table, bucket_width: int = 100):
+        if sorted(hist_table.pk) != ["bucket"]:
+            raise ValueError("histogram table pk must be ['bucket']")
+        if sorted(drift_table.pk) != ["batch_id"]:
+            raise ValueError("drift table pk must be ['batch_id']")
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be positive")
+        self.hist = hist_table
+        self.drift = drift_table
+        self.width = int(bucket_width)
+
+    def _histogram(self, df: DataFrame, cents: Column) -> DataFrame:
+        v = cents.cast("long")
+        return (
+            df.select(v.alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .select(
+                (F.col("_v") - F.col("_v") % F.lit(self.width)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _ks(self, spark, base: DataFrame, batch: DataFrame) -> DataFrame:
+        """Exact KS between two (bucket, n) histograms — one row:
+        (n_base, n_batch, d_num, d). Window over distinct buckets."""
+        j = (
+            base.select("bucket", F.col("n").alias("_ca"))
+            .join(
+                batch.select("bucket", F.col("n").alias("_cb")),
+                "bucket",
+                "full",
+            )
+            .select(
+                "bucket",
+                F.coalesce("_ca", F.lit(0)).alias("_ca"),
+                F.coalesce("_cb", F.lit(0)).alias("_cb"),
+            )
+        )
+        w = Window.orderBy("bucket").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = j.withColumn("_cra", F.sum("_ca").over(w)).withColumn(
+            "_crb", F.sum("_cb").over(w)
+        )
+        tot = j.agg(
+            F.sum("_ca").alias("n_base"), F.sum("_cb").alias("n_batch")
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("n_base").alias("n_base"),
+                F.first("n_batch").alias("n_batch"),
+                F.max(
+                    F.abs(
+                        F.col("_cra") * F.col("n_batch")
+                        - F.col("_crb") * F.col("n_base")
+                    )
+                ).alias("d_num"),
+            )
+            .select(
+                "n_base",
+                "n_batch",
+                "d_num",
+                F.round(
+                    F.try_divide(
+                        F.col("d_num"), F.col("n_base") * F.col("n_batch")
+                    ),
+                    6,
+                ).alias("d"),
+            )
+        )
+
+    def apply_batch(
+        self, df: DataFrame, cents: Column, batch_id: str
+    ) -> bool:
+        if str(batch_id) in self.hist.committed_batches():
+            return False
+        spark = df.sparkSession
+        batch = self._histogram(df, cents)
+        try:
+            base = self.hist.read(spark).select("bucket", "n")
+        except FileNotFoundError:
+            base = None
+        if base is not None:
+            score = self._ks(spark, base, batch).withColumn(
+                "batch_id", F.lit(str(batch_id))
+            )
+        else:
+            score = batch.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_batch")
+            ).select(
+                F.lit(0).cast("long").alias("n_base"),
+                "n_batch",
+                F.lit(None).cast("long").alias("d_num"),
+                F.lit(None).cast("double").alias("d"),
+                F.lit(str(batch_id)).alias("batch_id"),
+            )
+        # drift row first (computed vs the PRE-merge baseline), then the
+        # merge — both replay-guarded, so a crash between them replays to
+        # the identical final state
+        self.drift.commit_upsert(score, str(batch_id))
+        if base is not None:
+            merged = (
+                batch.join(base.withColumnRenamed("n", "_old"), "bucket", "full")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("_old"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        else:
+            merged = batch
+        return self.hist.commit_overwrite(
+            merged, str(batch_id), dynamic=False
+        )
+
+    def start(self, stream: DataFrame, cents: Column, checkpoint: str, **trigger):
+        """Maintain baseline + drift log from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, cents, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def drift_log(self, spark) -> DataFrame:
+        return self.drift.read(spark).select(
+            "batch_id", "n_base", "n_batch", "d_num", "d"
         )

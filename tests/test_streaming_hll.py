@@ -203,3 +203,53 @@ def test_streaming_zscore_validates_pk_and_threshold(tmp_path):
     good = IcebergLite(str(tmp_path / "zg"), pk=["key"])
     with pytest.raises(ValueError):
         sk.StreamingZScore(good, z_ppm=0)
+
+
+def test_streaming_drift_scores_each_batch_against_baseline(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    w1 = [("k", v) for v in [10, 11, 12, 13, 14] * 4]
+    w2 = list(w1)                        # identical distribution -> d = 0
+    w3 = [("k", v) for v in [500, 501, 502] * 5]  # disjoint -> d = 1
+    _value_wave(spark, src, w1, t0, "w1")
+    _value_wave(spark, src, w2, t0 + 1, "w2")
+    _value_wave(spark, src, w3, t0 + 2, "w3")
+
+    hist = IcebergLite(str(tmp_path / "h"), pk=["bucket"], partition_field=None)
+    dlog = IcebergLite(str(tmp_path / "d"), pk=["batch_id"], partition_field=None)
+    sd = sk.StreamingDrift(hist, dlog, bucket_width=1)
+    stream = (
+        spark.readStream.schema("key string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = sd.start(stream, F.col("cents"), str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    log = {r["batch_id"]: (r["n_base"], r["n_batch"], r["d"])
+           for r in sd.drift_log(spark).collect()}
+    assert log["0"] == (0, 20, None)       # no baseline yet
+    assert log["1"] == (20, 20, 0.0)       # same distribution
+    assert log["2"] == (40, 15, 1.0)       # disjoint support vs w1+w2
+    # baseline histogram = exact value counts of all three waves
+    got = {r["bucket"]: r["n"] for r in hist.read(spark).collect()}
+    assert got[10] == 8 and got[500] == 5 and len(got) == 8
+
+    # fresh-checkpoint replay: both tables replay-guarded, nothing moves
+    q = sd.start(stream, F.col("cents"), str(tmp_path / "ck2"))
+    q.awaitTermination()
+    assert {r["batch_id"]: (r["n_base"], r["n_batch"], r["d"])
+            for r in sd.drift_log(spark).collect()} == log
+    assert {r["bucket"]: r["n"] for r in hist.read(spark).collect()} == got
+
+
+def test_streaming_drift_validates_shape(tmp_path):
+    h = IcebergLite(str(tmp_path / "h2"), pk=["bucket"])
+    d = IcebergLite(str(tmp_path / "d2"), pk=["batch_id"])
+    with pytest.raises(ValueError):
+        sk.StreamingDrift(IcebergLite(str(tmp_path / "x"), pk=["k"]), d)
+    with pytest.raises(ValueError):
+        sk.StreamingDrift(h, IcebergLite(str(tmp_path / "y"), pk=["k"]))
+    with pytest.raises(ValueError):
+        sk.StreamingDrift(h, d, bucket_width=0)
