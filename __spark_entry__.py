@@ -1494,6 +1494,65 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one scan, three
+    pushable predicates (ship year, discount band as exact ppm ints,
+    quantity cap), revenue = Σ extendedprice·discount as an exact
+    DECIMAL-scale product summed to BIGINT×10^6 — no float anywhere.
+    The simplest query in the suite and the purest pushdown test: the
+    plan must be scan → filter → one partial agg."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    disc_ppm = F.round(F.col("l_discount") * 1_000_000).cast("long")
+    rev6 = (
+        _dec("l_extendedprice") * _dec("l_discount") * F.lit(10000)
+    ).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc_ppm.between(50_000, 70_000)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev6).alias("revenue4"),
+        )
+    )
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one order-date quarter-of-year window —
+    lineitem filtered on the R flag, orders on the date band, customer
+    broadcast; revenue exact DECIMAL→BIGINT scale-4; deterministic
+    top-20 (revenue desc, custkey)."""
+    _utc(spark)
+    li = _read(spark, sf_dir, "lineitem", spread=True)
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    rev4 = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * F.lit(10000)
+    ).cast("long")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev4).alias("revenue4"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("revenue4"), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: PROMO-part share of revenue per ship month, in
     integer parts-per-million so the share survives cross-engine hashing.
@@ -3109,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "order_count_distribution": q_order_count_distribution,
         "promo_revenue_share": q_promo_revenue_share,
+        "forecast_revenue": q_forecast_revenue,
+        "returned_customers": q_returned_customers,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -4613,6 +4674,34 @@ WITH per_cust AS (
 SELECT COALESCE(n, 0) AS n_orders, count(*) AS n_customers
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 GROUP BY 1
+""",
+        "forecast_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))
+                     * 10000 AS BIGINT)) AS BIGINT) AS revenue4
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND CAST(round(l_discount * 1000000) AS BIGINT) BETWEEN 50000 AND 70000
+  AND l_quantity < 24
+""",
+        "returned_customers": """
+WITH j AS (
+  SELECT c_custkey, c_name,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              * 10000 AS BIGINT) AS rev4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+)
+SELECT c_custkey, c_name,
+       CAST(sum(rev4) AS BIGINT) AS revenue4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM j GROUP BY 1, 2
+ORDER BY revenue4 DESC, c_custkey LIMIT 20
 """,
         "promo_revenue_share": """
 WITH x AS (
