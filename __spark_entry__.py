@@ -2226,6 +2226,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_QUERY, k=10)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between click and view value
+    distributions (rankstats.psi): dollar-wide bins, Laplace-smoothed
+    shares, per-bin terms quantized to integer nanos before the
+    order-free sum — the third drift lens beside ks_drift and
+    cusum_drift."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+    )
+    return rk.psi(ev, "event_type", "v_cents", bucket_width=100)
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between the click and view value
     distributions (rankstats.ks_test): per-value histograms, cumulative
@@ -3197,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "ab_test_z": q_ab_test,
         "ks_drift": q_ks_drift,
+        "psi_drift": q_psi_drift,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -5051,6 +5072,42 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "psi_drift": """
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'view')
+),
+per AS (
+  SELECT g, vc - vc % 100 AS b, CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+),
+byb AS (
+  SELECT b,
+         CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM per GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM byb
+),
+terms AS (
+  SELECT CAST(round(
+           (CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE)
+            - CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))
+           * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE)))
+           * 1e9) AS BIGINT) AS t_nano
+  FROM byb CROSS JOIN tot
+)
+SELECT 'click' AS group_a, 'view' AS group_b, CAST(2 AS BIGINT) AS n_groups,
+       n_a, n_b, n_bins,
+       round(CAST(sum(t_nano) AS BIGINT) / 1e9, 6) AS psi
+FROM terms CROSS JOIN tot
+GROUP BY n_a, n_b, n_bins
 """,
         "ks_drift": """
 WITH v AS (

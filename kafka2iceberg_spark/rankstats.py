@@ -589,3 +589,106 @@ def ks_test(
             ).alias("d"),
         )
     )
+
+
+def psi(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Population Stability Index between two slices — the third drift
+    lens next to :func:`ks_test` (sup-difference) and CUSUM (temporal):
+
+        PSI = Σ over bins of (p_a − p_b) · ln(p_a / p_b)
+
+    over fixed-width value bins, with add-one (Laplace) smoothing so
+    bins observed in only one slice contribute finite mass — the
+    standard monitoring convention (rule of thumb: <0.1 stable, >0.25
+    shifted). Bin counts are exact BIGINTs; each bin's term is ONE fixed
+    double expression quantized to an integer nano before the sum, so
+    the total is an order-free BIGINT sum — partition- and
+    engine-identical (the :mod:`textops` nano-ln discipline).
+
+    Plan: one histogram aggregation (the only data-sized pass), one
+    |bins|-sized pivot + 1-row totals broadcast. Group a = smaller
+    label; ``n_groups`` rides along as the shape check.
+
+    Output: one row — (group_a, group_b, n_groups, n_a, n_b, n_bins,
+    psi).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    v = F.col(value_col).cast("long")
+    per = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            (v - v % F.lit(bucket_width)).alias("_b"),
+        )
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    lbl = per.agg(
+        F.min("_g").alias("group_a"),
+        F.max("_g").alias("group_b"),
+        F.count_distinct("_g").alias("n_groups"),
+    )
+    byb = (
+        per.crossJoin(F.broadcast(lbl))
+        .groupBy("group_a", "group_b", "n_groups", "_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_g") == F.col("group_a"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("_g") == F.col("group_b"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("_cb"),
+        )
+    )
+    tot = byb.groupBy("group_a", "group_b", "n_groups").agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    terms = byb.join(
+        F.broadcast(tot), ["group_a", "group_b", "n_groups"]
+    ).select(
+        "group_a",
+        "group_b",
+        "n_groups",
+        "n_a",
+        "n_b",
+        "n_bins",
+        F.round(
+            (
+                (F.col("_ca") + 1).cast("double")
+                / (F.col("n_a") + F.col("n_bins")).cast("double")
+                - (F.col("_cb") + 1).cast("double")
+                / (F.col("n_b") + F.col("n_bins")).cast("double")
+            )
+            * F.log(
+                (
+                    (F.col("_ca") + 1).cast("double")
+                    / (F.col("n_a") + F.col("n_bins")).cast("double")
+                )
+                / (
+                    (F.col("_cb") + 1).cast("double")
+                    / (F.col("n_b") + F.col("n_bins")).cast("double")
+                )
+            )
+            * 1e9
+        ).cast("long").alias("_t_nano"),
+    )
+    return (
+        terms.groupBy("group_a", "group_b", "n_groups", "n_a", "n_b", "n_bins")
+        .agg(F.sum("_t_nano").alias("_s"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_groups",
+            "n_a",
+            "n_b",
+            "n_bins",
+            F.round(F.col("_s") / 1e9, 6).alias("psi"),
+        )
+    )

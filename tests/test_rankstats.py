@@ -471,3 +471,40 @@ class TestKS:
         # a=[1], b=[1,2,2]: F_a(1)=1, F_b(1)=1/3 -> sup=2/3
         r = self._d(spark, [1], [1, 2, 2])
         assert r["d"] == round(2 / 3, 6)
+
+
+class TestPSI:
+    def _p(self, spark, a_vals, b_vals, width=1):
+        from kafka2iceberg_spark.rankstats import psi
+
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        return psi(df, "g", "v", bucket_width=width).collect()[0]
+
+    def test_identical_distributions_zero(self, spark):
+        r = self._p(spark, [1, 2, 3, 3], [1, 2, 3, 3])
+        assert r["psi"] == 0.0 and r["n_bins"] == 3
+
+    def test_hand_computed_two_bins(self, spark):
+        import math
+
+        # a: 3x bin0, 1x bin1; b: 1x bin0, 3x bin1; +1 smoothing, B=2:
+        # pa = [4/6, 2/6], pb = [2/6, 4/6]
+        r = self._p(spark, [0, 0, 0, 1], [0, 1, 1, 1])
+        t = (4 / 6 - 2 / 6) * math.log((4 / 6) / (2 / 6))
+        want = round((round(t * 1e9) + round(-t * -1e9 * 0) + round((2 / 6 - 4 / 6) * math.log((2 / 6) / (4 / 6)) * 1e9)) / 1e9, 6)
+        assert r["psi"] == want
+        assert r["psi"] > 0.25  # "shifted" by the monitoring rule of thumb
+
+    def test_one_sided_bin_is_finite(self, spark):
+        # value 9 appears only in b: smoothing keeps the term finite
+        r = self._p(spark, [1, 1], [1, 9])
+        assert r["psi"] is not None and r["psi"] > 0
+
+    def test_invalid_width_rejected(self, spark):
+        from kafka2iceberg_spark.rankstats import psi
+        import pytest as _pt
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with _pt.raises(ValueError):
+            psi(df, "g", "v", bucket_width=0)
