@@ -2659,6 +2659,47 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.holt_linear(r, ["event_type"], "v_cents")
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type (timeseries.ohlc): open/close are
+    rank-selected under the total order (ts, event_id), high/low plain
+    min/max — one window pass + one conditional agg, exact cents."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "v_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return ts.ohlc(ev, "ts", "event_id", ["event_type"], "v_cents", DAY_US)
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value per event type (timeseries.twap):
+    each observation weighted by its hold time to the next event (bucket
+    end closes the last interval) — exact integer micro-weights, one
+    window pass, one final division."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "v_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return ts.twap(ev, "ts", "event_id", ["event_type"], "v_cents", DAY_US)
+
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored running balance per event type
+    (timeseries.running_balance): daily net delta = revenue cents minus
+    a 50.00 drain per event; the clamp at zero is a nonlinear
+    recurrence (a window cumsum would over-credit recoveries after a
+    shortfall), folded JVM-side and replayed by a recursive-CTE oracle
+    together with the cumulative lost amount."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    deltas = r.select(
+        "event_type",
+        "bucket_us",
+        (F.col("v_cents") - F.col("n") * 5000).alias("delta_cents"),
+    )
+    return ts.running_balance(deltas, ["event_type"], "delta_cents")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential Poisson weighted sample (textops.seq_poisson_sample,
     Ohlsson 1998): k=50 documents drawn probability-proportional-to-size
@@ -3233,6 +3274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "ewma_smooth": q_ewma_smooth,
         "holt_forecast": q_holt_forecast,
+        "ohlc_bars": q_ohlc_bars,
+        "twap_daily": q_twap_daily,
+        "running_balance": q_running_balance,
         "weighted_sample": q_weighted_sample,
         "pareto_parts": q_pareto_parts,
         "rank_correlation": q_rank_correlation,
@@ -5797,6 +5841,88 @@ r AS (
 )
 SELECT side, node, score_fp, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= 25
+""",
+        "ohlc_bars": f"""
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         epoch_us(ts) AS eu, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type, bucket_us ORDER BY eu, event_id
+         ) AS rf,
+         row_number() OVER (
+           PARTITION BY event_type, bucket_us ORDER BY eu DESC, event_id DESC
+         ) AS rb
+  FROM v
+)
+SELECT event_type, bucket_us,
+       CAST(max(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS open_cents,
+       CAST(max(vc) AS BIGINT) AS high_cents,
+       CAST(min(vc) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rb = 1 THEN vc END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""",
+        "twap_daily": f"""
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         epoch_us(ts) AS eu, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+w AS (
+  SELECT *,
+         coalesce(
+           lead(eu) OVER (
+             PARTITION BY event_type, bucket_us ORDER BY eu, event_id
+           ),
+           bucket_us + {DAY_US}
+         ) - eu AS wt
+  FROM v
+)
+SELECT event_type, bucket_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(wt) AS BIGINT) AS span_us,
+       round(CAST(sum(vc * wt) AS BIGINT) / CAST(sum(wt) AS BIGINT), 6)
+         AS twap_cents
+FROM w GROUP BY 1, 2
+""",
+        "running_balance": f"""
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           - CAST(count(*) AS BIGINT) * 5000 AS d
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+         ) AS rn
+  FROM b
+),
+c AS (
+  SELECT event_type, bucket_us, rn, d,
+         greatest(CAST(0 AS BIGINT), d) AS bal,
+         greatest(CAST(0 AS BIGINT), -d) AS lost
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_us, o.rn, o.d,
+         greatest(CAST(0 AS BIGINT), c.bal + o.d),
+         c.lost + greatest(CAST(0 AS BIGINT), -(c.bal + o.d))
+  FROM c JOIN o ON o.event_type = c.event_type AND o.rn = c.rn + 1
+)
+SELECT event_type, bucket_us,
+       CAST(d AS BIGINT) AS delta,
+       CAST(bal AS BIGINT) AS balance,
+       CAST(lost AS BIGINT) AS lost
+FROM c
 """,
         "holt_forecast": f"""
 WITH RECURSIVE b AS (

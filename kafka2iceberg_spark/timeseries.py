@@ -942,3 +942,148 @@ def holt_linear(
         F.col("_s.b").alias("trend_cents"),
         (F.col("_s.l") + F.col("_s.b")).alias("forecast_cents"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    keys: list[str],
+    cents_col: str,
+    step_us: int,
+) -> DataFrame:
+    """OHLC bars — the classic financial resample (open/high/low/close
+    per bucket), which Spark has no single aggregate for. Open/close are
+    rank-selected values (row_number over the total order (ts,
+    order_col) per (keys, bucket), forward and backward), high/low plain
+    min/max — ONE window pass + one conditional aggregation, all exact
+    BIGINT cents. Same plan shape as :func:`rankstats.winsorize`: hash
+    exchange on (keys, bucket), in-partition sort, no global sort.
+    """
+    # NTZ inputs cast through timestamp (session TZ pinned UTC -> identity)
+    tsc = F.col(ts_col).cast("timestamp")
+    b = _bucket_us(tsc, step_us).alias("bucket_us")
+    eu = F.unix_micros(tsc)
+    base = df.select(
+        *keys, b, eu.alias("_eu"), F.col(order_col).alias("_o"),
+        F.col(cents_col).cast("long").alias("_v"),
+    )
+    wf = Window.partitionBy(*keys, "bucket_us").orderBy("_eu", "_o")
+    wb = Window.partitionBy(*keys, "bucket_us").orderBy(
+        F.desc("_eu"), F.desc("_o")
+    )
+    ranked = base.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    return ranked.groupBy(*keys, "bucket_us").agg(
+        F.max(F.when(F.col("_rf") == 1, F.col("_v"))).alias("open_cents"),
+        F.max("_v").alias("high_cents"),
+        F.min("_v").alias("low_cents"),
+        F.max(F.when(F.col("_rb") == 1, F.col("_v"))).alias("close_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    keys: list[str],
+    cents_col: str,
+    step_us: int,
+) -> DataFrame:
+    """Time-weighted average price per bucket: each observation is
+    weighted by how long it remained current (lead(ts) within the
+    bucket, the bucket end closing the last interval) — the standard
+    fix for irregular sampling, where a plain mean over-weights bursts:
+
+        twap = Σ v_i · (t_{i+1} − t_i)  /  (t_last_close − t_first)
+
+    Weights are exact integer micros and v·w products exact BIGINTs;
+    one final division (NULL for single-instant buckets via try_divide).
+    One window pass per (keys, bucket) partition + one aggregation.
+    """
+    tsc = F.col(ts_col).cast("timestamp")
+    b = _bucket_us(tsc, step_us).alias("bucket_us")
+    eu = F.unix_micros(tsc)
+    base = df.select(
+        *keys, b, eu.alias("_eu"), F.col(order_col).alias("_o"),
+        F.col(cents_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy(*keys, "bucket_us").orderBy("_eu", "_o")
+    nxt = F.coalesce(
+        F.lead("_eu").over(w),
+        F.col("bucket_us") + F.lit(step_us),
+    )
+    weighted = base.withColumn("_w", nxt - F.col("_eu"))
+    return (
+        weighted.groupBy(*keys, "bucket_us")
+        .agg(
+            F.sum(F.col("_v") * F.col("_w")).alias("_vw"),
+            F.sum("_w").alias("_tw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            *keys,
+            "bucket_us",
+            "n",
+            F.col("_tw").alias("span_us"),
+            F.round(F.try_divide(F.col("_vw"), F.col("_tw")), 6).alias(
+                "twap_cents"
+            ),
+        )
+    )
+
+
+def running_balance(
+    resampled: DataFrame,
+    keys: list[str],
+    delta_col: str,
+    floor: int = 0,
+) -> DataFrame:
+    """Capped running balance — inventory/credit arithmetic where the
+    balance cannot go below ``floor`` (returns land, stock is clamped at
+    zero, the shortfall is lost):
+
+        bal_i = max(floor, bal_{i-1} + delta_i),  bal_0 = floor
+
+    The clamp makes this a genuine nonlinear recurrence — inexpressible
+    as a window sum (a plain cumulative sum lets the balance go
+    negative and then over-credits the recovery) — so it uses the same
+    JVM higher-order-aggregate fold as :func:`ewma`/:func:`cusum_flags`:
+    per-key collect over RESAMPLED bucket summaries, exact BIGINT
+    arithmetic, replayed by a recursive-CTE oracle. Emits the clamped
+    balance and the cumulative shortfall lost to the clamp.
+    """
+    rows = F.array_sort(
+        F.collect_list(F.struct("bucket_us", F.col(delta_col).alias("d")))
+    )
+    folded = resampled.groupBy(*keys).agg(rows.alias("_rows"))
+    prev = "try_element_at(acc, -1)"
+    raw = f"CASE WHEN size(acc) = 0 THEN {floor} + r.d ELSE {prev}.bal + r.d END"
+    step = (
+        "(acc, r) -> array_append(acc, struct("
+        " r.bucket_us AS bucket_us, r.d AS d,"
+        f" greatest(cast({floor} as bigint), {raw}) AS bal,"
+        f" CASE WHEN size(acc) = 0 THEN cast(0 as bigint) ELSE {prev}.lost END"
+        f" + greatest(cast(0 as bigint), cast({floor} as bigint) - ({raw}))"
+        " AS lost))"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "aggregate(_rows,"
+                " cast(array() as array<struct<bucket_us:bigint,"
+                "d:bigint,bal:bigint,lost:bigint>>),"
+                f" {step})"
+            )
+        ).alias("_s"),
+    )
+    return out.select(
+        *keys,
+        F.col("_s.bucket_us").alias("bucket_us"),
+        F.col("_s.d").alias("delta"),
+        F.col("_s.bal").alias("balance"),
+        F.col("_s.lost").alias("lost"),
+    )

@@ -293,3 +293,49 @@ class TestHoltLinear:
         assert got[("a", base)] == 1000
         assert got[("a", base + HOUR_US)] == 1500
         assert got[("b", base)] == 10000  # b untouched by a's trend
+
+
+class TestOHLCTwapBalance:
+    def _df(self, spark, rows):
+        return _events(spark, rows)
+
+    def test_ohlc_hand_computed(self, spark):
+        df = self._df(
+            spark,
+            [(0, "a", 3.0), (10, "a", 9.0), (20, "a", 1.0), (30, "a", 5.0)],
+        )
+        df = df.withColumn(
+            "v_cents",
+            (F.col("value") * 100).cast("long"),
+        )
+        r = ts.ohlc(df, "ts", "event_id", ["key"], "v_cents", HOUR_US).collect()
+        assert len(r) == 1
+        x = r[0]
+        assert (x["open_cents"], x["high_cents"], x["low_cents"],
+                x["close_cents"], x["n"]) == (300, 900, 100, 500, 4)
+
+    def test_twap_weights_by_hold_time(self, spark):
+        # value 100 held 54 min of the hour, value 400 the last 6 min:
+        # twap = (100*54 + 400*6) / 60 = 130
+        df = self._df(spark, [(0, "a", 1.0), (54, "a", 4.0)])
+        df = df.withColumn("v_cents", (F.col("value") * 100).cast("long"))
+        x = ts.twap(df, "ts", "event_id", ["key"], "v_cents", HOUR_US).collect()[0]
+        assert x["twap_cents"] == 130.0
+        assert x["span_us"] == HOUR_US
+
+    def test_running_balance_clamps_and_tracks_loss(self, spark):
+        df = self._df(
+            spark,
+            [(0, "a", 10.0), (60, "a", -25.0), (120, "a", 7.0)],
+        )
+        r = ts.resample(df, "ts", HOUR_US, ["key"], value_col="value")
+        deltas = r.select("key", "bucket_us", F.col("v_cents").alias("d"))
+        rows = {
+            x["bucket_us"]: (x["balance"], x["lost"])
+            for x in ts.running_balance(deltas, ["key"], "d").collect()
+        }
+        base = 1_704_067_200_000_000
+        # 1000 -> clamp(1000-2500)=0 with 1500 lost -> 700
+        assert rows[base] == (1000, 0)
+        assert rows[base + HOUR_US] == (0, 1500)
+        assert rows[base + 2 * HOUR_US] == (700, 1500)
