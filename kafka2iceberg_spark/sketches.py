@@ -876,3 +876,133 @@ class StreamingDrift:
         return self.drift.read(spark).select(
             "batch_id", "n_base", "n_batch", "d_num", "d"
         )
+
+
+class StreamingOHLC:
+    """Continuously-maintained OHLC bars: per (key, bucket) candles live
+    in an IcebergLite table and each micro-batch merges its own partial
+    bars — OHLC is a textbook mergeable aggregate once open/close carry
+    their timestamps:
+
+        open  := value at the smaller (first_eu, first_o)
+        close := value at the larger  (last_eu, last_o)
+        high/low/n := max / min / sum
+
+    so late or out-of-order events land in their bar exactly as a batch
+    recompute would place them (stream == batch parity is the pytest
+    gate). State is bounded by |keys| x |buckets|; commits are
+    replay-guarded equality-upserts on (key, bucket_us) — the same
+    serve-from-committed discipline as :class:`StreamingHLL`.
+    """
+
+    def __init__(self, table, step_us: int) -> None:
+        if sorted(table.pk) != ["bucket_us", "key"]:
+            raise ValueError("OHLC table pk must be ['key', 'bucket_us']")
+        if step_us <= 0:
+            raise ValueError("step_us must be positive")
+        self.table = table
+        self.step_us = int(step_us)
+
+    _COLS = [
+        "key", "bucket_us", "first_eu", "first_o", "open_cents",
+        "last_eu", "last_o", "close_cents", "high_cents", "low_cents", "n",
+    ]
+
+    def _bars(self, df: DataFrame, key, ts, order, cents) -> DataFrame:
+        tsc = ts.cast("timestamp")
+        eu = F.unix_micros(tsc)
+        base = df.select(
+            key.alias("key"),
+            (
+                F.unix_micros(tsc)
+                - F.unix_micros(tsc) % F.lit(self.step_us)
+            ).alias("bucket_us"),
+            eu.alias("_eu"),
+            order.cast("long").alias("_o"),
+            cents.cast("long").alias("_v"),
+        )
+        # min_by/max_by on a (eu, o) struct: lexicographic struct ordering
+        # IS the event total order, so partial bars merge associatively
+        tie = F.struct(F.col("_eu"), F.col("_o"))
+        return base.groupBy("key", "bucket_us").agg(
+            F.min("_eu").alias("first_eu"),
+            F.min_by(F.col("_o"), tie).alias("first_o"),
+            F.min_by(F.col("_v"), tie).alias("open_cents"),
+            F.max("_eu").alias("last_eu"),
+            F.max_by(F.col("_o"), tie).alias("last_o"),
+            F.max_by(F.col("_v"), tie).alias("close_cents"),
+            F.max("_v").alias("high_cents"),
+            F.min("_v").alias("low_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def apply_batch(self, df: DataFrame, key, ts, order, cents, batch_id) -> bool:
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        spark = df.sparkSession
+        batch = self._bars(df, key, ts, order, cents)
+        try:
+            cur = self.table.read(spark).select(*self._COLS)
+        except FileNotFoundError:
+            cur = None
+        if cur is not None:
+            # merge only the touched bars: existing side semi-filtered by
+            # the batch's (key, bucket) set, then candle-merge
+            b = batch.select(
+                *[F.col(c).alias("b_" + c) for c in self._COLS]
+            )
+            j = b.join(
+                cur,
+                (F.col("b_key") == F.col("key"))
+                & (F.col("b_bucket_us") == F.col("bucket_us")),
+                "left",
+            )
+            first_is_b = F.col("first_eu").isNull() | (
+                F.struct(F.col("b_first_eu"), F.col("b_first_o"))
+                < F.struct(F.col("first_eu"), F.col("first_o"))
+            )
+            last_is_b = F.col("last_eu").isNull() | (
+                F.struct(F.col("b_last_eu"), F.col("b_last_o"))
+                > F.struct(F.col("last_eu"), F.col("last_o"))
+            )
+            merged = j.select(
+                F.col("b_key").alias("key"),
+                F.col("b_bucket_us").alias("bucket_us"),
+                F.when(first_is_b, F.col("b_first_eu"))
+                .otherwise(F.col("first_eu")).alias("first_eu"),
+                F.when(first_is_b, F.col("b_first_o"))
+                .otherwise(F.col("first_o")).alias("first_o"),
+                F.when(first_is_b, F.col("b_open_cents"))
+                .otherwise(F.col("open_cents")).alias("open_cents"),
+                F.when(last_is_b, F.col("b_last_eu"))
+                .otherwise(F.col("last_eu")).alias("last_eu"),
+                F.when(last_is_b, F.col("b_last_o"))
+                .otherwise(F.col("last_o")).alias("last_o"),
+                F.when(last_is_b, F.col("b_close_cents"))
+                .otherwise(F.col("close_cents")).alias("close_cents"),
+                F.greatest(
+                    F.col("b_high_cents"), F.coalesce(F.col("high_cents"), F.col("b_high_cents"))
+                ).alias("high_cents"),
+                F.least(
+                    F.col("b_low_cents"), F.coalesce(F.col("low_cents"), F.col("b_low_cents"))
+                ).alias("low_cents"),
+                (
+                    F.col("b_n") + F.coalesce(F.col("n"), F.lit(0))
+                ).cast("long").alias("n"),
+            )
+        else:
+            merged = batch
+        return self.table.commit_upsert(merged, str(batch_id))
+
+    def start(self, stream, key, ts, order, cents, checkpoint, **trigger):
+        """Maintain the candles from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, key, ts, order, cents, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def bars(self, spark) -> DataFrame:
+        return self.table.read(spark).select(
+            "key", "bucket_us", "open_cents", "high_cents",
+            "low_cents", "close_cents", "n",
+        )

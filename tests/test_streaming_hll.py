@@ -253,3 +253,91 @@ def test_streaming_drift_validates_shape(tmp_path):
         sk.StreamingDrift(h, IcebergLite(str(tmp_path / "y"), pk=["k"]))
     with pytest.raises(ValueError):
         sk.StreamingDrift(h, d, bucket_width=0)
+
+
+def test_streaming_ohlc_matches_batch_under_out_of_order_waves(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 100
+    base_us = 1_700_000_000_000_000
+    # wave 1 carries the LATER half of each bucket; wave 2 the earlier —
+    # open/close must still land as a batch recompute would place them
+    def rows(us_vals):
+        import datetime as dt
+        return [
+            ("k", dt.datetime.utcfromtimestamp(u / 1e6), i + off, v)
+            for i, (u, off, v) in enumerate(us_vals)
+        ]
+    w1 = rows([(base_us + 30_000_000, 100, 500), (base_us + 50_000_000, 200, 900)])
+    w2 = rows([(base_us + 1_000_000, 300, 300), (base_us + 10_000_000, 400, 100)])
+    for i, w in enumerate((w1, w2)):
+        df = spark.createDataFrame(
+            w, "key string, ts timestamp, event_id long, cents long"
+        )
+        _stamp_wave(df, src, f"w{i}", t0 + i)
+
+    table = IcebergLite(
+        str(tmp_path / "ohlc"), pk=["key", "bucket_us"], partition_field=None
+    )
+    so = sk.StreamingOHLC(table, step_us=60_000_000)
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, event_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = so.start(
+        stream, F.col("key"), F.col("ts"), F.col("event_id"),
+        F.col("cents"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["key"], r["bucket_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n"],
+        )
+        for r in so.bars(spark).collect()
+    }
+    # batch recompute over the union
+    from kafka2iceberg_spark import timeseries as ts_mod
+
+    batch_all = spark.read.parquet(src + "/*")
+    want = {
+        (r["key"], r["bucket_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n"],
+        )
+        for r in ts_mod.ohlc(
+            batch_all, "ts", "event_id", ["key"], "cents", 60_000_000
+        ).collect()
+    }
+    assert got == want
+    # base_us is NOT bucket-aligned (base % 60s = 20s), so the +50s event
+    # spills into the next bar: first bar merges wave-2's earlier events
+    # under wave-1's +30s close; second bar is the lone +50s event
+    b0 = base_us - base_us % 60_000_000
+    assert got[("k", b0)] == (300, 500, 100, 500, 3)
+    assert got[("k", b0 + 60_000_000)] == (900, 900, 900, 900, 1)
+
+    # fresh-checkpoint replay: upserts replay-guarded, candles unchanged
+    q = so.start(
+        stream, F.col("key"), F.col("ts"), F.col("event_id"),
+        F.col("cents"), str(tmp_path / "ck2"),
+    )
+    q.awaitTermination()
+    assert {
+        (r["key"], r["bucket_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n"],
+        )
+        for r in so.bars(spark).collect()
+    } == got
+
+
+def test_streaming_ohlc_validates_shape(tmp_path):
+    with pytest.raises(ValueError):
+        sk.StreamingOHLC(IcebergLite(str(tmp_path / "a"), pk=["key"]), 60)
+    with pytest.raises(ValueError):
+        sk.StreamingOHLC(
+            IcebergLite(str(tmp_path / "b"), pk=["key", "bucket_us"]), 0
+        )
