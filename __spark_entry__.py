@@ -2246,6 +2246,33 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.psi(ev, "event_type", "v_cents", bucket_width=100)
 
 
+def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (rankstats.cuped): per-user
+    pre-period spend (first half of the month) adjusts the post-period
+    metric; theta, adjusted means, and the variance reduction rho²
+    derive algebraically from one pass of exact BIGINT moment sums — no
+    per-row double exists anywhere."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = "2024-01-16"
+    users = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        ).alias("pre_cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        ).alias("post_cents"),
+    )
+    users = users.withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return rk.cuped(users, "variant", "pre_cents", "post_cents")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between the click and view value
     distributions (rankstats.ks_test): per-value histograms, cumulative
@@ -3259,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_z": q_ab_test,
         "ks_drift": q_ks_drift,
         "psi_drift": q_psi_drift,
+        "cuped_readout": q_cuped_readout,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -5116,6 +5144,77 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "cuped_readout": """
+WITH u AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+           AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+           AS BIGINT) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+),
+per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM u GROUP BY 1
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u
+),
+one AS (
+  SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+         CAST(max(CASE WHEN variant = (SELECT min(variant) FROM per)
+                       THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN variant = (SELECT min(variant) FROM per)
+                       THEN sx END) AS BIGINT) AS sx_a,
+         CAST(max(CASE WHEN variant = (SELECT min(variant) FROM per)
+                       THEN sy END) AS BIGINT) AS sy_a,
+         CAST(max(CASE WHEN variant = (SELECT max(variant) FROM per)
+                       THEN n END) AS BIGINT) AS n_b,
+         CAST(max(CASE WHEN variant = (SELECT max(variant) FROM per)
+                       THEN sx END) AS BIGINT) AS sx_b,
+         CAST(max(CASE WHEN variant = (SELECT max(variant) FROM per)
+                       THEN sy END) AS BIGINT) AS sy_b
+  FROM per
+),
+c AS (
+  SELECT one.*, pooled.n, pooled.sx, pooled.sy,
+         CAST(pooled.n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE) AS cov2,
+         CAST(pooled.n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE) AS vx2,
+         CAST(pooled.n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(pooled.sy AS DOUBLE) * CAST(pooled.sy AS DOUBLE) AS vy2
+  FROM one CROSS JOIN pooled
+),
+d AS (
+  SELECT *,
+         cov2 / vx2 AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - (cov2 / vx2) * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS ma,
+         CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - (cov2 / vx2) * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mb
+  FROM c
+)
+SELECT variant_a, variant_b, n_a, n_b,
+       round(theta, 6) AS theta,
+       round(ma, 6) AS mean_adj_a,
+       round(mb, 6) AS mean_adj_b,
+       round(ma - mb, 6) AS adj_diff,
+       round((cov2 * cov2) / (vx2 * vy2), 6) AS rho2
+FROM d
 """,
         "psi_drift": """
 WITH v AS (

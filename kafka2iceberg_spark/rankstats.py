@@ -692,3 +692,85 @@ def psi(
             F.round(F.col("_s") / 1e9, 6).alias("psi"),
         )
     )
+
+
+def cuped(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    adjust the post-period metric by each unit's pre-period covariate:
+
+        y_adj = y − θ·(x − mean(x)),   θ = cov(x, y) / var(x)
+
+    Everything derives ALGEBRAICALLY from exact BIGINT moment sums (per-
+    variant n/Σx/Σy plus pooled Σxy/Σx²/Σy²): adjusted variant means are
+    mean_y_v − θ·(mean_x_v − mean_x), and the variance reduction equals
+    the squared pre/post correlation (var(y_adj) = var_y·(1 − ρ²)) — so
+    no per-row double ever exists and the result is order-free and
+    engine-identical, one aggregation pass over the units.
+
+    Output: one row — (variant_a, variant_b, n_a, n_b, theta,
+    mean_adj_a, mean_adj_b, adj_diff, rho2), rounded to 6; degenerate
+    var_x = 0 or var_y = 0 yields NULLs via try_divide.
+    """
+    x, y = F.col(pre_col).cast("long"), F.col(post_col).cast("long")
+    per = df.groupBy(F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+    )
+    pooled = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    lbl = per.agg(
+        F.min("_v").alias("variant_a"), F.max("_v").alias("variant_b")
+    )
+    one = (
+        per.crossJoin(F.broadcast(lbl))
+        .groupBy("variant_a", "variant_b")
+        .agg(
+            F.max(F.when(F.col("_v") == F.col("variant_a"), F.col("_n"))).alias("n_a"),
+            F.max(F.when(F.col("_v") == F.col("variant_a"), F.col("_sx"))).alias("sx_a"),
+            F.max(F.when(F.col("_v") == F.col("variant_a"), F.col("_sy"))).alias("sy_a"),
+            F.max(F.when(F.col("_v") == F.col("variant_b"), F.col("_n"))).alias("n_b"),
+            F.max(F.when(F.col("_v") == F.col("variant_b"), F.col("_sx"))).alias("sx_b"),
+            F.max(F.when(F.col("_v") == F.col("variant_b"), F.col("_sy"))).alias("sy_b"),
+        )
+        .crossJoin(F.broadcast(pooled))
+    )
+    dn = F.col("n").cast("double")
+    cov_n2 = dn * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx_n2 = dn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary_n2 = dn * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    theta = F.try_divide(cov_n2, varx_n2)
+    mean_x = F.col("sx").cast("double") / dn
+    adj = lambda sfx: (  # noqa: E731
+        F.col("sy_" + sfx).cast("double") / F.col("n_" + sfx).cast("double")
+        - theta
+        * (
+            F.col("sx_" + sfx).cast("double")
+            / F.col("n_" + sfx).cast("double")
+            - mean_x
+        )
+    )
+    return one.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(adj("a"), 6).alias("mean_adj_a"),
+        F.round(adj("b"), 6).alias("mean_adj_b"),
+        F.round(adj("a") - adj("b"), 6).alias("adj_diff"),
+        F.round(
+            F.try_divide(cov_n2 * cov_n2, varx_n2 * vary_n2), 6
+        ).alias("rho2"),
+    )

@@ -508,3 +508,30 @@ class TestPSI:
         df = spark.createDataFrame([("a", 1)], "g string, v long")
         with _pt.raises(ValueError):
             psi(df, "g", "v", bucket_width=0)
+
+
+class TestCUPED:
+    def _c(self, spark, rows):
+        from kafka2iceberg_spark.rankstats import cuped
+
+        df = spark.createDataFrame(rows, "variant string, x long, y long")
+        return cuped(df, "variant", "x", "y").collect()[0]
+
+    def test_perfectly_correlated_covariate_removes_all_variance(self, spark):
+        # y = 2x exactly -> theta = 2, rho2 = 1, both adjusted means equal
+        rows = [("A", 1, 2), ("A", 3, 6), ("B", 2, 4), ("B", 4, 8)]
+        r = self._c(spark, rows)
+        assert r["theta"] == 2.0 and r["rho2"] == 1.0
+        assert r["mean_adj_a"] == r["mean_adj_b"] == 5.0  # pooled mean of y
+
+    def test_uncorrelated_covariate_changes_nothing(self, spark):
+        # x constant per unit pattern has zero covariance with y
+        rows = [("A", 1, 10), ("A", 2, 20), ("B", 1, 20), ("B", 2, 10)]
+        r = self._c(spark, rows)
+        assert r["theta"] == 0.0 and r["rho2"] == 0.0
+        assert r["mean_adj_a"] == 15.0 and r["mean_adj_b"] == 15.0
+
+    def test_degenerate_constant_covariate_nulls(self, spark):
+        rows = [("A", 5, 1), ("B", 5, 2)]
+        r = self._c(spark, rows)
+        assert r["theta"] is None and r["rho2"] is None
