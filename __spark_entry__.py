@@ -2246,6 +2246,56 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.psi(ev, "event_type", "v_cents", bucket_width=100)
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion-lag percentiles: exact p50/p90
+    selected from a SECOND-granularity lag histogram (the gini/ks
+    distinct-value discipline — the ranking window never touches the
+    user domain), with the rank index in pure integer ceil arithmetic.
+    Two user-keyed aggregations + one tiny histogram window."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eu").alias("s_eu"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s.hint("shuffle_hash"), "user_id")
+        .where(F.col("eu") >= F.col("s_eu"))
+        .groupBy("user_id")
+        .agg(F.min("eu").alias("p_eu"), F.first("s_eu").alias("s_eu"))
+    )
+    lags = p.select(
+        F.expr("(p_eu - s_eu) div 1000000").alias("lag_s")
+    )
+    hist = lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("lag_s").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.agg(F.sum("_c").alias("n_users"))
+    idx = lambda ppm: F.expr(  # noqa: E731
+        f"(cast({ppm} as bigint) * n_users + 999999) div 1000000"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_users").alias("n_users"),
+            F.min(
+                F.when(F.col("_cum") >= idx(500_000), F.col("lag_s"))
+            ).alias("p50_lag_s"),
+            F.min(
+                F.when(F.col("_cum") >= idx(900_000), F.col("lag_s"))
+            ).alias("p90_lag_s"),
+        )
+    )
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (rankstats.cuped): per-user
     pre-period spend (first half of the month) adjusts the post-period
@@ -3287,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "psi_drift": q_psi_drift,
         "cuped_readout": q_cuped_readout,
+        "conversion_lag": q_conversion_lag,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -5144,6 +5195,34 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "conversion_lag": """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_eu
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_eu, min(s.s_eu) AS s_eu
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_eu
+  GROUP BY 1
+),
+lags AS (SELECT (p_eu - s_eu) // 1000000 AS lag_s FROM p),
+hist AS (SELECT lag_s, CAST(count(*) AS BIGINT) AS c FROM lags GROUP BY 1),
+cum AS (
+  SELECT lag_s, CAST(sum(c) OVER (
+           ORDER BY lag_s RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cm
+  FROM hist
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_users FROM hist)
+SELECT n_users,
+       CAST(min(CASE WHEN cm >= (500000 * n_users + 999999) // 1000000
+                     THEN lag_s END) AS BIGINT) AS p50_lag_s,
+       CAST(min(CASE WHEN cm >= (900000 * n_users + 999999) // 1000000
+                     THEN lag_s END) AS BIGINT) AS p90_lag_s
+FROM cum CROSS JOIN tot
+GROUP BY n_users
 """,
         "cuped_readout": """
 WITH u AS (

@@ -98,6 +98,12 @@ HEADLINE_EXTRA = [
     "mad_outliers",
     "conv_size_gini",
     "readability",
+    "ks_drift",
+    "psi_drift",
+    "ohlc_bars",
+    "twap_daily",
+    "forecast_revenue",
+    "returned_customers",
 ]
 
 SCALE_GEN = dict(
