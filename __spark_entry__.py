@@ -2246,6 +2246,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.psi(ev, "event_type", "v_cents", bucket_width=100)
 
 
+def q_sla_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout-pattern CEP (state.sla_breaches_batch — Flink CEP's
+    notFollowedBy(...).within(T), the absence-of-event pattern class):
+    every user turn flagged if no assistant reply followed within 1 h.
+    One reversed-cumulative conditional-min window per conversation —
+    no self-join, no range explosion; live twin = sla_breaches_stream
+    (stream==batch parity in pytest)."""
+    from kafka2iceberg_spark import state as st
+
+    _utc(spark)
+    tr = transcripts(spark, sf_dir).withColumn(
+        "tid", F.col("turn_idx").cast("long")
+    )
+    return st.sla_breaches_batch(
+        tr, sla_us=3_600_000_000, id_col="tid"
+    )
+
+
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→first-purchase conversion-lag percentiles: exact p50/p90
     selected from a SECOND-granularity lag histogram (the gini/ks
@@ -3338,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "cuped_readout": q_cuped_readout,
         "conversion_lag": q_conversion_lag,
+        "sla_breaches": q_sla_breaches,
         "json_props_rollup": q_json_props_rollup,
         "ts_resample_fill": q_ts_resample_fill,
         "cohort_retention": q_cohort_retention,
@@ -5195,6 +5214,29 @@ tot AS (
 )
 SELECT doc_id, score, n_terms_hit
 FROM tot ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "sla_breaches": f"""
+WITH {_TX},
+b AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS tid, role,
+         epoch_us(ts) AS eu
+  FROM transcripts
+),
+n AS (
+  SELECT *,
+         min(CASE WHEN role = 'assistant' THEN eu END) OVER (
+           PARTITION BY conv_id ORDER BY eu DESC, tid DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS next_reply_us
+  FROM b
+)
+SELECT conv_id, tid, eu AS ts_us,
+       eu + 3600000000 AS deadline_us,
+       CASE WHEN next_reply_us <= eu + 3600000000
+            THEN next_reply_us END AS next_reply_us,
+       (next_reply_us IS NULL OR next_reply_us > eu + 3600000000)
+         AS breached
+FROM n WHERE role = 'user'
 """,
         "conversion_lag": """
 WITH s AS (
