@@ -129,6 +129,17 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-conversation curve at hour boundaries
+    (windows.concurrency_curve over the gap-closed sessions): each
+    session contributes ±1 at its ceil-boundaries and the curve is one
+    cumulative sum over the distinct boundary domain — interval
+    stacking without a time-grid explode or self-join."""
+    df = _tx(spark, sf_dir)
+    sess = win.sessionize(df, SESSION_GAP, ["conv_id"])
+    return win.concurrency_curve(sess, 3_600_000_000)
+
+
 def q_session_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same session semantics as q_session via the two-phase (bucketed
     partial-aggregate) plan — the mega-conversation scale path; shares the
@@ -3254,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding,
         "session_window": q_session,
         "session_window_two_phase": q_session_two_phase,
+        "concurrency_curve": q_concurrency,
         "session_window_sql": q_session_sql,
         "paired_turns": q_paired,
         "conv_document": q_conv_document,
@@ -3660,6 +3672,32 @@ SELECT MIN(eu) AS session_start_us,
        count(*) AS n_turns,
        max(turn_idx) AS max_turn
 FROM s GROUP BY conv_id, sid
+""",
+        "concurrency_curve": f"""
+WITH {_TX},
+e AS (SELECT conv_id, turn_idx, epoch_us(ts) AS eu FROM transcripts),
+m AS (SELECT *, CASE WHEN eu - lag(eu) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx) > {gap}
+                     THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY eu, turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+sess AS (
+  SELECT MIN(eu) AS s_us, MAX(eu) + {gap} AS e_us
+  FROM s GROUP BY conv_id, sid
+),
+deltas AS (
+  SELECT boundary_us, CAST(sum(d) AS BIGINT) AS delta FROM (
+    SELECT ((s_us + 3599999999) // 3600000000) * 3600000000
+             AS boundary_us, 1 AS d FROM sess
+    UNION ALL
+    SELECT ((e_us + 3599999999) // 3600000000) * 3600000000, -1 FROM sess
+  ) GROUP BY 1
+)
+SELECT boundary_us, delta,
+       CAST(sum(delta) OVER (
+         ORDER BY boundary_us
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS active
+FROM deltas
 """,
         "session_window_two_phase": f"""
 WITH {_TX},

@@ -538,3 +538,43 @@ def multitouch_attribution(
             F.col(value_col) * weight_ppm.cast("double") / 1e6, 6
         ).alias("credit"),
     )
+
+
+def concurrency_curve(
+    sessions: DataFrame,
+    step_us: int,
+    start_col: str = "session_start_us",
+    end_col: str = "session_end_us",
+) -> DataFrame:
+    """Concurrent-session curve — how many conversations are active at
+    each time-grid boundary (capacity planning's first question; Spark
+    has no interval-stacking primitive). A session [s, e) is active at
+    boundary b iff s ≤ b < e, so each session contributes +1 at the
+    first boundary ≥ s and −1 at the first boundary ≥ e (integer ceil
+    arithmetic), and the curve is ONE cumulative sum over the DISTINCT
+    boundary domain (the histogram-window discipline — a billion
+    sessions collapse to at most span/step delta rows before the
+    window). Output: (boundary_us, delta, active) at every boundary
+    where the count changes.
+    """
+    if step_us <= 0:
+        raise ValueError("step_us must be positive")
+    up = lambda c: (  # noqa: E731  (first grid boundary >= c)
+        F.expr(f"(({c} + {step_us - 1}) div {step_us}) * {step_us}")
+    )
+    deltas = (
+        sessions.select(up(start_col).alias("boundary_us"), F.lit(1).alias("_d"))
+        .unionByName(
+            sessions.select(
+                up(end_col).alias("boundary_us"), F.lit(-1).alias("_d")
+            )
+        )
+        .groupBy("boundary_us")
+        .agg(F.sum("_d").alias("delta"))
+    )
+    w = Window.orderBy("boundary_us").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.withColumn(
+        "active", F.sum("delta").over(w).cast("long")
+    ).select("boundary_us", F.col("delta").cast("long").alias("delta"), "active")

@@ -322,3 +322,41 @@ def test_multitouch_integer_ppm_thirds(spark):
     # integer ppm: 333333, not a pretended exact third
     assert {r["weight_ppm"] for r in out} == {333333}
     assert {round(r["credit"], 6) for r in out} == {9.99999}
+
+
+class TestConcurrencyCurve:
+    def _curve(self, spark, sessions, step=10):
+        from kafka2iceberg_spark.windows import concurrency_curve
+
+        df = spark.createDataFrame(
+            sessions, "session_start_us long, session_end_us long"
+        )
+        return {
+            r["boundary_us"]: (r["delta"], r["active"])
+            for r in concurrency_curve(df, step).collect()
+        }
+
+    def test_hand_computed_overlap(self, spark):
+        # [5,25) and [12,18): boundaries at 10 (+1), 20 (+1-1=0 net? ...)
+        # s=5 -> +1@10; e=25 -> -1@30; s=12 -> +1@20; e=18 -> -1@20
+        got = self._curve(spark, [(5, 25), (12, 18)])
+        assert got[10] == (1, 1)
+        assert got[20] == (0, 1)   # second session opens AND closes within
+        assert got[30] == (-1, 0)
+
+    def test_boundary_alignment_is_ceil(self, spark):
+        # start exactly on a boundary counts at that boundary
+        got = self._curve(spark, [(10, 30)])
+        assert got[10] == (1, 1) and got[30] == (-1, 0)
+
+    def test_peak_counts_simultaneous_sessions(self, spark):
+        got = self._curve(spark, [(0, 100), (0, 100), (50, 100)])
+        assert max(a for _, a in got.values()) == 3
+
+    def test_invalid_step_rejected(self, spark):
+        from kafka2iceberg_spark.windows import concurrency_curve
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, 2)], "session_start_us long, session_end_us long")
+        with _pt.raises(ValueError):
+            concurrency_curve(df, 0)
