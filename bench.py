@@ -333,6 +333,54 @@ def cep_job(spark, n_rows: int) -> None:
     )
 
 
+def ingest_scale_job(spark, n_rows: int) -> None:
+    """Second scaling job (north_rule's INGEST path): synthesize Canal-JSON
+    envelopes in-Spark with to_json (zero input IO, no Python) and run the
+    full parse pipeline — from_json, routing filter, data[] flatten,
+    "null" scrub, typed casts, epoch fallbacks — forced by an aggregate.
+    Measures how the reference-parity deserialization surface scales N→4N,
+    independently of the CEP job's shuffle profile."""
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import ingest
+    from kafka2iceberg_spark.schema import transcript_task
+
+    spec = transcript_task()
+    convs = max(n_rows // 50, 1)
+    ts_ms = F.lit(1_700_000_000_000) + F.col("id") * 100
+    env = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("c"), (F.col("id") % convs).cast("string")).alias("conv_id"),
+                    (F.col("id") / convs).cast("int").cast("string").alias("turn_idx"),
+                    F.when(F.col("id") % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+                    F.md5(F.col("id").cast("string")).alias("text"),
+                    F.lit("null").alias("tool"),
+                    F.date_format(
+                        F.timestamp_millis(ts_ms), "yyyy-MM-dd HH:mm:ss"
+                    ).alias("ts"),
+                )
+            ).alias("data"),
+            F.lit("chat").alias("database"),
+            F.lit("transcripts").alias("table"),
+            F.lit("INSERT").alias("type"),
+            F.lit(False).alias("isDdl"),
+            ts_ms.alias("ts"),
+            (ts_ms - 500).alias("es"),
+            (F.col("id") % 16).alias("_partition"),
+            F.col("id").alias("_offset"),
+        )
+    )
+    raw = spark.range(n_rows).select(env.alias("value"))
+    parsed = ingest.parse(raw, spec)
+    _force(
+        parsed.groupBy("role").agg(
+            F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("m")
+        )
+    )
+
+
 def cpu_ref_job(spark, n_rows: int) -> None:
     """Pure-CPU Spark reference: chained md5 over a range — whole-stage
     codegen, ZERO shuffle, no Python. Its N→4N efficiency is the best any
@@ -692,6 +740,37 @@ def main() -> None:
                 },
                 "efficiency_vs_spark_cpu_ref": round(
                     min(eff / ref_eff, 1.0), 3
+                ),
+            }
+            # second independent scaling job: the reference-parity INGEST
+            # parse pipeline (from_json -> flatten -> casts), zero input IO
+            # sized so the N-level run lands ~10-15 s warm (the parse path
+            # runs ~75-150k envelopes/s/level here) — long enough to
+            # dominate scheduling overhead, short enough for converged
+            # repeats
+            ing_rows = SCALE_ROWS // 25
+            ing_lo = scale_level(
+                lo, ing_rows, min_repeats=3, job=ingest_scale_job
+            )
+            ing_hi = scale_level(
+                CPUS, ing_rows, min_repeats=3, job=ingest_scale_job
+            )
+            ing_eff = (ing_lo["wall"] / ing_hi["wall"]) / (CPUS / lo)
+            result["scaling_ingest"] = {
+                "job": f"Canal-JSON parse pipeline over {ing_rows} envelopes",
+                "cores_n": lo,
+                "cores_4n": CPUS,
+                "wall_n_sec": round(ing_lo["wall"], 2),
+                "wall_4n_sec": round(ing_hi["wall"], 2),
+                "walls_n_all": ing_lo["all_walls"],
+                "walls_4n_all": ing_hi["all_walls"],
+                "steal_frac_n": ing_lo["steal_frac"],
+                "steal_frac_4n": ing_hi["steal_frac"],
+                "rows_per_sec_n": round(ing_rows / ing_lo["wall"], 0),
+                "rows_per_sec_4n": round(ing_rows / ing_hi["wall"], 0),
+                "efficiency_raw": round(ing_eff, 3),
+                "efficiency_vs_ceiling": round(
+                    min(ing_eff / ceiling, 1.0), 3
                 ),
             }
         print(json.dumps(result))
