@@ -410,6 +410,16 @@ def q_cep_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential-pattern support (PrefixSpan counting step) over
+    tool invocations: ordered pairs (tool_a, tool_b) with the number of
+    conversations where tool_a fires strictly before tool_b — subsequence
+    with gaps, the CEP relaxation of transition_counts' adjacency. One
+    (conv_id, tool) min/max aggregate, pair join on the aggregate only,
+    exact BIGINT ppm support over tool-using conversations."""
+    return cep.precedence_support(_tx(spark, sf_dir))
+
+
 def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 late-data policy in batch: a row is late iff its event time is
     older than (per-conversation running-max event time at its arrival)
@@ -998,6 +1008,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _docs_aug_near(spark, sf_dir, subset=True), threshold=0.8
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997) on the near-dup
+    corpus: |A∩B|/|A| and |A∩B|/|B| per candidate pair in exact BIGINT
+    ppm, kept when either direction ≥ 0.8 — catches the subset-style
+    duplication (the substr-variant docs are ~fully contained in their
+    originals) that symmetric Jaccard under-scores."""
+    return dd.containment_pairs(
+        _docs_aug_near(spark, sf_dir, subset=True), threshold_ppm=800_000
     )
 
 
@@ -2140,6 +2161,31 @@ MIX_PARTS = {"src0": 8, "src1": 4, "src2": 2, "src3": 2}
 BM25_QUERY = ["spark", "join", "window"]
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/TFDV-style column profiling of orders in ONE aggregate pass
+    (dq.profile): per column — rows, nulls, exact distincts, min/max.
+    o_totalprice is pre-converted to exact BIGINT cents (float→string
+    rendering differs across engines); min/max cast to string post-agg so
+    ordering stays numeric."""
+    from kafka2iceberg_spark import dq
+
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "o_price_cents",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+    )
+    return dq.profile(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_price_cents",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style quality verification of orders in ONE aggregate pass:
     completeness, key uniqueness, bounds, set membership (dq.verify)."""
@@ -3277,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_pattern": q_cep_pattern,
         "cep_match_extract": q_cep_match_extract,
         "cep_sequence_counts": q_cep_sequence_counts,
+        "tool_precedence": q_tool_precedence,
         "late_data_flags": q_late_data,
         "topk_turns": q_topk_turns,
         "role_rollup": q_role_rollup,
@@ -3305,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_prefix_join": q_dedup_prefix,
+        "dedup_containment": q_dedup_containment,
         "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -3351,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_role_tool": q_cube_role_tool,
         "grouping_sets": q_grouping_sets,
         "dq_constraints": q_dq_constraints,
+        "table_profile": q_table_profile,
         "mixture_sample": q_mixture_sample,
         "anomaly_zscore": q_anomaly_zscore,
         "winsorize_values": q_winsorize,
@@ -3887,6 +3936,26 @@ SELECT conv_id, n_turns,
             'max'), 0) AS INT) AS longest_assist_runs
 FROM s
 """,
+        "tool_precedence": f"""
+WITH {_TX},
+inv AS (
+  SELECT conv_id, tool,
+         min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
+  FROM transcripts WHERE tool IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT count(DISTINCT conv_id) AS n_tool_convs FROM inv),
+p AS (
+  SELECT x.tool AS tool_a, y.tool AS tool_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM inv x JOIN inv y ON x.conv_id = y.conv_id
+  WHERE x.tool <> y.tool AND x.first_idx < y.last_idx
+  GROUP BY 1, 2
+)
+SELECT tool_a, tool_b, support,
+       CAST((support * 1000000) // n_tool_convs AS BIGINT) AS support_ppm
+FROM p, tot
+""",
         "late_data_flags": f"""
 WITH {_TX},
 a AS (
@@ -4338,6 +4407,25 @@ j AS (
   JOIN sz sb ON sb.doc_id = doc_b
 )
 SELECT * FROM j WHERE jaccard >= 0.8
+""",
+        "dedup_containment": f"""
+WITH {_aug_near(True)},
+{_WORD_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT doc_a, doc_b,
+         CAST((i * 1000000) // sa.s AS BIGINT) AS cont_a_ppm,
+         CAST((i * 1000000) // sb.s AS BIGINT) AS cont_b_ppm
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)
+SELECT * FROM c WHERE cont_a_ppm >= 800000 OR cont_b_ppm >= 800000
 """,
         # independent all-pairs ground truth over the same 5-gram sets the
         # prefix-filtered Spark implementation must reproduce exactly
@@ -5096,6 +5184,53 @@ SELECT coalesce(role, '<all>') AS role_g,
        count(*) AS n
 FROM transcripts
 GROUP BY GROUPING SETS ((role), (tool), ())
+""",
+        "table_profile": """
+WITH o AS (
+  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS o_price_cents
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS STRING) AS min_val,
+       CAST(max(o_orderkey) AS STRING) AS max_val
+FROM o
+UNION ALL
+SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_custkey) AS STRING) AS min_val,
+       CAST(max(o_custkey) AS STRING) AS max_val
+FROM o
+UNION ALL
+SELECT 'o_orderstatus' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderstatus) AS STRING) AS min_val,
+       CAST(max(o_orderstatus) AS STRING) AS max_val
+FROM o
+UNION ALL
+SELECT 'o_price_cents' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_price_cents) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_price_cents) AS BIGINT) AS n_distinct,
+       CAST(min(o_price_cents) AS STRING) AS min_val,
+       CAST(max(o_price_cents) AS STRING) AS max_val
+FROM o
+UNION ALL
+SELECT 'o_orderdate' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderdate) AS STRING) AS min_val,
+       CAST(max(o_orderdate) AS STRING) AS max_val
+FROM o
+UNION ALL
+SELECT 'o_orderpriority' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderpriority) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderpriority) AS STRING) AS min_val,
+       CAST(max(o_orderpriority) AS STRING) AS max_val
+FROM o
 """,
         "dq_constraints": """
 WITH m AS (

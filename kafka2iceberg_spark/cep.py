@@ -208,3 +208,56 @@ def match_spans(
             yield pd.DataFrame(out)
 
     return folded.mapInPandas(run, _SPAN_SCHEMA)
+
+
+def precedence_support(t: DataFrame) -> DataFrame:
+    """Length-2 sequential-pattern support over tool invocations.
+
+    PrefixSpan's counting step for 2-patterns (Pei et al. 2001): for every
+    ordered tool pair (tool_a, tool_b, a ≠ b), the number of conversations
+    where some invocation of tool_a happens strictly *before* some
+    invocation of tool_b — subsequence-with-gaps semantics, the CEP
+    relaxation of transition_counts' strict adjacency. "a before b" holds
+    iff min_turn(a) < max_turn(b) within the conversation, so the
+    turn-level table collapses to ONE (conv_id, tool) min/max hash
+    aggregate first (map-side partial agg on the data-sized input), and the
+    pair join runs on that |convs|×|tools| relation — co-partitioned on
+    conv_id, never touching raw turns again. At 10^12 turns the aggregate
+    output is |convs|×|distinct tools| rows (tools is a small closed set),
+    and the per-conv self-join is bounded by |tools|² per conversation.
+    support_ppm is exact BIGINT ppm over tool-using conversations (the
+    1-row total broadcast back, never collected).
+    """
+    inv = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(
+            F.min("turn_idx").alias("first_idx"),
+            F.max("turn_idx").alias("last_idx"),
+        )
+    )
+    total = inv.agg(
+        F.count_distinct(F.col("conv_id")).alias("n_tool_convs")
+    )
+    x = inv.alias("x")
+    y = inv.alias("y")
+    pairs = (
+        x.join(y, "conv_id")
+        .where(
+            (F.col("x.tool") != F.col("y.tool"))
+            & (F.col("x.first_idx") < F.col("y.last_idx"))
+        )
+        .groupBy(
+            F.col("x.tool").alias("tool_a"),
+            F.col("y.tool").alias("tool_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "tool_a",
+        "tool_b",
+        "support",
+        F.expr("CAST(support * 1000000 AS BIGINT) div n_tool_convs").alias(
+            "support_ppm"
+        ),
+    )

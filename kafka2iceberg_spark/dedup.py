@@ -157,6 +157,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 800_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs.
+
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    signal Jaccard dilutes when one document embeds another (quoted replies,
+    boilerplate wrappers, page-in-page scrapes): a short doc fully quoted
+    inside a long one has Jaccard ≈ |A|/|B| but containment 1.0. Broder's
+    original resemblance/containment pairing (Broder 1997, "On the
+    resemblance and containment of documents"). Same inverted-index blocking
+    as ngram_jaccard_pairs — candidates only from shared shingles, never
+    all-pairs; at 100 TB swap the exact index for the MinHash banding in
+    minhash_lsh_pairs and verify containment only on candidates. Both
+    directions are emitted per unordered pair as exact BIGINT ppm
+    (inter*1e6 div size) so the oracle hash-matches without double
+    formatting drift; a pair is kept when either direction clears the
+    threshold. WORD-3-gram sets (not char grams): the synthetic corpus's
+    character-gram universe is tiny, so char shingles make nearly every
+    pair a candidate — the same measurement that drove dedup_prefix_join
+    to word grams.
+    """
+    sh = word_shingles(_with_norm(docs, text_col), id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(inter * 1000000 AS BIGINT) div sz_a").alias(
+                "cont_a_ppm"
+            ),
+            F.expr("CAST(inter * 1000000 AS BIGINT) div sz_b").alias(
+                "cont_b_ppm"
+            ),
+        )
+    )
+    return out.where(
+        (F.col("cont_a_ppm") >= threshold_ppm)
+        | (F.col("cont_b_ppm") >= threshold_ppm)
+    )
+
+
 def _shingle_base_hash() -> Column:
     return hash32(F.col("g")) % MINHASH_P
 

@@ -114,3 +114,45 @@ def verify(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     return report.withColumn(
         "passed", (F.col("metric") >= F.col("threshold"))
     )
+
+
+def profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Single-pass column profiling — the *analyzer* half of a Deequ/TFDV
+    style DQ suite (``verify`` above is the assertion half): per column,
+    row count, null count, exact distinct count, and min/max rendered as
+    strings, one report row per column.
+
+    ONE scan: a global aggregate computes every metric for every column,
+    then a ``stack`` projection unpivots the single metrics row — scan →
+    partial agg → final agg → generate, nothing on the driver. Scale note:
+    multiple exact count_distinct over different columns plan through
+    Spark's Expand (k× row amplification *before* the partial aggregate);
+    at 100 TB profile in column batches or swap exact distincts for
+    approx_count_distinct (HLL, no Expand) — exact is kept here because
+    the DuckDB oracle must hash-match. min/max are computed on the native
+    type (so numeric order, not lexicographic) and cast to string only in
+    the report; callers pre-convert DOUBLE columns to exact integer units
+    (cents) because float→string rendering differs across engines.
+    """
+    if not columns:
+        raise ValueError("no columns given")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"nn{i}"),
+            F.count_distinct(col).alias(f"nd{i}"),
+            F.min(col).cast("string").alias(f"mn{i}"),
+            F.max(col).cast("string").alias(f"mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, __n - nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(columns)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) "
+            "as (column, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

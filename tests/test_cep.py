@@ -126,3 +126,37 @@ def test_full_table_twins_agree(spark, sf_dir):
         for r in cep.match_spans(t, pat).collect()
     )
     assert ext and ext == spans
+
+
+def test_precedence_support_hand_computed(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # conv A: tool_1@1, tool_2@3 -> supports (t1 before t2) only
+    # conv B: tool_2@1, tool_1@3, tool_2@5 -> supports both directions
+    # conv C: tool_1 only -> no pairs, but counts in the ppm denominator
+    for conv, idx, tool in [
+        ("A", 1, "tool_1"),
+        ("A", 3, "tool_2"),
+        ("B", 1, "tool_2"),
+        ("B", 3, "tool_1"),
+        ("B", 5, "tool_2"),
+        ("C", 2, "tool_1"),
+    ]:
+        rows.append((conv, idx, "assistant", "t", tool, base))
+        rows.append((conv, idx + 100, "user", "u", None, base))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["tool_a"], r["tool_b"]): (r["support"], r["support_ppm"])
+        for r in cep.precedence_support(df).collect()
+    }
+    # 3 tool-using conversations; BIGINT ppm truncates toward zero
+    assert got == {
+        ("tool_1", "tool_2"): (2, 2_000_000 // 3),
+        ("tool_2", "tool_1"): (1, 1_000_000 // 3),
+    }

@@ -681,3 +681,21 @@ class TestNBClassify:
         # prior ln(1/2) + 1 token * floor ln(1/(2 + V)) with V = 2
         exp = round(math.log(1 / 2) * 1e9) + round(math.log(1 / 4) * 1e9)
         assert got[10][1] == exp
+
+
+def test_containment_asymmetric_subset(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "Quick brown fox jumps over!"),
+            (3, "completely different words here avoiding any overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.containment_pairs(docs, threshold_ppm=800_000).collect()
+    # doc2's 3 word-3-grams are all inside doc1's 7; doc3 shares none
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a_ppm"] == 3 * 1_000_000 // 7
+    assert r["cont_b_ppm"] == 1_000_000

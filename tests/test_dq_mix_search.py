@@ -240,3 +240,36 @@ class TestRRF:
     def test_empty_input_rejected(self, spark):
         with pytest.raises(ValueError):
             search.rrf_fuse([])
+
+
+class TestProfile:
+    def test_profile_hand_computed(self, spark):
+        from kafka2iceberg_spark import dq
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, None), (None, None), (3, "y")],
+            "a long, s string",
+        )
+        rep = {
+            r["column"]: r for r in dq.profile(df, ["a", "s"]).collect()
+        }
+        a, s = rep["a"], rep["s"]
+        assert (a["n_rows"], a["n_nulls"], a["n_distinct"]) == (4, 1, 2)
+        assert (a["min_val"], a["max_val"]) == ("1", "3")
+        assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 2, 2)
+        assert (s["min_val"], s["max_val"]) == ("x", "y")
+
+    def test_profile_single_pass_plan(self, spark):
+        from kafka2iceberg_spark import dq
+
+        df = spark.createDataFrame([(1, "x")], "a long, s string")
+        plan = dq.profile(df, ["a", "s"])._jdf.queryExecution().toString()
+        # one Expand-backed aggregate, no joins or extra scans
+        assert plan.lower().count("join") == 0
+
+    def test_profile_empty_columns_rejected(self, spark):
+        from kafka2iceberg_spark import dq
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError):
+            dq.profile(df, [])
