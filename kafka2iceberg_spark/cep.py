@@ -52,6 +52,7 @@ __all__ = [
     "match_extract",
     "match_counts",
     "match_spans",
+    "precedence_support",
 ]
 
 ROLE_CHARS = {"user": "u", "assistant": "a", "tool": "t"}
