@@ -2186,6 +2186,66 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: Z-order vs single-column-sort file assignment
+    over (l_partkey, l_suppkey), reporting the per-layout average per-file
+    key span (ppm of domain) that manifest min/max pruning sees. The sort
+    layout bounds l_partkey (~1/64 of domain) and leaves l_suppkey near
+    full width; the Morton layout bounds BOTH — the reason
+    compact(zorder_by=...) exists (zorder.layout_stats; same lattice math
+    as sink compaction, zorder.py zvalue)."""
+    from kafka2iceberg_spark import zorder as zo
+
+    li = _read(spark, sf_dir, "lineitem")
+    return zo.layout_stats(li, "l_partkey", "l_suppkey", n_files=64)
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup pruning audit, pure relational form of
+    bloom.py's sidecar math: build a 256-bit / 3-hash membership bitmap
+    over one nation's customer keys (double hashing off portable md5
+    prefixes, bloom.py:41-44), probe it with every ordering customer, and
+    report pass/true-hit/false-positive counts plus the measured fp rate.
+    The bit set (≤256 rows) broadcasts — the runtime-filter shape used to
+    skip files on pk lookups at 100 TB (bloom.plan_scan_eq)."""
+    from kafka2iceberg_spark import bloom as bl
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    probe = orders.select(
+        F.col("o_custkey").cast("long").alias("k")
+    ).distinct()
+    return bl.prune_stats(build, probe, m_bits=256, k_hashes=3)
+
+
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation (the data-mixing step of a training
+    pipeline): per-language available whitespace tokens, waterfilled
+    against a budget of 2/5 of the corpus — small bins keep everything,
+    large bins are capped at a common water level, the integer remainder
+    goes to the smallest capped bins. Exact BIGINT closed form: one
+    data-sized agg, then rank/prefix windows over the |languages| bin
+    domain only (textops.mix_allocation)."""
+    d = _read(spark, sf_dir, "documents")
+    return tx.mix_allocation(d, "lang", budget_num=2, budget_den=5)
+
+
+def q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of tool co-occurrence within a
+    conversation: for each unordered tool pair, pmi_nano =
+    round(1e9·ln(c_xy·N / (c_x·c_y))) over conversation counts — the
+    association strength behind "convs that invoke tool_2 also invoke
+    tool_4". Per-conv distinct tool sets (one agg), pair join on the
+    |tools|-sized distinct-tool relation, nano-ln quantization for
+    engine-exact BIGINT output (assoc.tool_pmi)."""
+    from kafka2iceberg_spark import assoc
+
+    return assoc.tool_pmi(_tx(spark, sf_dir))
+
+
 def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style quality verification of orders in ONE aggregate pass:
     completeness, key uniqueness, bounds, set membership (dq.verify)."""
@@ -3400,6 +3460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "dq_constraints": q_dq_constraints,
         "table_profile": q_table_profile,
+        "zorder_layout": q_zorder_layout,
+        "bloom_prune": q_bloom_prune,
+        "mix_allocation": q_mix_allocation,
+        "tool_pmi": q_tool_pmi,
         "mixture_sample": q_mixture_sample,
         "anomaly_zscore": q_anomaly_zscore,
         "winsorize_values": q_winsorize,
@@ -3475,6 +3539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracle SQL
 
 _TX = ORACLE_TRANSCRIPTS_CTE
+
+# Morton interleave of two 16-bit lattice coords x, y (bit i of x lands at
+# 2i, bit i of y at 2i+1) — the oracle twin of zorder.zvalue's unrolled
+# shift/or loop, generated rather than hand-typed.
+_MORTON_SQL = " | ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)
+)
 
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
@@ -5264,6 +5336,159 @@ r AS (
 SELECT "constraint", "column", metric, threshold,
        metric >= threshold AS passed
 FROM r
+""",
+        "zorder_layout": f"""
+WITH base AS (
+  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+  FROM lineitem
+),
+bd AS (
+  SELECT min(a) AS lo_a, max(a) AS hi_a, min(b) AS lo_b, max(b) AS hi_b
+  FROM base
+),
+lat AS (
+  SELECT a, b, lo_a, hi_a, lo_b, hi_b,
+    greatest(least(CAST(floor((CAST(a AS DOUBLE) - CAST(lo_a AS DOUBLE))
+      / (CAST(hi_a AS DOUBLE) - CAST(lo_a AS DOUBLE)) * 65535.0) AS BIGINT),
+      65535), 0) AS x,
+    greatest(least(CAST(floor((CAST(b AS DOUBLE) - CAST(lo_b AS DOUBLE))
+      / (CAST(hi_b AS DOUBLE) - CAST(lo_b AS DOUBLE)) * 65535.0) AS BIGINT),
+      65535), 0) AS y
+  FROM base, bd
+),
+assigned AS (
+  SELECT a, b, lo_a, hi_a, lo_b, hi_b,
+         ({_MORTON_SQL}) >> 26 AS zfile,
+         ((a - lo_a) * 64) // (hi_a - lo_a + 1) AS sfile
+  FROM lat
+),
+zf AS (
+  SELECT zfile, min(a) fa_lo, max(a) fa_hi, min(b) fb_lo, max(b) fb_hi,
+         any_value(hi_a - lo_a) dom_a, any_value(hi_b - lo_b) dom_b
+  FROM assigned GROUP BY zfile
+),
+sf AS (
+  SELECT sfile, min(a) fa_lo, max(a) fa_hi, min(b) fb_lo, max(b) fb_hi,
+         any_value(hi_a - lo_a) dom_a, any_value(hi_b - lo_b) dom_b
+  FROM assigned GROUP BY sfile
+)
+SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(fa_hi - fa_lo) * 1000000 // (count(*) * any_value(dom_a)) AS BIGINT) AS span_a_ppm,
+       CAST(sum(fb_hi - fb_lo) * 1000000 // (count(*) * any_value(dom_b)) AS BIGINT) AS span_b_ppm
+FROM zf
+UNION ALL
+SELECT 'sort' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(fa_hi - fa_lo) * 1000000 // (count(*) * any_value(dom_a)) AS BIGINT) AS span_a_ppm,
+       CAST(sum(fb_hi - fb_lo) * 1000000 // (count(*) * any_value(dom_b)) AS BIGINT) AS span_b_ppm
+FROM sf
+""",
+        "bloom_prune": """
+WITH build AS (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+  FROM customer WHERE c_nationkey = 1
+),
+probe AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+),
+hpos AS (
+  SELECT k,
+    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) * 2 + 1 AS h2
+  FROM build
+),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % 256 AS bit
+  FROM hpos, (SELECT unnest([0, 1, 2]) AS i)
+),
+ppos AS (
+  SELECT k,
+    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) * 2 + 1 AS h2
+  FROM probe
+),
+probed AS (
+  SELECT p.k,
+         min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS passed
+  FROM (SELECT DISTINCT k, (h1 + i * h2) % 256 AS bit
+        FROM ppos, (SELECT unnest([0, 1, 2]) AS i)) p
+  LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.k
+),
+truth AS (
+  SELECT p.k, p.passed,
+         CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM probed p LEFT JOIN build m ON p.k = m.k
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(is_member) AS BIGINT) AS n_true,
+       CAST(sum(passed) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN passed = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       CAST(sum(CASE WHEN passed = 1 AND is_member = 0 THEN 1 ELSE 0 END) * 1000000
+            // (count(*) - sum(is_member)) AS BIGINT) AS fp_ppm
+FROM truth
+""",
+        "mix_allocation": f"""
+WITH toks AS (
+  SELECT lang AS bin,
+         CAST(CASE WHEN {_NORM} = '' THEN 0
+              ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+              END AS BIGINT) AS n_toks
+  FROM documents
+),
+bins AS (SELECT bin, sum(n_toks) AS avail FROM toks GROUP BY bin),
+tot AS (SELECT sum(avail) AS total FROM bins),
+staged AS (
+  SELECT bin, avail, (total * 2) // 5 AS budget,
+         row_number() OVER (ORDER BY avail, bin) AS i,
+         count(*) OVER () AS kbins,
+         coalesce(sum(avail) OVER (ORDER BY avail, bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM bins, tot
+),
+cand AS (
+  SELECT *, (budget - pfx) // (kbins - i + 1) AS cand,
+         ((budget - pfx) // (kbins - i + 1)) < avail AS is_capped
+  FROM staged
+),
+piv AS (
+  SELECT *, min(CASE WHEN is_capped THEN i END) OVER () AS pvt
+  FROM cand
+),
+lvl AS (
+  SELECT *,
+    max(CASE WHEN i = pvt THEN cand END) OVER () AS level,
+    max(CASE WHEN i = pvt THEN (budget - pfx) % (kbins - i + 1) END) OVER () AS rem
+  FROM piv
+)
+SELECT bin, CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(CASE WHEN pvt IS NULL OR i < pvt THEN avail
+            ELSE level + CASE WHEN i - pvt < rem THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_tokens
+FROM lvl
+""",
+        "tool_pmi": f"""
+WITH {_TX},
+ct AS (
+  SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL
+),
+n AS (SELECT count(DISTINCT conv_id) AS n_convs FROM ct),
+cx AS (SELECT tool, CAST(count(*) AS BIGINT) AS c FROM ct GROUP BY tool),
+p AS (
+  SELECT x.tool AS tool_a, y.tool AS tool_b,
+         CAST(count(*) AS BIGINT) AS c_xy
+  FROM ct x JOIN ct y ON x.conv_id = y.conv_id AND x.tool < y.tool
+  GROUP BY 1, 2
+)
+SELECT tool_a, tool_b, c_xy,
+       CAST(round(ln(CAST(c_xy * n_convs AS DOUBLE)
+                     / CAST(ca.c * cb.c AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         AS pmi_nano
+FROM p
+JOIN cx ca ON ca.tool = p.tool_a
+JOIN cx cb ON cb.tool = p.tool_b
+CROSS JOIN n
 """,
         "mixture_sample": """
 WITH c AS (

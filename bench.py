@@ -108,6 +108,11 @@ HEADLINE_EXTRA = [
     "tool_precedence",
     "dedup_containment",
     "table_profile",
+    # round-3 session-5 additions
+    "zorder_layout",
+    "bloom_prune",
+    "mix_allocation",
+    "tool_pmi",
 ]
 
 SCALE_GEN = dict(

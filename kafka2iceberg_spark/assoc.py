@@ -92,3 +92,52 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def tool_pmi(t: DataFrame) -> DataFrame:
+    """Pointwise mutual information of tool co-occurrence within a
+    conversation: pmi(x,y) = ln( P(x,y) / (P(x)P(y)) ) over the universe of
+    conversations that invoke at least one tool.
+
+    Reuses the pair_support join shape (per-conv distinct tool sets, pair
+    join keyed on conv_id, output bounded by C(|tools|,2) per conv).
+    Engine-exactness: c_xy·N and c_x·c_y are exact BIGINT products; ONE
+    double division feeds ln, quantized to integer nano-nats
+    (the bigram_lm idiom) — pmi_nano is portable BIGINT."""
+    ct = (
+        t.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_convs = ct.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+    cx = ct.groupBy("tool").agg(F.count(F.lit(1)).alias("c"))
+    pairs = pair_support(ct, "conv_id", "tool").withColumnRenamed(
+        "support", "c_xy"
+    )
+    out = (
+        pairs.join(
+            F.broadcast(cx.select(F.col("tool").alias("item_a"),
+                                  F.col("c").alias("c_x"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(cx.select(F.col("tool").alias("item_b"),
+                                  F.col("c").alias("c_y"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_convs))
+    )
+    return out.select(
+        F.col("item_a").alias("tool_a"),
+        F.col("item_b").alias("tool_b"),
+        F.col("c_xy"),
+        F.round(
+            F.log(
+                (F.col("c_xy") * F.col("n_convs")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            )
+            * F.lit(1_000_000_000.0)
+        ).cast("long").alias("pmi_nano"),
+    )

@@ -1140,3 +1140,91 @@ def readability(
             ),
         )
     )
+
+
+def mix_allocation(
+    df: DataFrame,
+    bin_col: str,
+    budget_num: int,
+    budget_den: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture allocation — the data-mixing step of a training
+    pipeline: given per-bin available whitespace tokens and a total budget
+    of ``total·budget_num div budget_den``, waterfill the budget across
+    bins. Bins smaller than the water level keep everything; larger bins
+    are capped at a common level; the integer remainder goes one token
+    each to the smallest capped bins (deterministic order: avail, then
+    bin name).
+
+    Exact-BIGINT closed form, no iteration: sort bins ascending, let
+    pfx_i = Σ avail of smaller bins and cand_i = (B - pfx_i) div (k-i+1);
+    the pivot is the first bin whose cand < avail — every earlier bin is
+    fully satisfiable, every later bin gets the pivot's level (+1 for the
+    first ``rem`` bins). Σ alloc = B exactly whenever B ≤ Σ avail.
+
+    Scale: ONE data-sized aggregate (map-side combinable token sum), then
+    rank/prefix windows over the |bins| domain only — never over rows."""
+    toks = F.size(tokens(F.col(text_col))).cast("long")
+    bins = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(toks).alias("avail")
+    )
+    total = bins.agg(F.sum("avail").alias("total"))
+    w = Window.orderBy("avail", "bin")
+    wall = Window.partitionBy(F.lit(1))
+    staged = (
+        bins.crossJoin(F.broadcast(total))
+        .withColumn(
+            "budget",
+            F.expr(f"total * {int(budget_num)} div {int(budget_den)}"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("kbins", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("avail").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("cand", F.expr("(budget - pfx) div (kbins - i + 1)"))
+        .withColumn("is_capped", F.col("cand") < F.col("avail"))
+    )
+    staged = (
+        staged.withColumn(
+            "pivot",
+            F.min(F.when(F.col("is_capped"), F.col("i"))).over(wall),
+        )
+        .withColumn(
+            "level",
+            F.max(
+                F.when(F.col("i") == F.col("pivot"), F.col("cand"))
+            ).over(wall),
+        )
+        .withColumn(
+            "rem",
+            F.max(
+                F.when(
+                    F.col("i") == F.col("pivot"),
+                    F.expr("(budget - pfx) % (kbins - i + 1)"),
+                )
+            ).over(wall),
+        )
+    )
+    return staged.select(
+        "bin",
+        F.col("avail").alias("avail_tokens"),
+        F.when(
+            F.col("pivot").isNull() | (F.col("i") < F.col("pivot")),
+            F.col("avail"),
+        )
+        .otherwise(
+            F.col("level")
+            + F.when(F.col("i") - F.col("pivot") < F.col("rem"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

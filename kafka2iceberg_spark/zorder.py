@@ -99,3 +99,73 @@ def zvalue(df: DataFrame, cols: list[str]) -> Column:
                 )
             )
     return z
+
+
+def layout_stats(df: DataFrame, col_a: str, col_b: str, n_files: int = 64) -> DataFrame:
+    """Head-to-head layout audit: Z-order vs single-column-sort file
+    assignment over two integer key columns.
+
+    Assigns every row to one of ``n_files`` output files twice — once by
+    the top bits of its Morton code (``zvalue``; the hyper-rectangle
+    layout ``compact(zorder_by=...)`` produces) and once by a range-sort
+    on ``col_a`` alone (what a plain sorted compaction produces) — then
+    reports, per layout, the average per-file [min, max] span of EACH key
+    as ppm of that key's full domain. The number manifest-stats pruning
+    cares about: a predicate on column c skips a file iff the file's c-span
+    misses it, so avg span ppm ≈ the expected fraction of files a point
+    lookup on c must open. Sort layouts bound col_a (~1/n_files) and leave
+    col_b at ~domain width; Z-order bounds BOTH at ~1/sqrt(n_files).
+
+    One pass per layout (two data-sized aggregates, both map-side
+    combinable), bounds via a broadcast 1-row cross join — no sort, no
+    collect of data rows. Parity: file ids and span ppm are exact BIGINT
+    math; the Morton lattice uses the same IEEE-double scaling formula in
+    both engines."""
+    if n_files & (n_files - 1):
+        raise ValueError("n_files must be a power of two")
+    file_bits = n_files.bit_length() - 1
+    base = df.select(
+        F.col(col_a).cast("long").alias("a"),
+        F.col(col_b).cast("long").alias("b"),
+    )
+    bounds = F.broadcast(
+        base.agg(
+            F.min("a").alias("lo_a"),
+            F.max("a").alias("hi_a"),
+            F.min("b").alias("lo_b"),
+            F.max("b").alias("hi_b"),
+        )
+    )
+    withb = base.crossJoin(bounds)
+    # zvalue() re-derives the same bounds internally via its own tiny agg;
+    # the Morton top bits pick the file.
+    z = zvalue(withb.select("a", "b"), ["a", "b"])
+    assigned = withb.select(
+        "a", "b", "lo_a", "hi_a", "lo_b", "hi_b",
+        F.shiftrightunsigned(z, 2 * BITS - file_bits).alias("zfile"),
+        F.expr(f"(a - lo_a) * {n_files} div (hi_a - lo_a + 1)").alias("sfile"),
+    )
+
+    def per_layout(d: DataFrame, file_col: str, name: str) -> DataFrame:
+        per_file = d.groupBy(file_col).agg(
+            F.min("a").alias("fa_lo"), F.max("a").alias("fa_hi"),
+            F.min("b").alias("fb_lo"), F.max("b").alias("fb_hi"),
+            F.first("lo_a").alias("lo_a"), F.first("hi_a").alias("hi_a"),
+            F.first("lo_b").alias("lo_b"), F.first("hi_b").alias("hi_b"),
+        )
+        return per_file.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.expr(
+                "sum(fa_hi - fa_lo) * 1000000 div"
+                " (count(1) * (first(hi_a) - first(lo_a)))"
+            ).alias("span_a_ppm"),
+            F.expr(
+                "sum(fb_hi - fb_lo) * 1000000 div"
+                " (count(1) * (first(hi_b) - first(lo_b)))"
+            ).alias("span_b_ppm"),
+        )
+
+    return per_layout(assigned, "zfile", "zorder").unionByName(
+        per_layout(assigned, "sfile", "sort")
+    )
