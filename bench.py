@@ -592,45 +592,67 @@ def ann_crossover(spark) -> dict:
 
     from kafka2iceberg_spark import similarity as sim
 
-    n_corpus, n_queries, dim = 40_000, 384, 64
-    corpus = spark.range(n_corpus).select(
-        F.col("id").alias("vec_id"),
-        F.expr(
-            f"transform(sequence(0, {dim - 1}), d -> "
-            f"(cast(pmod(xxhash64(id * {dim} + d), 2000001) as double)"
-            f" - 1000000.0) / 1000000.0)"
-        ).alias("embedding"),
-    )
-    queries = corpus.where(F.col("vec_id") < n_queries)
+    n_queries, dim = 384, 64
 
-    def run_brute():
-        _force(sim.brute_topk(corpus, queries, k=5))
-
-    def run_lsh():
-        _force(
-            sim.lsh_topk(
-                corpus, queries, k=5, dim=dim, n_tables=8, n_planes=8
-            )
+    def level(n_corpus: int, repeats: int) -> dict:
+        corpus = spark.range(n_corpus).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), d -> "
+                f"(cast(pmod(xxhash64(id * {dim} + d), 2000001) as double)"
+                f" - 1000000.0) / 1000000.0)"
+            ).alias("embedding"),
         )
+        queries = corpus.where(F.col("vec_id") < n_queries)
 
-    for _ in range(2):  # warm codegen + broadcast paths
-        run_brute()
-        run_lsh()
-    rb = best_of(run_brute, k=2, max_tries=4)
-    rl = best_of(run_lsh, k=2, max_tries=4)
-    return {
-        "corpus_vectors": n_corpus,
-        "n_queries": n_queries,
-        "dim": dim,
-        "lsh_tables_planes": [8, 8],
-        "wall_brute_sec": round(rb["wall"], 3),
-        "wall_lsh_sec": round(rl["wall"], 3),
-        "walls_brute_all": rb["walls_all"],
-        "walls_lsh_all": rl["walls_all"],
-        "steal_brute": rb["steal"],
-        "steal_lsh": rl["steal"],
-        "lsh_speedup": round(rb["wall"] / rl["wall"], 2),
-    }
+        def run_brute():
+            _force(sim.brute_topk(corpus, queries, k=5))
+
+        def run_lsh():
+            _force(
+                sim.lsh_topk(
+                    corpus, queries, k=5, dim=dim, n_tables=8, n_planes=8
+                )
+            )
+
+        for _ in range(2):  # warm codegen + broadcast paths
+            run_brute()
+            run_lsh()
+        rb = best_of(run_brute, k=repeats, max_tries=repeats * 2)
+        rl = best_of(run_lsh, k=repeats, max_tries=repeats * 2)
+        return {
+            "corpus_vectors": n_corpus,
+            "wall_brute_sec": round(rb["wall"], 3),
+            "wall_lsh_sec": round(rl["wall"], 3),
+            "walls_brute_all": rb["walls_all"],
+            "walls_lsh_all": rl["walls_all"],
+            "steal_brute": rb["steal"],
+            "steal_lsh": rl["steal"],
+            "lsh_speedup": round(rb["wall"] / rl["wall"], 2),
+        }
+
+    # Crossover CURVE: brute's O(|q|·|corpus|) wins small, bucketing wins
+    # big — record the whole progression, not one point.
+    main = level(40_000, repeats=2)
+    curve = [level(5_000, 1), main, level(160_000, 1)]
+    main = dict(main)
+    main.update(
+        {
+            "n_queries": n_queries,
+            "dim": dim,
+            "lsh_tables_planes": [8, 8],
+            "curve": [
+                {
+                    "corpus_vectors": lv["corpus_vectors"],
+                    "wall_brute_sec": lv["wall_brute_sec"],
+                    "wall_lsh_sec": lv["wall_lsh_sec"],
+                    "lsh_speedup": lv["lsh_speedup"],
+                }
+                for lv in curve
+            ],
+        }
+    )
+    return main
 
 
 def _burn(_):
