@@ -3356,6 +3356,61 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.source_vocab_overlap(d).orderBy("source_a", "source_b")
 
 
+def _docs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the exact-ppm quality score and the lang=='en'
+    binary label — shared input of the classifier-eval trio (AUC /
+    calibration / rank-trend). One projected scan; the score is the same
+    integer expression text_quality exposes, so the oracle twin is the
+    shared _QPPM CTE."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        tx.quality_ppm(F.col("text")).alias("score_ppm"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of the quality score against the lang=='en'
+    label (rankstats.roc_auc): exact tie-corrected rank-sum AUC — the
+    eval a classifier-based corpus filter runs before its threshold is
+    trusted. Two windows + one aggregate per source, nothing global."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    return rk.roc_auc(
+        _docs_scored(spark, sf_dir), ["source"], "score_ppm", "is_en"
+    )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Expected Calibration Error of the quality score in 10
+    equal-width ppm bins (rankstats.ece_calibration): all-BIGINT bin
+    numerators, one division per group — is the score usable as a
+    sampling probability, not just a ranking?"""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    return rk.ece_calibration(
+        _docs_scored(spark, sf_dir), ["source"], "score_ppm", "is_en"
+    )
+
+
+def q_len_quality_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kendall τ-b between document length and quality score
+    (rankstats.kendall_tau): Knight's O(n log n) merge-count per group —
+    the all-pairs relation is never materialized; the oracle replays the
+    quadratic self-join definition at sf0.01 scale."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    return rk.kendall_tau(
+        _docs_scored(spark, sf_dir), ["source"], "n_chars", "score_ppm"
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3533,6 +3588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "lpa_communities": q_lpa_communities,
         "scd2_pit": q_scd2_pit,
+        "quality_auc": q_quality_auc,
+        "quality_calibration": q_quality_calibration,
+        "len_quality_tau": q_len_quality_tau,
     }
 
 
@@ -3647,6 +3705,33 @@ sh AS (SELECT DISTINCT doc_id,
 """.strip()
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+# documents + exact-ppm quality score + lang=='en' label — the shared input
+# CTE of the classifier-eval trio (quality_auc / quality_calibration /
+# len_quality_tau); the score expression mirrors textops.quality_ppm
+# bit-for-bit (same integer arithmetic as the text_quality oracle).
+_QPPM = f"""
+q AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(800 * least(length(text), 500)
+           + CASE WHEN k > 0 THEN (sw * 300000) // k ELSE 0 END
+           + CASE WHEN length(text) > 0
+                  THEN (letters * 300000) // length(text) ELSE 0 END
+           AS BIGINT) AS score_ppm,
+         (lang = 'en') AS is_en
+  FROM (
+    SELECT source, doc_id, n_chars, lang, text,
+           CASE WHEN n = '' THEN 0 ELSE len(string_split(n, ' ')) END AS k,
+           CASE WHEN n = '' THEN 0
+                ELSE len(list_filter(string_split(n, ' '),
+                         t -> t IN ({_STOPWORDS_SQL}))) END AS sw,
+           length(text)
+             - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS letters
+    FROM (SELECT source, doc_id, n_chars, lang, text, {_NORM} AS n
+          FROM documents)
+  )
+)
+""".strip()
 
 
 def _lang_sql() -> str:
@@ -7463,6 +7548,79 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
+""",
+        "quality_auc": f"""
+WITH {_QPPM},
+r AS (
+  SELECT source, is_en,
+         2 * rank() OVER (PARTITION BY source ORDER BY score_ppm)
+           + count(*) OVER (PARTITION BY source, score_ppm) - 1 AS avg2
+  FROM q
+),
+a AS (
+  SELECT source,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN is_en THEN avg2 ELSE 0 END) AS BIGINT) AS r2pos
+  FROM r GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       CAST(r2pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CASE WHEN n_pos * n_neg = 0 THEN NULL
+            ELSE round((r2pos - n_pos * (n_pos + 1))
+                       / (2.0 * n_pos * n_neg), 6) END AS auc
+FROM a
+""",
+        "quality_calibration": f"""
+WITH {_QPPM},
+g AS (
+  SELECT source,
+         CAST(least(score_ppm // 100000, 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+  FROM q GROUP BY 1, 2
+)
+SELECT source, bin, n, n_pos, sum_score_ppm,
+       CAST(abs(sum_score_ppm - 1000000 * n_pos) AS BIGINT) AS gap_ppm_num,
+       round(CAST(sum(abs(sum_score_ppm - 1000000 * n_pos))
+                    OVER (PARTITION BY source) AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE), 6)
+         AS ece_ppm
+FROM g
+""",
+        "len_quality_tau": f"""
+WITH {_QPPM},
+v AS (SELECT source, doc_id, n_chars AS x, score_ppm AS y FROM q),
+p AS (
+  SELECT a.source,
+         CASE WHEN (a.x < b.x AND a.y < b.y)
+                OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x < b.x AND a.y > b.y)
+                OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM v a JOIN v b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+s AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+         CAST(sum(tx) AS BIGINT) AS xt, CAST(sum(ty) AS BIGINT) AS yt,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM p GROUP BY 1
+),
+cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1)
+SELECT cnt.source, cnt.n,
+       CAST(coalesce(s.tot, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(s.c, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(s.d, 0) AS BIGINT) AS discordant,
+       CAST(coalesce(s.xt, 0) AS BIGINT) AS xtie,
+       CAST(coalesce(s.yt, 0) AS BIGINT) AS ytie,
+       CASE WHEN coalesce((s.tot - s.xt) * (s.tot - s.yt), 0) = 0 THEN NULL
+            ELSE round((s.c - s.d)
+                       / (sqrt(CAST(s.tot - s.xt AS DOUBLE))
+                          * sqrt(CAST(s.tot - s.yt AS DOUBLE))), 6)
+       END AS tau_b
+FROM cnt LEFT JOIN s USING (source)
 """,
     }
     # cluster_canonical reuses the dedup_clusters closure verbatim and

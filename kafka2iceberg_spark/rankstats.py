@@ -15,6 +15,8 @@ differences — one final division, identical in every engine.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -774,3 +776,260 @@ def cuped(
             F.try_divide(cov_n2 * cov_n2, varx_n2 * vary_n2), 6
         ).alias("rho2"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label via the
+    tie-corrected rank-sum (Mann–Whitney) identity:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where R⁺ is the sum of AVERAGE ranks of the positives under the score
+    ordering. This is the standard eval for classifier-based corpus
+    filtering (FineWeb-style quality classifiers): "how well does this
+    score separate the keep class" — computed exactly, without sampling
+    thresholds or trapezoid approximation (rank-sum AUC IS the full-curve
+    integral).
+
+    Tie handling keeps everything an exact BIGINT: the average rank of a
+    tie run spanning dense ranks [a, b] is (a+b)/2, so 2·avgrank =
+    2·rank() + cnt(run) − 1 is an integer, Σ over positives of that is an
+    integer, and AUC = (Σ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is ONE final division —
+    identical IEEE double on any engine, and independent of any tiebreak
+    order (average-rank AUC is permutation-invariant within ties, so no
+    tiebreak column is needed, unlike spearman()).
+
+    Plan shape: two windows over the same per-group hash partition (rank
+    by score; tie-run size partitioned by (group, score)) then one
+    hash aggregate — one exchange on the group key, sorts stay inside
+    partitions, nothing global. Degenerate groups (all-positive or
+    all-negative: n⁺·n⁻ = 0) yield NULL via try_divide.
+
+    Output: one row per group — (n_pos, n_neg, u2 = 2·Mann-Whitney-U,
+    auc), u2 exact BIGINT.
+    """
+    wr = Window.partitionBy(*group_cols).orderBy(F.col(score_col))
+    wt = Window.partitionBy(*group_cols, score_col)
+    lab = F.col(label_col).cast("boolean")
+    avg2 = (
+        F.lit(2) * F.rank().over(wr).cast("long")
+        + F.count(F.lit(1)).over(wt).cast("long")
+        - F.lit(1)
+    )
+    ranked = df.select(
+        *group_cols, lab.alias("_pos"), avg2.alias("_avg2")
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("_pos"), F.col("_avg2")).otherwise(0))
+        .cast("long")
+        .alias("_r2pos"),
+    )
+    u2 = F.col("_r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        F.round(
+            F.try_divide(
+                u2.cast("double"),
+                (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def ece_calibration(
+    df: DataFrame,
+    group_cols: list[str],
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group Expected Calibration Error over equal-width score bins —
+    "when the quality model says 0.8, is the empirical keep rate 0.8?" —
+    the companion diagnostic to roc_auc() (AUC measures ranking,
+    ECE measures whether the score is usable as a probability, which is
+    what mixture-sampling weights assume).
+
+    Scores arrive as exact ppm integers in [0, 1e6] (the repo-wide
+    convention — textops.quality_ppm etc.). With B bins of width 1e6/B
+    (B must divide 1e6), bin b's contribution to ECE is
+    |mean(score) − frac_pos| · n_b / N, and multiplying through by 1e6·N
+    keeps it integer: |Σ score_ppm − 1e6 · n_pos| summed over bins, then
+    ONE division by N yields ECE in ppm. Every engine gets the same
+    int64s and the same final double.
+
+    Plan shape: one hash aggregate to B·|groups| rows (map-side partial
+    combine does the heavy lifting), then a window total per group over
+    those tiny aggregates. Output: one row per (group, bin) —
+    (bin, n, n_pos, sum_score_ppm, gap_ppm_num exact BIGINT, and the
+    per-group scalar ece_ppm repeated on each row).
+    """
+    if 1_000_000 % n_bins:
+        raise ValueError(f"n_bins {n_bins} must divide 1e6")
+    width = 1_000_000 // n_bins
+    score = F.col(score_ppm_col).cast("long")
+    # scores are bounded by 1e6 so the float quotient is exact and floor
+    # equals integer division; least() clamps the score==1e6 edge into
+    # the top bin
+    bin_ = F.least(
+        F.floor(score / F.lit(width)), F.lit(n_bins - 1).cast("long")
+    ).cast("long")
+    lab = F.col(label_col).cast("boolean")
+    per_bin = (
+        df.select(*group_cols, bin_.alias("bin"), score.alias("_s"), lab.alias("_pos"))
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum("_s").cast("long").alias("sum_score_ppm"),
+        )
+    )
+    gap = F.abs(
+        F.col("sum_score_ppm") - F.lit(1_000_000) * F.col("n_pos")
+    ).cast("long")
+    wg = Window.partitionBy(*group_cols)
+    out = per_bin.withColumn("gap_ppm_num", gap)
+    return out.select(
+        *group_cols,
+        "bin",
+        "n",
+        "n_pos",
+        "sum_score_ppm",
+        "gap_ppm_num",
+        F.round(
+            F.sum("gap_ppm_num").over(wg).cast("double")
+            / F.sum("n").over(wg).cast("double"),
+            6,
+        ).alias("ece_ppm"),
+    )
+
+
+def _merge_discordant(y):
+    """Pairs (i, j), i < j, with y_i > y_j — bottom-up merge counting.
+
+    Both halves of every merge step are already sorted, so the cross-half
+    count is one vectorized searchsorted per block and the merge itself is
+    a block sort; O(n log² n) total, all numpy, no Python per element.
+    """
+    import numpy as np
+
+    a = np.asarray(y).copy()
+    n = a.size
+    inv = 0
+    width = 1
+    while width < n:
+        lo = 0
+        while lo < n:
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            if mid < hi:
+                left = a[lo:mid]
+                right = a[mid:hi]
+                inv += int(
+                    (
+                        left.size
+                        - np.searchsorted(left, right, side="right")
+                    ).sum()
+                )
+                merged = np.concatenate([left, right])
+                merged.sort()
+                a[lo:hi] = merged
+            lo = hi
+        width *= 2
+    return inv
+
+
+def _tie_pairs(new_run_mask):
+    """Σ g·(g−1)/2 over runs delimited by a boolean new-run mask."""
+    import numpy as np
+
+    starts = np.flatnonzero(new_run_mask)
+    lengths = np.diff(np.append(starts, new_run_mask.size))
+    return int((lengths * (lengths - 1) // 2).sum())
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall rank correlation τ-b (tie-corrected) between two
+    integer columns via Knight's O(n log n) algorithm — NOT the O(n²)
+    all-pairs definition:
+
+        τ_b = (C − D) / sqrt((tot − t_x) · (tot − t_y))
+
+    Sort each group by (x, y); then the discordant count D is exactly the
+    number of y-inversions (equal-x pairs contribute none, because y is
+    ascending within an x-run and inversions require strict >), tie terms
+    come from run lengths, and C = tot − t_x − t_y + t_xy − D. Every count
+    is an exact int64; the sqrt is the single float step, identical IEEE
+    on any engine (Knight 1966; same decomposition scipy uses).
+
+    Scale shape: groups are the unit of work — applyInPandas ships each
+    group as ONE Arrow batch and the merge-count is vectorized numpy
+    (pairs with time-rank x == the Mann-Kendall trend statistic
+    S = C − D, so this doubles as a monotone-trend test). The all-pairs
+    relation is never materialized anywhere; the DuckDB oracle uses the
+    independent quadratic self-join formulation.
+
+    Output: one row per group — (n, n_pairs, concordant, discordant,
+    xtie, ytie, tau_b).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("n", T.LongType()),
+            T.StructField("n_pairs", T.LongType()),
+            T.StructField("concordant", T.LongType()),
+            T.StructField("discordant", T.LongType()),
+            T.StructField("xtie", T.LongType()),
+            T.StructField("ytie", T.LongType()),
+            T.StructField("tau_b", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf):
+        x = pdf[x_col].to_numpy(dtype="int64")
+        y = pdf[y_col].to_numpy(dtype="int64")
+        n = x.size
+        perm = np.lexsort((y, x))
+        xs, ys = x[perm], y[perm]
+        new_x = np.r_[True, xs[1:] != xs[:-1]]
+        new_xy = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+        y_sorted = np.sort(y)
+        new_y = np.r_[True, y_sorted[1:] != y_sorted[:-1]]
+        xtie = _tie_pairs(new_x)
+        ytie = _tie_pairs(new_y)
+        ntie = _tie_pairs(new_xy)
+        dis = _merge_discordant(ys)
+        tot = n * (n - 1) // 2
+        con = tot - xtie - ytie + ntie - dis
+        den = math.sqrt(float(tot - xtie)) * math.sqrt(float(tot - ytie))
+        tau = round((con - dis) / den, 6) if den > 0 else None
+        return pd.DataFrame(
+            [
+                list(key)
+                + [n, tot, con, dis, xtie, ytie, tau]
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return df.select(*group_cols, x_col, y_col).groupBy(
+        *group_cols
+    ).applyInPandas(fn, out_schema)

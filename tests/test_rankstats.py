@@ -535,3 +535,174 @@ class TestCUPED:
         rows = [("A", 5, 1), ("B", 5, 2)]
         r = self._c(spark, rows)
         assert r["theta"] is None and r["rho2"] is None
+
+
+class TestRocAuc:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "grp string, score long, pos boolean"
+        )
+
+    def test_perfect_separation_auc_one(self, spark):
+        rows = [("g", s, s >= 3) for s in [1, 2, 3, 4]]
+        out = rk.roc_auc(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()[0]
+        assert out["auc"] == 1.0 and out["n_pos"] == 2 and out["n_neg"] == 2
+
+    def test_hand_computed_with_ties(self, spark):
+        # scores: neg 1, pos 1, neg 2, pos 3. Pairs (pos, neg): (1,1)
+        # ties -> 0.5; (1,2) loses -> 0; (3,1) wins -> 1; (3,2) wins -> 1.
+        # AUC = 2.5 / 4 = 0.625
+        rows = [("g", 1, False), ("g", 1, True), ("g", 2, False), ("g", 3, True)]
+        out = rk.roc_auc(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()[0]
+        assert out["auc"] == 0.625
+        assert out["u2"] == 5  # 2*U = 2*2.5
+
+    def test_random_score_auc_half(self, spark):
+        # symmetric: every positive score mirrored by an equal negative
+        rows = [("g", s, True) for s in [1, 2, 3]] + [
+            ("g", s, False) for s in [1, 2, 3]
+        ]
+        out = rk.roc_auc(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()[0]
+        assert out["auc"] == 0.5
+
+    def test_degenerate_single_class_null(self, spark):
+        rows = [("g", 1, True), ("g", 2, True)]
+        out = rk.roc_auc(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()[0]
+        assert out["auc"] is None and out["n_neg"] == 0
+
+    def test_groups_independent(self, spark):
+        rows = [("a", 1, False), ("a", 2, True),
+                ("b", 1, True), ("b", 2, False)]
+        out = {
+            r["grp"]: r["auc"]
+            for r in rk.roc_auc(
+                self._df(spark, rows), ["grp"], "score", "pos"
+            ).collect()
+        }
+        assert out == {"a": 1.0, "b": 0.0}
+
+
+class TestEceCalibration:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "grp string, score long, pos boolean"
+        )
+
+    def test_perfectly_calibrated_bin(self, spark):
+        # bin 5 (500000..599999): two rows at 500000, one positive ->
+        # sum_score = 1_000_000, n_pos = 1 -> gap 0
+        rows = [("g", 500_000, True), ("g", 500_000, False)]
+        out = rk.ece_calibration(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["bin"] == 5
+        assert out[0]["gap_ppm_num"] == 0 and out[0]["ece_ppm"] == 0.0
+
+    def test_hand_computed_two_bins(self, spark):
+        # bin 0: score 100000, neg -> gap |100000 - 0| = 100000
+        # bin 9: score 900000 x2, one pos -> gap |1800000 - 1000000| = 800000
+        # ECE_ppm = (100000 + 800000) / 3 = 300000
+        rows = [("g", 100_000, False), ("g", 900_000, True), ("g", 900_000, False)]
+        out = rk.ece_calibration(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()
+        by_bin = {r["bin"]: r for r in out}
+        assert by_bin[1]["gap_ppm_num"] == 100_000
+        assert by_bin[9]["gap_ppm_num"] == 800_000
+        assert out[0]["ece_ppm"] == 300_000.0
+
+    def test_top_edge_score_clamped_to_last_bin(self, spark):
+        rows = [("g", 1_000_000, True)]
+        out = rk.ece_calibration(
+            self._df(spark, rows), ["grp"], "score", "pos"
+        ).collect()[0]
+        assert out["bin"] == 9
+
+    def test_invalid_bins_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            rk.ece_calibration(
+                self._df(spark, [("g", 1, True)]), ["grp"], "score", "pos",
+                n_bins=7,
+            )
+
+
+class TestKendallTau:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, x long, y long")
+
+    def test_perfect_agreement(self, spark):
+        rows = [("g", i, i * 10) for i in range(5)]
+        out = rk.kendall_tau(
+            self._df(spark, rows), ["grp"], "x", "y"
+        ).collect()[0]
+        assert out["tau_b"] == 1.0 and out["discordant"] == 0
+        assert out["concordant"] == 10 and out["n_pairs"] == 10
+
+    def test_perfect_reversal(self, spark):
+        rows = [("g", i, -i) for i in range(5)]
+        out = rk.kendall_tau(
+            self._df(spark, rows), ["grp"], "x", "y"
+        ).collect()[0]
+        assert out["tau_b"] == -1.0 and out["concordant"] == 0
+
+    def test_hand_computed_with_ties(self, spark):
+        # (1,1) (1,2) (2,1) (3,3):
+        # pairs: (1,1)-(1,2) xtie; (1,1)-(2,1) ytie; (1,1)-(3,3) C;
+        # (1,2)-(2,1) D; (1,2)-(3,3) C; (2,1)-(3,3) C
+        # C=3 D=1 xtie=1 ytie=1 tot=6
+        # tau_b = 2 / (sqrt(5)*sqrt(5)) = 0.4
+        rows = [("g", 1, 1), ("g", 1, 2), ("g", 2, 1), ("g", 3, 3)]
+        out = rk.kendall_tau(
+            self._df(spark, rows), ["grp"], "x", "y"
+        ).collect()[0]
+        assert out["concordant"] == 3 and out["discordant"] == 1
+        assert out["xtie"] == 1 and out["ytie"] == 1
+        assert out["tau_b"] == 0.4
+
+    def test_constant_column_null(self, spark):
+        rows = [("g", 1, 7), ("g", 2, 7), ("g", 3, 7)]
+        out = rk.kendall_tau(
+            self._df(spark, rows), ["grp"], "x", "y"
+        ).collect()[0]
+        assert out["tau_b"] is None and out["ytie"] == 3
+
+    def test_matches_quadratic_definition_random(self, spark):
+        # deterministic pseudo-random series vs the O(n^2) definition
+        xs = [(i * 37) % 23 for i in range(60)]
+        ys = [(i * 17 + 5) % 19 for i in range(60)]
+        rows = [("g", x, y) for x, y in zip(xs, ys)]
+        c = d = xt = yt = 0
+        n = len(rows)
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = xs[i] - xs[j]
+                dy = ys[i] - ys[j]
+                if dx == 0:
+                    xt += 1
+                if dy == 0:
+                    yt += 1
+                if dx * dy > 0:
+                    c += 1
+                elif dx != 0 and dy != 0:
+                    d += 1
+        out = rk.kendall_tau(
+            self._df(spark, rows), ["grp"], "x", "y"
+        ).collect()[0]
+        assert (out["concordant"], out["discordant"]) == (c, d)
+        assert (out["xtie"], out["ytie"]) == (xt, yt)
+        tot = n * (n - 1) // 2
+        import math
+
+        exp = round((c - d) / (math.sqrt(tot - xt) * math.sqrt(tot - yt)), 6)
+        assert out["tau_b"] == exp
