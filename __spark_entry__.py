@@ -3411,6 +3411,14 @@ def q_len_quality_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance pruning scores (similarity.label_centroid_dists):
+    exact integer L2² to the own-label centroid, k farthest flagged —
+    one scan + broadcast centroids, zero pandas."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    return sim.label_centroid_dists(emb)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3591,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_auc": q_quality_auc,
         "quality_calibration": q_quality_calibration,
         "len_quality_tau": q_len_quality_tau,
+        "centroid_outliers": q_centroid_outliers,
     }
 
 
@@ -7548,6 +7557,38 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
+""",
+        "centroid_outliers": """
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+pos AS (
+  SELECT label, unnest(range(1, 65)) AS i, q FROM d
+),
+per_dim AS (
+  SELECT label, i, SUM(q[CAST(i AS INT)]) AS s, COUNT(*) AS c
+  FROM pos GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(CAST(s // c AS BIGINT) ORDER BY i) AS cq
+  FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT d.vec_id, d.label,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (d.q[i] - c.cq[i]) * (d.q[i] - c.cq[i]))) AS BIGINT) AS dist_q
+  FROM d JOIN cent c USING (label)
+)
+SELECT vec_id, label, dist_q,
+       CAST(row_number() OVER (
+         PARTITION BY label ORDER BY dist_q DESC, vec_id
+       ) AS BIGINT) AS far_rank,
+       (row_number() OVER (
+         PARTITION BY label ORDER BY dist_q DESC, vec_id
+       ) <= 5) AS is_far
+FROM scored
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -835,3 +835,62 @@ def _l2q(q: Column, cq: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, d: acc + d * d,
     )
+
+
+def label_centroid_dists(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_far: int = 5,
+) -> DataFrame:
+    """Prototype-distance scoring: integer L2² of every vector to its OWN
+    label centroid, with the k farthest per label flagged — the data-pruning
+    primitive of Sorscher et al. 2022 ("Beyond neural scaling laws"):
+    prototypical examples are cheap to drop, far-from-centroid examples
+    carry the information. Distinct from ivf_assign (nearest-of-all
+    centroids): this scores within-class typicality.
+
+    Exactness: vectors are micro-quantized (quantize()), centroids are
+    per-dimension truncated integer means (``s div c``, mirroring
+    kmeans_lloyd/DuckDB ``//``), distances are exact BIGINT folds (_l2q),
+    and the far-rank tiebreak is (dist desc, id asc) — every row
+    engine-identical.
+
+    Scale shape: one posexplode×d pass that immediately hash-aggregates
+    (map-side partial combine sums int64s, so the ×d amplification never
+    shuffles raw rows), a |labels|·d centroid relation broadcast back, one
+    whole-stage-codegen'd fold per row, one per-label window for the rank.
+    No pandas anywhere; at 100 TB this is a single data scan.
+    """
+    d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        quantize(F.col(vec_col)).alias("q"),
+    )
+    per_dim = (
+        d.select("label", F.posexplode("q").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .withColumn("m", F.expr("s div c"))
+    )
+    cents = (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            "label",
+            F.transform(F.col("_pm"), lambda s: s["m"]).alias("cq"),
+        )
+    )
+    j = d.join(F.broadcast(cents), "label")
+    scored = j.select(
+        "vec_id",
+        "label",
+        _l2q(F.col("q"), F.col("cq")).alias("dist_q"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist_q"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "far_rank", F.row_number().over(w).cast("long")
+    ).withColumn("is_far", F.col("far_rank") <= F.lit(k_far))

@@ -699,3 +699,62 @@ def test_containment_asymmetric_subset(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["cont_a_ppm"] == 3 * 1_000_000 // 7
     assert r["cont_b_ppm"] == 1_000_000
+
+
+class TestLabelCentroidDists:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_hand_computed_distances_and_far_flag(self, spark):
+        # label 0 points along y: 0, 2, 4 -> centroid y = 2 (exactly);
+        # dists (micro^2): 4e12, 0, 4e12; k_far=1 flags vec 0 (tie on
+        # dist broken by vec_id asc)
+        df = self._df(
+            spark,
+            [
+                (0, 0, [0.0, 0.0]),
+                (1, 0, [0.0, 2.0]),
+                (2, 0, [0.0, 4.0]),
+            ],
+        )
+        out = {
+            r["vec_id"]: r
+            for r in sim.label_centroid_dists(df, k_far=1).collect()
+        }
+        assert out[0]["dist_q"] == 4_000_000_000_000
+        assert out[1]["dist_q"] == 0
+        assert out[0]["is_far"] and not out[2]["is_far"]
+        assert out[0]["far_rank"] == 1 and out[2]["far_rank"] == 2
+
+    def test_truncated_integer_mean_matches_duckdb_div(self, spark):
+        # y values 0, 1, 1: mean micro = 2e6 div 3 = 666666 (truncated) --
+        # the engine-exactness contract with the oracle's `//`
+        df = self._df(
+            spark,
+            [(0, 0, [0.0]), (1, 0, [1.0]), (2, 0, [1.0])],
+        )
+        out = {
+            r["vec_id"]: r["dist_q"]
+            for r in sim.label_centroid_dists(df).collect()
+        }
+        assert out[0] == 666_666 ** 2
+        assert out[1] == (1_000_000 - 666_666) ** 2
+
+    def test_labels_score_independently(self, spark):
+        df = self._df(
+            spark,
+            [
+                (0, 0, [0.0]),
+                (1, 0, [2.0]),
+                (2, 1, [100.0]),
+            ],
+        )
+        out = {
+            r["vec_id"]: r
+            for r in sim.label_centroid_dists(df).collect()
+        }
+        # singleton label: centroid is itself, distance 0, rank 1
+        assert out[2]["dist_q"] == 0 and out[2]["far_rank"] == 1
+        assert out[0]["dist_q"] == out[1]["dist_q"] == 1_000_000_000_000
