@@ -3411,6 +3411,16 @@ def q_len_quality_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with removal (dedup.dup_span_remove): tokens
+    covered by corpus-duplicated word 4-grams are cut and the cleaned
+    normalized text re-emitted — Lee et al. 2021's ExactSubstr deletion,
+    the actionable twin of dup_spans."""
+    _utc(spark)
+    docs = _read(spark, sf_dir, "documents")
+    return dd.dup_span_remove(docs, n=4).orderBy("doc_id")
+
+
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance pruning scores (similarity.label_centroid_dists):
     exact integer L2² to the own-label centroid, k farthest flagged —
@@ -3600,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "len_quality_tau": q_len_quality_tau,
         "centroid_outliers": q_centroid_outliers,
+        "dup_span_remove": q_dup_span_remove,
     }
 
 
@@ -7589,6 +7600,45 @@ SELECT vec_id, label, dist_q,
          PARTITION BY label ORDER BY dist_q DESC, vec_id
        ) <= 5) AS is_far
 FROM scored
+""",
+        "dup_span_remove": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS nm FROM documents),
+w AS (SELECT doc_id, string_split(nm, ' ') AS w FROM d),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i
+        FROM w)
+),
+c AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+dup AS (SELECT doc_id, pos FROM g JOIN c USING (g) WHERE c.c >= 2),
+cover AS (
+  SELECT DISTINCT doc_id, pos + CAST(k AS BIGINT) AS idx
+  FROM (SELECT doc_id, pos, unnest(range(0, 4)) AS k FROM dup)
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, w[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM toks t
+  LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM w)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(b.n_tokens - coalesce(r.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
 """,
         "quality_auc": f"""
 WITH {_QPPM},

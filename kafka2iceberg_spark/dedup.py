@@ -867,3 +867,98 @@ def semdedup_flags(
             (F.coalesce("_n", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def dup_span_remove(
+    docs: DataFrame,
+    n: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup with REMOVAL (Lee et al. 2021 §4 "ExactSubstr":
+    delete the duplicated span, keep the rest of the document) — the
+    actionable twin of dup_span_stats, which only measures coverage.
+    Document-level dedup can't touch boilerplate inside otherwise-unique
+    pages; this cuts it out.
+
+    Same positional word-n-gram machinery as dup_span_stats (their suffix
+    array re-expressed as Spark relations): a token at position t is
+    removed iff some n-gram occurring >= min_count times corpus-wide covers
+    t. The cleaned text is the surviving tokens of the NORMALIZED form,
+    space-joined in order (exact-substring dedup is defined over the
+    canonical token stream, not raw bytes).
+
+    Scale shape — everything stays keyed, nothing quadratic:
+      1. gram scan (codegen'd transform over the bound token array),
+      2. corpus counts: ONE wide agg keyed on gram text,
+      3. join back -> duplicated (doc_id, pos) spans,
+      4. covered token indices: explode each span to its n indices and
+         distinct on (doc_id, idx) — x n amplification of DUP spans only,
+      5. per-token left-anti join (doc_id, idx) against covered — both
+         sides co-partitioned on the same key, then one per-doc ordered
+         reassembly (sort inside the doc_id hash partition, no global
+         sort).
+    The corpus-count agg of step 2 is the only exchange over full data
+    volume; steps 4-5 scale with the duplicated fraction.
+
+    Output: (doc_id, n_tokens, kept_tokens, removed_tokens, clean_text).
+    """
+    gram_expr = (
+        f"CASE WHEN size(_toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> struct(i AS pos, concat_ws(' ', slice(_toks, i, {n})) AS g))"
+        f" END"
+    )
+    base = (
+        _with_norm(docs, text_col)
+        .withColumn("_toks", F.split(F.col("_norm"), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("_toks"),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(gram_expr)).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    dup = grams.join(
+        counts.where(F.col("_c") >= min_count), "g"
+    ).select("doc_id", "pos")
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("idx"),
+    ).distinct()
+    toks = base.select(
+        "doc_id", F.posexplode("_toks").alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("_toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce("kept_tokens", F.lit(0))
+            ).cast("long").alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -758,3 +758,70 @@ class TestLabelCentroidDists:
         # singleton label: centroid is itself, distance 0, rank 1
         assert out[2]["dist_q"] == 0 and out[2]["far_rank"] == 1
         assert out[0]["dist_q"] == out[1]["dist_q"] == 1_000_000_000_000
+
+
+class TestDupSpanRemove:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_boilerplate_header_removed_unique_tail_kept(self, spark):
+        # 4-gram "copyright acme corp inc" duplicated across both docs;
+        # the unique tails survive
+        df = self._df(
+            spark,
+            [
+                (1, "copyright acme corp inc alpha beta gamma delta"),
+                (2, "copyright acme corp inc epsilon zeta eta theta"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dd.dup_span_remove(df, n=4).collect()
+        }
+        assert out[1]["clean_text"] == "alpha beta gamma delta"
+        assert out[2]["clean_text"] == "epsilon zeta eta theta"
+        assert out[1]["removed_tokens"] == 4 and out[1]["kept_tokens"] == 4
+
+    def test_no_duplication_keeps_everything(self, spark):
+        df = self._df(
+            spark,
+            [(1, "one two three four five"), (2, "six seven eight nine ten")],
+        )
+        out = dd.dup_span_remove(df, n=4).collect()
+        for r in out:
+            assert r["removed_tokens"] == 0
+            assert r["kept_tokens"] == r["n_tokens"]
+
+    def test_overlapping_spans_remove_union(self, spark):
+        # doc 1 repeats its own 4-gram at positions 1 and 5 with overlap
+        # via doc 2; a fully duplicated doc loses every token
+        df = self._df(
+            spark,
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r for r in dd.dup_span_remove(df, n=4).collect()
+        }
+        # grams "a b c d" and "b c d e" both occur twice -> cover 1..5
+        assert out[1]["kept_tokens"] == 0
+        assert out[1]["clean_text"] == ""
+
+    def test_within_doc_repetition_counts(self, spark):
+        # the duplicated gram occurs twice INSIDE one doc -> both spans cut
+        df = self._df(
+            spark,
+            [(1, "x y z w junk1 junk2 x y z w tail9 tailb tailc")],
+        )
+        out = dd.dup_span_remove(df, n=4).collect()[0]
+        assert "x" not in out["clean_text"].split()
+        assert out["clean_text"] == "junk1 junk2 tail9 tailb tailc"
+
+    def test_short_doc_no_grams_untouched(self, spark):
+        df = self._df(spark, [(1, "too short"), (2, "too short")])
+        out = {r["doc_id"]: r for r in dd.dup_span_remove(df, n=4).collect()}
+        # 2 tokens < n=4: no grams exist, nothing can be removed
+        assert out[1]["clean_text"] == "too short"
+        assert out[1]["removed_tokens"] == 0
