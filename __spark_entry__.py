@@ -3429,6 +3429,19 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroid_dists(emb)
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score
+    (rankstats.quantile_normalize): each doc's score is replaced by the
+    pooled distribution's value at its within-source percentile — exact
+    int64 grid algebra, pooled CDF aggregated over distinct values only,
+    grid broadcast back."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    d = _docs_scored(spark, sf_dir).select("source", "doc_id", "score_ppm")
+    return rk.quantile_normalize(d, ["source"], "score_ppm", "doc_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3611,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quality_tau": q_len_quality_tau,
         "centroid_outliers": q_centroid_outliers,
         "dup_span_remove": q_dup_span_remove,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -7639,6 +7653,38 @@ SELECT b.doc_id, b.n_tokens,
          AS removed_tokens,
        coalesce(r.clean_text, '') AS clean_text
 FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
+""",
+        "quantile_normalize": f"""
+WITH {_QPPM},
+v AS (SELECT source, doc_id, score_ppm FROM q),
+h AS (SELECT score_ppm, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+c AS (
+  SELECT score_ppm, cnt,
+         CAST(sum(cnt) OVER (ORDER BY score_ppm) AS BIGINT) AS cum
+  FROM h
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+grid AS (
+  SELECT CAST(k AS BIGINT) AS grid_k, score_ppm AS norm
+  FROM (
+    SELECT c.score_ppm,
+           unnest(range((1000 * (c.cum - c.cnt)) // t.n_total + 1,
+                        (1000 * c.cum) // t.n_total + 1)) AS k
+    FROM c, t
+  )
+),
+r AS (
+  SELECT source, doc_id, score_ppm,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score_ppm, doc_id
+         ) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM v
+)
+SELECT r.source, r.doc_id, r.score_ppm,
+       CAST((r.r * 1000 + r.n - 1) // r.n AS BIGINT) AS grid_k,
+       g.norm AS norm_score_ppm
+FROM r JOIN grid g ON g.grid_k = (r.r * 1000 + r.n - 1) // r.n
 """,
         "quality_auc": f"""
 WITH {_QPPM},

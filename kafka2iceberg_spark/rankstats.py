@@ -1033,3 +1033,79 @@ def kendall_tau(
     return df.select(*group_cols, x_col, y_col).groupBy(
         *group_cols
     ).applyInPandas(fn, out_schema)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    b: int = 1000,
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each value with the
+    POOLED distribution's value at the same within-group percentile — the
+    standard fix when per-source score distributions drift (a "0.7" from
+    one crawl is not a "0.7" from another) before a single global
+    threshold or mixture weight is applied.
+
+    Discrete, integer-exact recipe at grid resolution ``b``:
+
+      grid[k]   = pooled value at rank ceil(k·N / b),  k = 1..b
+      row(r, n) → grid[ceil(r·b / n)]                  (r = in-group rank)
+
+    Scale shape (the gini() trick, twice):
+      1. The pooled CDF is aggregated over DISTINCT VALUES, not rows —
+         one hash agg with map-side combine, then one window over the
+         value domain (bounded: ppm scores have ≤ 1e6 distinct values,
+         so the single-partition window is over a tiny relation, never
+         over data volume).
+      2. Each distinct value emits exactly the grid cells it covers via
+         integer interval algebra (k ∈ [⌊b·prev/N⌋+1, ⌊b·cum/N⌋]) — the
+         exploded grid is exactly ``b`` rows, broadcast back.
+      3. Rows need only their in-group rank (one window per group
+         partition) and a broadcast hash join on the grid cell.
+    Every step is int64 arithmetic (b·N must stay < 2^63 — at b=1000
+    that allows 9·10^15 rows); no floats anywhere, so any engine
+    reproduces every output bit.
+
+    Output: group cols, tiebreak, value, grid_k, norm_<value_col> (the
+    pooled-distribution value at the row's percentile).
+    """
+    vals = df.select(*group_cols, tiebreak_col, F.col(value_col).cast("long").alias(value_col))
+    hist = vals.groupBy(value_col).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    wcum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = hist.agg(F.sum("_cnt").cast("long").alias("_n_total"))
+    cum = (
+        hist.withColumn("_cum", F.sum("_cnt").over(wcum).cast("long"))
+        .withColumn("_prev", (F.col("_cum") - F.col("_cnt")).cast("long"))
+        .crossJoin(F.broadcast(total))
+    )
+    # integer div (not float-cast) keeps the interval algebra exact past
+    # 2^53; values covering no grid cell emit an empty sequence guard
+    k_lo = F.expr(f"({b} * _prev) div _n_total") + F.lit(1)
+    k_hi = F.expr(f"({b} * _cum) div _n_total")
+    grid = (
+        cum.where(k_hi >= k_lo)
+        .select(
+            F.explode(F.sequence(k_lo, k_hi)).alias("grid_k"),
+            F.col(value_col).alias("_norm"),
+        )
+    )
+    wr = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = vals.withColumn(
+        "_r", F.row_number().over(wr).cast("long")
+    ).withColumn("_gn", F.count(F.lit(1)).over(wn).cast("long"))
+    k = F.expr(f"(_r * {b} + _gn - 1) div _gn")
+    out = ranked.withColumn("grid_k", k).join(
+        F.broadcast(grid), "grid_k"
+    )
+    return out.select(
+        *group_cols,
+        tiebreak_col,
+        value_col,
+        "grid_k",
+        F.col("_norm").alias(f"norm_{value_col}"),
+    )

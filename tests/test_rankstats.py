@@ -706,3 +706,56 @@ class TestKendallTau:
 
         exp = round((c - d) / (math.sqrt(tot - xt) * math.sqrt(tot - yt)), 6)
         assert out["tau_b"] == exp
+
+
+class TestQuantileNormalize:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, pk long, v long")
+
+    def test_identical_distributions_map_to_self(self, spark):
+        rows = [("a", i, i % 4) for i in range(8)] + [
+            ("b", i + 100, i % 4) for i in range(8)
+        ]
+        out = rk.quantile_normalize(
+            self._df(spark, rows), ["grp"], "v", "pk"
+        ).collect()
+        for r in out:
+            assert r["norm_v"] == r["v"]
+
+    def test_shifted_group_calibrated_onto_pool(self, spark):
+        # group a: 0..3, group b: 1000..1003 (same shape, shifted).
+        # pooled sorted: 0,1,2,3,1000,1001,1002,1003. the top row of each
+        # group (percentile 1.0) maps to the pooled max 1003; the bottom
+        # (r=1, n=4 -> grid k=250 -> pooled rank ceil(250*8/1000)=2) maps
+        # to pooled value 1
+        rows = [("a", i, i) for i in range(4)] + [
+            ("b", i, 1000 + i) for i in range(4)
+        ]
+        out = {
+            (r["grp"], r["pk"]): r["norm_v"]
+            for r in rk.quantile_normalize(
+                self._df(spark, rows), ["grp"], "v", "pk"
+            ).collect()
+        }
+        assert out[("a", 3)] == out[("b", 3)] == 1003
+        assert out[("a", 0)] == out[("b", 0)] == 1
+        # equal percentiles always map to equal pooled values
+        for i in range(4):
+            assert out[("a", i)] == out[("b", i)]
+
+    def test_grid_is_exactly_b_cells(self, spark):
+        rows = [("a", i, i * 7 % 13) for i in range(50)]
+        out = rk.quantile_normalize(
+            self._df(spark, rows), ["grp"], "v", "pk", b=100
+        )
+        ks = [r["grid_k"] for r in out.select("grid_k").collect()]
+        assert min(ks) >= 1 and max(ks) <= 100
+
+    def test_monotone_within_group(self, spark):
+        rows = [("a", i, (i * 37) % 23) for i in range(30)]
+        out = rk.quantile_normalize(
+            self._df(spark, rows), ["grp"], "v", "pk"
+        ).collect()
+        by_v = sorted(out, key=lambda r: (r["v"], r["pk"]))
+        norms = [r["norm_v"] for r in by_v]
+        assert norms == sorted(norms)
