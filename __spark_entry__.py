@@ -3442,6 +3442,27 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.quantile_normalize(d, ["source"], "score_ppm", "doc_id")
 
 
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence cells between source and lang
+    (rankstats.chi2_cells): exact BIGINT deviation numerators, one double
+    division per cell; which cells drive the source-language association."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("source", "lang")
+    return rk.chi2_cells(d, "source", "lang")
+
+
+def q_interleaved_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved shard assignment for training
+    loaders (textops.interleaved_shards): round-robin positions from pure
+    rank arithmetic — one per-source rank window + a broadcast group
+    index, no global sort."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("source", "doc_id")
+    return tx.interleaved_shards(d, "source", "doc_id", n_shards=8)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3625,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "dup_span_remove": q_dup_span_remove,
         "quantile_normalize": q_quantile_normalize,
+        "lang_source_chi2": q_lang_source_chi2,
+        "interleaved_shards": q_interleaved_shards,
     }
 
 
@@ -7685,6 +7708,48 @@ SELECT r.source, r.doc_id, r.score_ppm,
        CAST((r.r * 1000 + r.n - 1) // r.n AS BIGINT) AS grid_k,
        g.norm AS norm_score_ppm
 FROM r JOIN grid g ON g.grid_k = (r.r * 1000 + r.n - 1) // r.n
+""",
+        "lang_source_chi2": """
+WITH conf AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+),
+r AS (SELECT source, CAST(sum(observed) AS BIGINT) AS row_total
+      FROM conf GROUP BY 1),
+c AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS col_total
+      FROM conf GROUP BY 1),
+t AS (SELECT CAST(sum(observed) AS BIGINT) AS grand_total FROM conf)
+SELECT conf.source, conf.lang, conf.observed,
+       r.row_total, c.col_total, t.grand_total,
+       CAST((conf.observed * t.grand_total - r.row_total * c.col_total)
+            * (conf.observed * t.grand_total - r.row_total * c.col_total)
+            AS BIGINT) AS dev2_num,
+       round(CAST((conf.observed * t.grand_total
+                   - r.row_total * c.col_total)
+                  * (conf.observed * t.grand_total
+                     - r.row_total * c.col_total) AS DOUBLE)
+             / CAST(t.grand_total * r.row_total * c.col_total AS DOUBLE), 6)
+         AS contrib
+FROM conf JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
+""",
+        "interleaved_shards": """
+WITH gset AS (
+  SELECT _g, CAST(row_number() OVER (ORDER BY _g) - 1 AS BIGINT) AS gi
+  FROM (SELECT DISTINCT source AS _g FROM documents)
+),
+ng AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM gset),
+rr AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY doc_id
+         ) AS BIGINT) AS r
+  FROM documents
+)
+SELECT rr.source, rr.doc_id, rr.r,
+       CAST((rr.r - 1) * ng.ng + g.gi AS BIGINT) AS pos,
+       CAST(((rr.r - 1) * ng.ng + g.gi) % 8 AS BIGINT) AS shard,
+       CAST(((rr.r - 1) * ng.ng + g.gi) // 8 AS BIGINT) AS seq_in_shard
+FROM rr JOIN gset g ON g._g = rr.source CROSS JOIN ng
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -1109,3 +1109,71 @@ def quantile_normalize(
         "grid_k",
         F.col("_norm").alias(f"norm_{value_col}"),
     )
+
+
+def chi2_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns,
+    emitted as the per-cell contribution table (the drift/association
+    readout: WHICH (source, lang) cells deviate, not just a scalar) —
+    completes the categorical side of the stats family (two_proportion_z
+    is binary×binary, cohens_kappa is agreement, this is independence).
+
+    Per cell: observed O, row total R, column total C, grand total N;
+    expected = R·C/N and
+
+        contrib = (O·N − R·C)² / (N·R·C)
+
+    The numerator (O·N − R·C)² and every total stay exact BIGINT (needs
+    O·N < 2^31.5-ish per cell to square safely — fine for the ≤ 10^9-row
+    slices this diagnostic runs on; the squared term is guarded by the
+    caller's slice, not hidden float loss), and each cell does ONE double
+    division — engine-identical per row. The scalar χ² is the sum of a
+    deterministic per-cell column, left to the consumer so no
+    engine-varying float summation order enters the contract.
+
+    Plan shape: one contingency aggregation over the pair (map-side
+    combine), |A| and |B| marginal aggs over THAT (tiny), two broadcast
+    joins back, one 1-row cross join for N. Cells with zero observed
+    count are absent from the output (their contribution is R·C/N²·N =
+    expected-only; emit-missing keeps the relation sparse — the oracle
+    mirrors this).
+    """
+    conf = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    rows = conf.groupBy("a").agg(F.sum("observed").cast("long").alias("row_total"))
+    cols = conf.groupBy("b").agg(F.sum("observed").cast("long").alias("col_total"))
+    tot = conf.agg(F.sum("observed").cast("long").alias("grand_total"))
+    out = (
+        conf.join(F.broadcast(rows), "a")
+        .join(F.broadcast(cols), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (
+        F.col("observed") * F.col("grand_total")
+        - F.col("row_total") * F.col("col_total")
+    )
+    return out.select(
+        F.col("a").alias(a_col),
+        F.col("b").alias(b_col),
+        "observed",
+        "row_total",
+        "col_total",
+        "grand_total",
+        (dev * dev).cast("long").alias("dev2_num"),
+        F.round(
+            F.try_divide(
+                (dev * dev).cast("double"),
+                (
+                    F.col("grand_total")
+                    * F.col("row_total")
+                    * F.col("col_total")
+                ).cast("double"),
+            ),
+            6,
+        ).alias("contrib"),
+    )

@@ -1228,3 +1228,61 @@ def mix_allocation(
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+def interleaved_shards(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic source-interleaved shard assignment for training data
+    loaders: round-robin the groups (sources/domains) so every shard — and
+    every consecutive window WITHIN a shard — sees the mixture, not a
+    source-sorted run (a loader reading source-clustered shards replays
+    the curriculum-drift bug mixture weights were supposed to fix).
+
+    Recipe, pure arithmetic so no global sort ever happens:
+
+        r     = in-group rank of the row (by id — stable under replay)
+        pos   = (r − 1) · |groups| + group_index
+        shard = pos mod n_shards,  seq = pos div n_shards
+
+    pos is a total order that cycles through the groups once per rank
+    step; with unequal group sizes the exhausted groups leave gaps, which
+    skew shard sizes by at most |groups| rows per rank cycle — documented
+    trade for never sorting globally. group_index is the dense rank of
+    the group name over the DISTINCT group relation (bounded domain, the
+    gini()/quantile_normalize() trick) broadcast back to the rows; the
+    only data-volume operation is the one per-group rank window.
+
+    Output: (group, id, r, pos, shard, seq_in_shard).
+    """
+    groups = (
+        df.select(F.col(group_col).alias("_g")).distinct()
+        .withColumn(
+            "_gi",
+            F.row_number().over(Window.orderBy("_g")).cast("long") - 1,
+        )
+        .withColumn(
+            "_ng", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+        )
+    )
+    wr = Window.partitionBy(group_col).orderBy(id_col)
+    ranked = df.select(group_col, id_col).withColumn(
+        "r", F.row_number().over(wr).cast("long")
+    )
+    j = ranked.join(
+        F.broadcast(groups), F.col(group_col) == F.col("_g")
+    )
+    pos = (F.col("r") - 1) * F.col("_ng") + F.col("_gi")
+    return j.select(
+        group_col,
+        id_col,
+        "r",
+        pos.cast("long").alias("pos"),
+        (pos % F.lit(n_shards)).cast("long").alias("shard"),
+        F.expr(f"(((r - 1) * _ng + _gi)) div {n_shards}")
+        .cast("long")
+        .alias("seq_in_shard"),
+    )

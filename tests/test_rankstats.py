@@ -759,3 +759,74 @@ class TestQuantileNormalize:
         by_v = sorted(out, key=lambda r: (r["v"], r["pk"]))
         norms = [r["norm_v"] for r in by_v]
         assert norms == sorted(norms)
+
+
+class TestChi2Cells:
+    def test_hand_computed_2x2(self, spark):
+        # contingency: a/x=30 a/y=10, b/x=10 b/y=30; N=80
+        # cell (a,x): O=30 R=40 C=40 -> dev = 30*80-1600 = 800
+        # contrib = 800^2 / (80*40*40) = 640000/128000 = 5.0
+        rows = (
+            [("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30
+        )
+        df = spark.createDataFrame(rows, "s string, l string")
+        out = {
+            (r["s"], r["l"]): r for r in rk.chi2_cells(df, "s", "l").collect()
+        }
+        assert out[("a", "x")]["dev2_num"] == 640_000
+        assert out[("a", "x")]["contrib"] == 5.0
+        # chi2 total = 4 symmetric cells * 5.0 = 20.0
+        assert sum(r["contrib"] for r in out.values()) == 20.0
+
+    def test_independent_distribution_zero(self, spark):
+        rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 3 + [
+            ("b", "y")
+        ]
+        df = spark.createDataFrame(rows, "s string, l string")
+        out = rk.chi2_cells(df, "s", "l").collect()
+        assert all(r["contrib"] == 0.0 for r in out)
+
+    def test_marginals_consistent(self, spark):
+        rows = [("a", "x"), ("a", "y"), ("b", "x")]
+        df = spark.createDataFrame(rows, "s string, l string")
+        out = rk.chi2_cells(df, "s", "l").collect()
+        for r in out:
+            assert r["grand_total"] == 3
+        got = {(r["s"], r["l"]): (r["row_total"], r["col_total"]) for r in out}
+        assert got[("a", "x")] == (2, 2)
+        assert got[("b", "x")] == (1, 2)
+
+
+class TestInterleavedShards:
+    def test_round_robin_cycles_groups(self, spark):
+        rows = [(g, i) for g in ["a", "b", "c"] for i in range(4)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        out = sorted(
+            tx.interleaved_shards(df, "src", "id", n_shards=3).collect(),
+            key=lambda r: r["pos"],
+        )
+        # positions cycle a,b,c,a,b,c...
+        assert [r["src"] for r in out[:6]] == ["a", "b", "c", "a", "b", "c"]
+        # equal group sizes + n_shards dividing: perfectly balanced
+        from collections import Counter
+
+        shards = Counter(r["shard"] for r in out)
+        assert set(shards.values()) == {4}
+
+    def test_positions_unique_and_seq_contract(self, spark):
+        rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        out = tx.interleaved_shards(df, "src", "id", n_shards=4).collect()
+        poss = [r["pos"] for r in out]
+        assert len(set(poss)) == len(poss)
+        for r in out:
+            assert r["shard"] == r["pos"] % 4
+            assert r["seq_in_shard"] == r["pos"] // 4
+
+    def test_deterministic_under_repartition(self, spark):
+        rows = [(f"s{i % 3}", i) for i in range(30)]
+        df = spark.createDataFrame(rows, "src string, id long")
+        a = sorted(map(tuple, tx.interleaved_shards(df.repartition(1), "src", "id").collect()))
+        b = sorted(map(tuple, tx.interleaved_shards(df.repartition(7), "src", "id").collect()))
+        assert a == b
