@@ -3463,6 +3463,33 @@ def q_interleaved_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.interleaved_shards(d, "source", "doc_id", n_shards=8)
 
 
+def q_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-weighted median quality per source (rankstats.weighted_quantile):
+    the threshold below which half the CHARACTERS (not half the docs) sit —
+    distinct-value weight histogram, one window over the score domain,
+    int64 cross-multiplied comparisons."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    d = _docs_scored(spark, sf_dir).select("source", "score_ppm", "n_chars")
+    return rk.weighted_quantile(d, ["source"], "score_ppm", "n_chars")
+
+
+def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-stream integrity audit (cep.turn_integrity)
+    over a deterministically corrupted replay: turns with idx%11==7
+    dropped (holes) and idx%13==3 re-emitted (replays). One conv_id
+    exchange, one window pass, one aggregate."""
+    from kafka2iceberg_spark import cep as cep_mod
+
+    _utc(spark)
+    tr = transcripts(spark, sf_dir)
+    corrupted = tr.where(~(F.col("turn_idx") % 11 == 7)).unionAll(
+        tr.where(F.col("turn_idx") % 13 == 3)
+    )
+    return cep_mod.turn_integrity(corrupted).orderBy("conv_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3648,6 +3675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "lang_source_chi2": q_lang_source_chi2,
         "interleaved_shards": q_interleaved_shards,
+        "weighted_median_quality": q_weighted_median_quality,
+        "turn_integrity": q_turn_integrity,
     }
 
 
@@ -7750,6 +7779,51 @@ SELECT rr.source, rr.doc_id, rr.r,
        CAST(((rr.r - 1) * ng.ng + g.gi) % 8 AS BIGINT) AS shard,
        CAST(((rr.r - 1) * ng.ng + g.gi) // 8 AS BIGINT) AS seq_in_shard
 FROM rr JOIN gset g ON g._g = rr.source CROSS JOIN ng
+""",
+        "weighted_median_quality": f"""
+WITH {_QPPM},
+h AS (
+  SELECT source, score_ppm AS v, CAST(sum(n_chars) AS BIGINT) AS wsum
+  FROM q GROUP BY 1, 2
+),
+c AS (
+  SELECT source, v, wsum,
+         CAST(sum(wsum) OVER (
+           PARTITION BY source ORDER BY v
+         ) AS BIGINT) AS cumw,
+         CAST(sum(wsum) OVER (PARTITION BY source) AS BIGINT) AS tw
+  FROM h
+)
+SELECT source, CAST(max(tw) AS BIGINT) AS total_w,
+       CAST(CASE WHEN max(tw) > 0 THEN
+         min(CASE WHEN cumw * 1000000 >= 500000 * tw THEN v END)
+       END AS BIGINT) AS wq_score_ppm
+FROM c GROUP BY source
+""",
+        "turn_integrity": f"""
+WITH {_TX},
+s AS (
+  SELECT conv_id, turn_idx, role, text FROM transcripts
+  WHERE turn_idx % 11 <> 7
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text FROM transcripts
+  WHERE turn_idx % 13 = 3
+),
+f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(role) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, role, text
+         ) = role THEN 1 ELSE 0 END AS rep
+  FROM s
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) - min(turn_idx) + 1 AS BIGINT) AS span,
+       CAST(max(turn_idx) - min(turn_idx) + 1
+            - count(DISTINCT turn_idx) AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+       CAST(sum(rep) AS BIGINT) AS n_role_repeats
+FROM f GROUP BY conv_id ORDER BY conv_id
 """,
         "quality_auc": f"""
 WITH {_QPPM},

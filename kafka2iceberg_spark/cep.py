@@ -262,3 +262,54 @@ def precedence_support(t: DataFrame) -> DataFrame:
             "support_ppm"
         ),
     )
+
+
+def turn_integrity(tr: DataFrame) -> DataFrame:
+    """Per-conversation turn-stream integrity audit — the DQ pass a
+    transcript ingest runs before any windowed analytics trusts
+    ``turn_idx``: dropped turns (index holes), replayed turns (duplicate
+    indices), and protocol violations (adjacent same-role turns, e.g. two
+    user messages with the lost assistant reply between them).
+
+    All counts are derivable from one per-conv hash partition:
+
+        n_turns        row count
+        span           max(turn_idx) − min(turn_idx) + 1
+        n_missing      span − distinct(turn_idx)   (holes)
+        n_dup_idx      n_turns − distinct(turn_idx) (replays)
+        n_role_repeats adjacent pairs with equal role in
+                       (turn_idx, role, text) order
+
+    One window pass (lag inside the conv_id partition — the tiebreak
+    (role, text) makes the order total even under duplicate indices) and
+    one aggregate; no join, no global sort. At 10^12 turns this is the
+    cheapest full-corpus shape that exists: a single exchange on conv_id.
+
+    Output: one row per conv — (conv_id, n_turns, span, n_missing,
+    n_dup_idx, n_role_repeats).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role", "text")
+    flagged = tr.select("conv_id", "turn_idx", "role", "text").withColumn(
+        "_rep",
+        F.when(
+            F.lag("role").over(w) == F.col("role"), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (
+            F.max("turn_idx") - F.min("turn_idx") + F.lit(1)
+        ).cast("long").alias("span"),
+        (
+            F.max("turn_idx")
+            - F.min("turn_idx")
+            + F.lit(1)
+            - F.count_distinct(F.col("turn_idx"))
+        ).cast("long").alias("n_missing"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("turn_idx"))
+        ).cast("long").alias("n_dup_idx"),
+        F.sum("_rep").cast("long").alias("n_role_repeats"),
+    )

@@ -1177,3 +1177,66 @@ def chi2_cells(
             6,
         ).alias("contrib"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_ppm: int = 500_000,
+) -> DataFrame:
+    """Exact weighted percentile per group — the token-weighted median
+    quality threshold ("half the TOKENS sit below this score", not half
+    the documents) that row-weighted percentiles silently get wrong when
+    doc lengths are skewed:
+
+        wq = smallest v with cumw(v) · 1e6 ≥ q_ppm · W
+
+    The histogram discipline (winsorize/gini): aggregate weights over
+    DISTINCT VALUES first (map-side combine does the data-volume work),
+    then one window over each group's value domain and one conditional
+    min — no per-row ranking, no global sort. All comparisons are int64
+    products (weights and 1e6 · q both integers), so the picked value is
+    engine-exact. Zero-total-weight groups yield NULL.
+
+    Output: one row per group — (total_w, wq_<value_col>).
+    """
+    if not (0 < q_ppm <= 1_000_000):
+        raise ValueError("need 0 < q_ppm <= 1e6")
+    g = list(group_cols)
+    hist = (
+        df.select(
+            *g,
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .groupBy(*g, "_v")
+        .agg(F.sum("_w").cast("long").alias("_wsum"))
+    )
+    wcum = (
+        Window.partitionBy(*g)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*g)
+    cum = hist.withColumn(
+        "_cumw", F.sum("_wsum").over(wcum).cast("long")
+    ).withColumn("_tw", F.sum("_wsum").over(wall).cast("long"))
+    picked = cum.groupBy(*g).agg(
+        F.max("_tw").cast("long").alias("total_w"),
+        F.min(
+            F.when(
+                F.col("_cumw") * F.lit(1_000_000)
+                >= F.lit(q_ppm) * F.col("_tw"),
+                F.col("_v"),
+            )
+        ).alias("_wq"),
+    )
+    return picked.select(
+        *g,
+        "total_w",
+        F.when(F.col("total_w") > 0, F.col("_wq"))
+        .cast("long")
+        .alias(f"wq_{value_col}"),
+    )

@@ -830,3 +830,95 @@ class TestInterleavedShards:
         a = sorted(map(tuple, tx.interleaved_shards(df.repartition(1), "src", "id").collect()))
         b = sorted(map(tuple, tx.interleaved_shards(df.repartition(7), "src", "id").collect()))
         assert a == b
+
+
+class TestWeightedQuantile:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, v long, w long")
+
+    def test_heavy_row_dominates(self, spark):
+        # values 1..4; weight 97 on v=4: weighted median is 4, row median 2
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 97)]
+        out = rk.weighted_quantile(
+            self._df(spark, rows), ["grp"], "v", "w"
+        ).collect()[0]
+        assert out["wq_v"] == 4 and out["total_w"] == 100
+
+    def test_exact_boundary_inclusive(self, spark):
+        # cum at v=1 is exactly half the weight -> q=0.5 picks v=1
+        rows = [("g", 1, 5), ("g", 2, 5)]
+        out = rk.weighted_quantile(
+            self._df(spark, rows), ["grp"], "v", "w"
+        ).collect()[0]
+        assert out["wq_v"] == 1
+
+    def test_p90_and_zero_weight_group(self, spark):
+        rows = [("g", i, 1) for i in range(1, 11)] + [("z", 7, 0)]
+        out = {
+            r["grp"]: r
+            for r in rk.weighted_quantile(
+                self._df(spark, rows), ["grp"], "v", "w", q_ppm=900_000
+            ).collect()
+        }
+        assert out["g"]["wq_v"] == 9
+        assert out["z"]["wq_v"] is None and out["z"]["total_w"] == 0
+
+    def test_invalid_q_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            rk.weighted_quantile(
+                self._df(spark, [("g", 1, 1)]), ["grp"], "v", "w", q_ppm=0
+            )
+
+
+class TestTurnIntegrity:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+
+    def test_clean_conversation(self, spark):
+        from kafka2iceberg_spark import cep as cm
+
+        rows = [
+            ("c", 0, "user", "a"),
+            ("c", 1, "assistant", "b"),
+            ("c", 2, "user", "c"),
+        ]
+        out = cm.turn_integrity(self._df(spark, rows)).collect()[0]
+        assert out["n_missing"] == 0 and out["n_dup_idx"] == 0
+        assert out["n_role_repeats"] == 0 and out["span"] == 3
+
+    def test_hole_dup_and_role_repeat_counted(self, spark):
+        from kafka2iceberg_spark import cep as cm
+
+        rows = [
+            ("c", 0, "user", "a"),
+            ("c", 2, "user", "c"),        # hole at 1 AND user->user repeat
+            ("c", 2, "user", "c"),        # replayed turn
+            ("c", 3, "assistant", "d"),
+        ]
+        out = cm.turn_integrity(self._df(spark, rows)).collect()[0]
+        assert out["n_turns"] == 4
+        assert out["span"] == 4
+        assert out["n_missing"] == 1
+        assert out["n_dup_idx"] == 1
+        # user(0)->user(2) repeat + the identical replay pair = 2
+        assert out["n_role_repeats"] == 2
+
+    def test_convs_isolated(self, spark):
+        from kafka2iceberg_spark import cep as cm
+
+        rows = [
+            ("a", 0, "user", "x"),
+            ("b", 5, "user", "y"),
+            ("b", 9, "user", "z"),
+        ]
+        out = {
+            r["conv_id"]: r
+            for r in cm.turn_integrity(self._df(spark, rows)).collect()
+        }
+        assert out["a"]["n_missing"] == 0
+        assert out["b"]["n_missing"] == 3  # span 5..9, holes 6,7,8
+        assert out["b"]["n_role_repeats"] == 1
