@@ -3490,6 +3490,17 @@ def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep_mod.turn_integrity(corrupted).orderBy("conv_id")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction, 3 greedy merge rounds
+    (textops.bpe_train): corpus collapses once to the word-frequency
+    vocabulary; each round is a count-weighted pair agg over |vocab|, a
+    1-row argmax collect, and a codegen'd fold merge. Oracle replays the
+    rounds with bracket-delimited string replace."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    return tx.bpe_train(d, n_merges=3)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3677,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_shards": q_interleaved_shards,
         "weighted_median_quality": q_weighted_median_quality,
         "turn_integrity": q_turn_integrity,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -3818,6 +3830,57 @@ q AS (
   )
 )
 """.strip()
+
+
+def _bpe_sql(n_rounds: int = 3) -> str:
+    """Generated k-round BPE replay (the _km_assign pattern): each round
+    recomputes weighted pair counts from a bracket-delimited symbol string,
+    picks the (count desc, pair asc) argmax, and applies the merge with a
+    non-overlapping left-to-right replace() — per-symbol brackets share no
+    boundary characters, so consecutive matches are never consumed and the
+    scan equals textops.bpe_train's greedy fold."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+sy{r} AS (
+  SELECT cnt, string_split(substr(s, 2, length(s) - 2), '][') AS syms
+  FROM {prev}
+),
+p{r} AS (
+  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM sy{r})
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+v{r} AS (
+  SELECT w, cnt,
+         replace(s, '[' || b.a || '][' || b.b || ']',
+                 '[' || b.a || b.b || ']') AS s
+  FROM {prev}, b{r} b
+)""".strip())
+        prev = f"v{r}"
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    body = ",\n".join(rounds)
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         regexp_replace(w, '(.)', '[\\1]', 'g') AS s
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+{body}
+{union}
+ORDER BY round
+"""
 
 
 def _lang_sql() -> str:
@@ -7825,6 +7888,7 @@ SELECT conv_id,
        CAST(sum(rep) AS BIGINT) AS n_role_repeats
 FROM f GROUP BY conv_id ORDER BY conv_id
 """,
+        "bpe_train": _bpe_sql(3),
         "quality_auc": f"""
 WITH {_QPPM},
 r AS (

@@ -1286,3 +1286,89 @@ def interleaved_shards(
         .cast("long")
         .alias("seq_in_shard"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Distributed BPE tokenizer induction (Sennrich et al. 2016): run
+    ``n_merges`` greedy merge rounds and return the learned merge table —
+    the training step bpe_pair_counts only takes the round-1 statistic of.
+
+    How real BPE trainers scale, made explicit as relations: the corpus
+    collapses ONCE to the word-frequency vocabulary (the only data-volume
+    aggregation, map-side combined); every merge round then runs over the
+    |vocab| relation only — count-weighted adjacent symbol pairs, one
+    tiny argmax (count desc, pair asc tiebreak — deterministic), and a
+    greedy left-to-right merge applied as a codegen'd aggregate() fold
+    over each word's short symbol array. The per-round argmax is ONE row
+    collected to the driver (the same coordination kmeans_lloyd uses for
+    centroids); localCheckpoint truncates the loop's lineage exactly as
+    neardup_components does.
+
+    Fold semantics = canonical BPE: merging never cascades within a round
+    (the merged symbol can't immediately re-merge), matches consume left
+    to right — the DuckDB oracle replays each round with a non-overlapping
+    string replace() over a bracket-delimited symbol string, which is the
+    same greedy scan.
+
+    Output: one row per round — (round, sym_a, sym_b, merged, pair_count).
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        # CASE guard: sequence(1, 0) DESCENDS in Spark (the word_shingles
+        # hazard) — a word already collapsed to one symbol must yield an
+        # empty pair array, not element_at(syms, 2) on a 1-element array
+        pairs = vocab.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2"
+                    " THEN cast(array() as array<struct<a:string,b:string>>)"
+                    " ELSE transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    " element_at(syms, i + 1) AS b)) END"
+                )
+            ).alias("p"),
+            "cnt",
+        ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("cnt").cast("long").alias("c")
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((r, a, b, a + b, c))
+        # symbols are [a-z]+ only (the word regex) — safe to inline
+        fold = (
+            "aggregate(syms, cast(array() as array<string>), (acc, s) ->"
+            f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+            f" AND s = '{b}'"
+            f" THEN array_append(slice(acc, 1, size(acc) - 1), '{a + b}')"
+            " ELSE array_append(acc, s) END)"
+        )
+        vocab = vocab.withColumn("syms", F.expr(fold)).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges,
+        "round long, sym_a string, sym_b string, merged string, pair_count long",
+    )

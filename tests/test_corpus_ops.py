@@ -825,3 +825,44 @@ class TestDupSpanRemove:
         # 2 tokens < n=4: no grams exist, nothing can be removed
         assert out[1]["clean_text"] == "too short"
         assert out[1]["removed_tokens"] == 0
+
+
+class TestBpeTrain:
+    def test_hand_computed_merges(self, spark):
+        # corpus: "aab aab ab" -> vocab {aab:2, ab:1}
+        # round 1 pairs: (a,a):2, (a,b):3 -> merge (a,b)->ab count 3
+        # after: aab -> [a, ab] x2; ab -> [ab]
+        # round 2 pairs: (a,ab):2 -> merge (a,ab)->aab count 2
+        df = spark.createDataFrame(
+            [(1, "aab aab ab")], ["doc_id", "text"]
+        )
+        out = tx.bpe_train(df, n_merges=2).collect()
+        r = {x["round"]: x for x in out}
+        assert (r[1]["sym_a"], r[1]["sym_b"], r[1]["pair_count"]) == ("a", "b", 3)
+        assert (r[2]["sym_a"], r[2]["sym_b"], r[2]["pair_count"]) == ("a", "ab", 2)
+        assert r[2]["merged"] == "aab"
+
+    def test_no_cascade_within_round(self, spark):
+        # "bbb": merging (b,b) greedily gives [bb, b] -- pair count for
+        # round 1 is 2 (positions 1-2 and 2-3), and round 2's top pair is
+        # (bb, b) with count 1
+        df = spark.createDataFrame([(1, "bbb bbb")], ["doc_id", "text"])
+        out = tx.bpe_train(df, n_merges=2).collect()
+        r = {x["round"]: x for x in out}
+        assert (r[1]["sym_a"], r[1]["sym_b"]) == ("b", "b")
+        assert r[1]["pair_count"] == 4  # 2 per word x 2 words
+        assert (r[2]["sym_a"], r[2]["sym_b"]) == ("b", "bb") or (
+            r[2]["sym_a"], r[2]["sym_b"]) == ("bb", "b")
+
+    def test_tiebreak_is_lexicographic(self, spark):
+        # "xy" and "ab" each appear once: counts tie at 1 -> (a,b) wins
+        df = spark.createDataFrame([(1, "xy ab")], ["doc_id", "text"])
+        out = tx.bpe_train(df, n_merges=1).collect()
+        assert (out[0]["sym_a"], out[0]["sym_b"]) == ("a", "b")
+
+    def test_deterministic_under_partitioning(self, spark):
+        rows = [(i, f"token{i % 5} alpha beta gamma") for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = sorted(map(tuple, tx.bpe_train(df.repartition(1), n_merges=3).collect()))
+        b = sorted(map(tuple, tx.bpe_train(df.repartition(9), n_merges=3).collect()))
+        assert a == b
