@@ -1372,3 +1372,38 @@ def bpe_train(
         merges,
         "round long, sym_a string, sym_b string, merged string, pair_count long",
     )
+
+
+def bpe_round_plan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One un-executed BPE merge round for plan auditing (the
+    pagerank_round_plan pattern): bpe_train materializes each round behind
+    an eager localCheckpoint, so explaining its RESULT shows only a local
+    scan — this returns the lazy vocab → weighted-pair aggregation every
+    round repeats, which is the dataflow that matters at scale."""
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+    )
+    return vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) < 2"
+                " THEN cast(array() as array<struct<a:string,b:string>>)"
+                " ELSE transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) AS a,"
+                " element_at(syms, i + 1) AS b)) END"
+            )
+        ).alias("p"),
+        "cnt",
+    ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").cast("long").alias("c")
+    )

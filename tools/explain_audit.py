@@ -73,12 +73,24 @@ def _pagerank_round(spark, sf_dir):
     return gr.pagerank_round_plan(edges)
 
 
+def _bpe_round(spark, sf_dir):
+    """bpe_train materializes each merge round behind an eager
+    localCheckpoint and returns a driver-built merge table; audit one
+    un-executed round (word-freq vocab -> weighted pair agg) via
+    textops.bpe_round_plan."""
+    import __spark_entry__ as entry
+    from kafka2iceberg_spark import textops as tx
+
+    return tx.bpe_round_plan(entry._read(spark, sf_dir, "documents"))
+
+
 # queries whose registry callable hides the auditable plan behind eager
 # materialization: audit a representative lazy plan instead
 PLAN_PROXY = {
     "dedup_clusters": _dedup_clusters_round,
     "dedup_upsert_mor": _mor_read_plan,
     "pagerank_topk": _pagerank_round,
+    "bpe_train": _bpe_round,
 }
 
 
