@@ -3501,6 +3501,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_train(d, n_merges=3)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source (textops.bpe_encode_stats): train 3
+    BPE merges, re-encode the per-(source, word) vocabulary with lazily
+    chained fold merges, roll up subwords-per-word and per-char
+    compression as exact ppm integers."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    return tx.bpe_encode_stats(d, n_merges=3)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3689,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_quality": q_weighted_median_quality,
         "turn_integrity": q_turn_integrity,
         "bpe_train": q_bpe_train,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -3880,6 +3891,61 @@ v0 AS (
 {body}
 {union}
 ORDER BY round
+"""
+
+
+def _bpe_fertility_sql(n_rounds: int = 3) -> str:
+    """Fertility replay: train rounds exactly as _bpe_sql, then re-encode
+    the per-(source, word) vocabulary with the same replace() scans and
+    roll up subwords-per-word by source."""
+    base = _bpe_sql(n_rounds)
+    # reuse everything up to the final union: rebuild with the same round
+    # CTEs, then append the group-encode chain
+    head, _sep, _tail = base.partition("SELECT CAST(1 AS BIGINT) AS round")
+    head = head.rstrip().rstrip(",")
+    # the words CTE in _bpe_sql lacks source; swap it for a sourced one and
+    # derive the global-training view from it
+    head = head.replace(
+        """WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),""",
+        """WITH words AS (
+  SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),""",
+        1,
+    )
+    gv = ["""gv0 AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt,
+         regexp_replace(w, '(.)', '[\\1]', 'g') AS s
+  FROM words WHERE length(w) >= 2 GROUP BY source, w
+)"""]
+    for r in range(1, n_rounds + 1):
+        gv.append(f"""gv{r} AS (
+  SELECT source, w, cnt,
+         replace(s, '[' || b.a || '][' || b.b || ']',
+                 '[' || b.a || b.b || ']') AS s
+  FROM gv{r - 1}, b{r} b
+)""")
+    chain = ",\n".join(gv)
+    return f"""{head},
+{chain},
+enc AS (
+  SELECT source, w, cnt,
+         CAST(len(string_split(substr(s, 2, length(s) - 2), '][')) AS BIGINT)
+           AS nsub
+  FROM gv{n_rounds}
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(cnt * nsub) AS BIGINT) AS n_subwords,
+       CAST(sum(cnt * nsub) * 1000000 // sum(cnt) AS BIGINT)
+         AS fertility_ppm,
+       CAST(sum(cnt * nsub) * 1000000 // sum(cnt * length(w)) AS BIGINT)
+         AS compression_ppm
+FROM enc GROUP BY source
 """
 
 
@@ -7889,6 +7955,7 @@ SELECT conv_id,
 FROM f GROUP BY conv_id ORDER BY conv_id
 """,
         "bpe_train": _bpe_sql(3),
+        "bpe_fertility": _bpe_fertility_sql(3),
         "quality_auc": f"""
 WITH {_QPPM},
 r AS (

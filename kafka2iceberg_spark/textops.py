@@ -1407,3 +1407,67 @@ def bpe_round_plan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
         F.sum("cnt").cast("long").alias("c")
     )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    n_merges: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility by group: train BPE (bpe_train), apply the
+    learned merges, and report subwords-per-word — the metric that decides
+    whether a tokenizer is usable for a domain (high fertility = the
+    vocabulary fragments that source's words; the standard multilingual-
+    tokenizer eval, cf. the fertility analyses of mBERT/XLM-R).
+
+    Scale shape: the encode runs over the per-(group, word) frequency
+    relation, NOT raw text — the one corpus-volume aggregation collapses
+    to vocabulary entries, each merge is a codegen'd greedy fold chained
+    lazily (no per-round materialization needed here: the merge LIST is
+    already known, so rounds compose into one expression tree), and the
+    final rollup is a tiny per-group agg. The learned merge table is k
+    driver-side rows (bpe_train's argmax collects).
+
+    Output: one row per group — (n_words, n_chars, n_subwords,
+    fertility_ppm = n_subwords·1e6 div n_words, compression_ppm =
+    n_subwords·1e6 div n_chars).
+    """
+    merges = bpe_train(docs, n_merges=n_merges).collect()
+    words = docs.select(
+        F.col(group_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w"),
+    ).where(F.length("w") >= 2)
+    vocab = (
+        words.groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+    )
+    for m in merges:
+        a, b = m["sym_a"], m["sym_b"]
+        fold = (
+            "aggregate(syms, cast(array() as array<string>), (acc, s) ->"
+            f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+            f" AND s = '{b}'"
+            f" THEN array_append(slice(acc, 1, size(acc) - 1), '{a + b}')"
+            " ELSE array_append(acc, s) END)"
+        )
+        vocab = vocab.withColumn("syms", F.expr(fold))
+    return vocab.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("n_subwords"),
+        _idiv(
+            F.sum(F.col("cnt") * F.size("syms")) * 1_000_000,
+            F.sum("cnt"),
+        ).alias("fertility_ppm"),
+        _idiv(
+            F.sum(F.col("cnt") * F.size("syms")) * 1_000_000,
+            F.sum(F.col("cnt") * F.length("w")),
+        ).alias("compression_ppm"),
+    )

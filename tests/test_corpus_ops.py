@@ -866,3 +866,31 @@ class TestBpeTrain:
         a = sorted(map(tuple, tx.bpe_train(df.repartition(1), n_merges=3).collect()))
         b = sorted(map(tuple, tx.bpe_train(df.repartition(9), n_merges=3).collect()))
         assert a == b
+
+
+class TestBpeFertility:
+    def test_merges_reduce_subwords(self, spark):
+        # corpus heavy in "ab": after one merge (a,b)->ab, every "abab"
+        # word drops from 4 symbols to 2
+        df = spark.createDataFrame(
+            [(1, "s1", "abab abab abab"), (2, "s1", "abab xq")],
+            ["doc_id", "source", "text"],
+        )
+        out0 = tx.bpe_encode_stats(df, n_merges=0).collect()[0]
+        out1 = tx.bpe_encode_stats(df, n_merges=1).collect()[0]
+        assert out0["n_subwords"] == 4 * 4 + 2  # chars
+        assert out1["n_subwords"] == 4 * 2 + 2  # "abab"->[ab,ab], "xq" untouched
+        assert out1["fertility_ppm"] < out0["fertility_ppm"]
+
+    def test_groups_share_one_tokenizer(self, spark):
+        # training is GLOBAL: source s2's words merge with s1-learned pairs
+        df = spark.createDataFrame(
+            [(1, "s1", "ab ab ab"), (2, "s2", "ab")],
+            ["doc_id", "source", "text"],
+        )
+        out = {
+            r["source"]: r
+            for r in tx.bpe_encode_stats(df, n_merges=1).collect()
+        }
+        assert out["s2"]["n_subwords"] == 1  # merged by the global (a,b)
+        assert out["s1"]["fertility_ppm"] == 1_000_000
