@@ -3511,6 +3511,53 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encode_stats(d, n_merges=3)
 
 
+def q_field_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream schema-drift report (ingest.field_drift): envelopes
+    synthesized with a drifting payload — `tool` omitted when NULL
+    (to_json drops null fields) and an undeclared `sign_time` appearing on
+    idx%9==0 rows, the reference's addSignTime mid-run mutation — audited
+    against the declared transcript spec. The oracle counts the drift
+    conditions directly, never building JSON."""
+    from kafka2iceberg_spark.ingest import field_drift
+
+    _utc(spark)
+    t = _tx(spark, sf_dir)
+    env = t.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("conv_id"),
+                        F.col("turn_idx").cast("string").alias("turn_idx"),
+                        F.col("role"),
+                        F.col("text"),
+                        F.col("tool"),
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                            "ts"
+                        ),
+                        F.when(
+                            F.col("turn_idx") % 9 == 0, F.unix_millis("ts")
+                        ).alias("sign_time"),
+                    )
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    spec = TaskSpec(
+        source_database="chat",
+        source_table="transcripts",
+        fields=[
+            FieldSpec("conv_id", 1, "string", is_primary_key=True),
+            FieldSpec("turn_idx", 2, "int", is_primary_key=True),
+            FieldSpec("role", 3, "string"),
+            FieldSpec("text", 4, "string"),
+            FieldSpec("tool", 5, "string"),
+            FieldSpec("ts", 6, "timestamp"),
+        ],
+    )
+    return field_drift(env, spec).orderBy("field")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3700,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_integrity": q_turn_integrity,
         "bpe_train": q_bpe_train,
         "bpe_fertility": q_bpe_fertility,
+        "field_drift": q_field_drift,
     }
 
 
@@ -7956,6 +8004,26 @@ FROM f GROUP BY conv_id ORDER BY conv_id
 """,
         "bpe_train": _bpe_sql(3),
         "bpe_fertility": _bpe_fertility_sql(3),
+        "field_drift": f"""
+WITH {_TX},
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_tool,
+         CAST(sum(CASE WHEN turn_idx % 9 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_sign
+  FROM transcripts
+)
+SELECT * FROM (
+  SELECT 'conv_id' AS field, total AS n_seen, TRUE AS expected FROM m
+  UNION ALL SELECT 'turn_idx', total, TRUE FROM m
+  UNION ALL SELECT 'role', total, TRUE FROM m
+  UNION ALL SELECT 'text', total, TRUE FROM m
+  UNION ALL SELECT 'ts', total, TRUE FROM m
+  UNION ALL SELECT 'tool', n_tool, TRUE FROM m
+  UNION ALL SELECT 'sign_time', n_sign, FALSE FROM m
+) ORDER BY field
+""",
         "quality_auc": f"""
 WITH {_QPPM},
 r AS (

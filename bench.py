@@ -113,6 +113,20 @@ HEADLINE_EXTRA = [
     "bloom_prune",
     "mix_allocation",
     "tool_pmi",
+    # round-3 session-6 additions
+    "quality_auc",
+    "quality_calibration",
+    "len_quality_tau",
+    "centroid_outliers",
+    "dup_span_remove",
+    "quantile_normalize",
+    "lang_source_chi2",
+    "interleaved_shards",
+    "weighted_median_quality",
+    "turn_integrity",
+    "bpe_train",
+    "bpe_fertility",
+    "field_drift",
 ]
 
 SCALE_GEN = dict(

@@ -372,3 +372,47 @@ def violations(parsed: DataFrame, spec: TaskSpec) -> DataFrame:
         c = F.col(name).isNull()
         cond = c if cond is None else (cond | c)
     return parsed.filter(cond)
+
+
+def field_drift(
+    raw: DataFrame, spec: TaskSpec, value_col: str = "value"
+) -> DataFrame:
+    """Upstream schema-drift report: which fields actually arrive in the
+    envelopes' ``data[]`` records vs what the task spec declares — the
+    monitoring twin of the add-column evolution path (reference
+    ConnectionUtils.java:54-61 ``addSignTime`` mutates the source mid-run;
+    this is how you NOTICE it before deciding to evolve).
+
+    One JSON-keys explode over the raw stream (json_object_keys of
+    data[0] — JVM JSON path, no Python), one count agg on the tiny field
+    domain, one full outer join against the |spec| field relation
+    (broadcast). Fields the spec declares but no envelope carried show
+    n_seen = 0; fields arriving that the spec never declared show
+    expected = false — the alert condition.
+
+    Output: (field, n_seen, expected) — one row per union of
+    declared/observed field names.
+    """
+    observed = (
+        raw.select(
+            F.explode(
+                F.json_object_keys(
+                    F.get_json_object(F.col(value_col), "$.data[0]")
+                )
+            ).alias("field")
+        )
+        .groupBy("field")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    )
+    spark = raw.sparkSession
+    declared = spark.createDataFrame(
+        [(f.name,) for f in spec.fields], "field string"
+    ).withColumn("_declared", F.lit(True))
+    return (
+        observed.join(F.broadcast(declared), "field", "full_outer")
+        .select(
+            "field",
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.coalesce("_declared", F.lit(False)).alias("expected"),
+        )
+    )

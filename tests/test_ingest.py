@@ -276,3 +276,27 @@ def test_update_diffs_from_old_array(spark):
         "conv_id", "turn_idx"
     ).distinct().collect()
     assert (r.conv_id, r.turn_idx) == ("c00042", "7")
+
+
+def test_field_drift_reports_missing_and_unexpected(spark):
+    from kafka2iceberg_spark.config import FieldSpec, TaskSpec
+    from kafka2iceberg_spark.ingest import field_drift
+
+    import json as _json
+
+    rows = [
+        (_json.dumps({"data": [{"a": 1, "b": 2}]}),),
+        (_json.dumps({"data": [{"a": 3, "zz_new": 9}]}),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    spec = TaskSpec(
+        source_database="d",
+        source_table="t",
+        fields=[FieldSpec("a", 1, "int"), FieldSpec("b", 2, "int"),
+                FieldSpec("never_sent", 3, "string")],
+    )
+    out = {r["field"]: r for r in field_drift(raw, spec).collect()}
+    assert out["a"]["n_seen"] == 2 and out["a"]["expected"]
+    assert out["b"]["n_seen"] == 1 and out["b"]["expected"]
+    assert out["never_sent"]["n_seen"] == 0 and out["never_sent"]["expected"]
+    assert out["zz_new"]["n_seen"] == 1 and not out["zz_new"]["expected"]
