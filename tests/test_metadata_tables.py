@@ -103,3 +103,31 @@ def test_manifests_table_and_unknown_name(spark, table):
     assert {r["partition"] for r in m} == {"2024-09-01", "2024-09-02"}
     with pytest.raises(ValueError):
         table.meta_table(spark, "nope")
+
+
+def test_snapshot_diffs_tracks_added_and_rewritten_files(spark, table):
+    # v1 = append (2 rows, fresh files), v2 = CoW upsert of c1 (rewrites
+    # the c1-bearing partition file: some files added, some removed)
+    diffs = {
+        r["version"]: r
+        for r in table.meta_table(spark, "snapshot_diffs").collect()
+    }
+    assert set(diffs) == {1, 2}
+    assert diffs[1]["parent_version"] == 0
+    assert diffs[1]["files_added"] >= 1
+    assert diffs[1]["files_removed"] == 0
+    assert diffs[1]["rows_added"] == 2
+    # the upsert rewrote at least one file and the live row count is
+    # conserved: rows_added - rows_removed == 0 net for an update
+    d2 = diffs[2]
+    assert d2["files_added"] >= 1 and d2["files_removed"] >= 1
+    assert d2["rows_added"] - d2["rows_removed"] == 0
+
+
+def test_snapshot_diffs_empty_for_fresh_table(spark, tmp_path):
+    from kafka2iceberg_spark.metadata_tables import snapshot_diffs
+
+    t = IcebergLite(str(tmp_path / "t2"), pk=PK)
+    t.create()
+    assert snapshot_diffs(t, spark).count() == 0
+    t.drop()
