@@ -3558,6 +3558,15 @@ def q_field_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_drift(env, spec).orderBy("field")
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer gram matrix of the embedding corpus
+    (similarity.gram_matrix): one mapInPandas pass reducing each Arrow
+    batch to d-squared int64 partials -- raw vectors never shuffle; the
+    PCA/whitening prep aggregation."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    return sim.gram_matrix(emb)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3748,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_fertility": q_bpe_fertility,
         "field_drift": q_field_drift,
+        "gram_matrix": q_gram_matrix,
     }
 
 
@@ -8023,6 +8033,21 @@ SELECT * FROM (
   UNION ALL SELECT 'tool', n_tool, TRUE FROM m
   UNION ALL SELECT 'sign_time', n_sign, FALSE FROM m
 ) ORDER BY field
+""",
+        "gram_matrix": """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, q[CAST(i AS INT)] AS xi
+  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM d)
+)
+SELECT x.i AS i, y.i AS j, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x.xi * y.xi) AS BIGINT) AS sum_xy
+FROM a x JOIN a y ON x.vec_id = y.vec_id
+GROUP BY 1, 2
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -127,6 +127,7 @@ HEADLINE_EXTRA = [
     "bpe_train",
     "bpe_fertility",
     "field_drift",
+    "gram_matrix",
 ]
 
 SCALE_GEN = dict(

@@ -894,3 +894,62 @@ def label_centroid_dists(
     return scored.withColumn(
         "far_rank", F.row_number().over(w).cast("long")
     ).withColumn("is_far", F.col("far_rank") <= F.lit(k_far))
+
+
+def gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact integer second-moment (gram) matrix Σ x xᵀ of the corpus
+    embeddings — the one aggregation PCA / whitening / covariance
+    estimation needs, computed in a SINGLE pass with per-partition d×d
+    partials (the classic "gramian trick": raw vectors are never shuffled,
+    each Arrow batch reduces to d² int64 cells before anything moves).
+
+    Vectors are quantized to ``scale`` units with half-away-from-zero
+    rounding (matching quantize()/DuckDB round — NOT numpy's default
+    banker's rounding), so every cell is an exact BIGINT on any engine.
+    Overflow bound: n · (scale·|x|max)² must stay < 2^63 — the default
+    milli-scale allows ~9·10^12 unit-norm rows; raise/lower ``scale`` to
+    trade precision for headroom and document the choice at the call site.
+
+    Output: one row per (i, j) cell, 1-based — (i, j, n, sum_xy).
+    """
+    import numpy as np
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            # half-away-from-zero, like F.round / DuckDB round
+            q = (
+                np.sign(m) * np.floor(np.abs(m) * scale + 0.5)
+            ).astype(np.int64)
+            g = q.T @ q
+            d = g.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "n_part": np.int64(len(pdf)),
+                    "s_part": g.ravel(),
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        fn, "i long, j long, n_part long, s_part long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n_part").cast("long").alias("n"),
+        F.sum("s_part").cast("long").alias("sum_xy"),
+    )

@@ -894,3 +894,39 @@ class TestBpeFertility:
         }
         assert out["s2"]["n_subwords"] == 1  # merged by the global (a,b)
         assert out["s1"]["fertility_ppm"] == 1_000_000
+
+
+class TestGramMatrix:
+    def test_hand_computed_2d(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, -1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r["i"], r["j"]): r
+            for r in sim.gram_matrix(df, scale=1).collect()
+        }
+        # gram = [[1+9, 2-3], [2-3, 4+1]]
+        assert out[(1, 1)]["sum_xy"] == 10
+        assert out[(1, 2)]["sum_xy"] == -1
+        assert out[(2, 1)]["sum_xy"] == -1
+        assert out[(2, 2)]["sum_xy"] == 5
+        assert all(r["n"] == 2 for r in out.values())
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, [float((i * 3) % 7) - 3, float(i % 5), float(i % 2)])
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, sim.gram_matrix(df.repartition(1)).collect()))
+        b = sorted(map(tuple, sim.gram_matrix(df.repartition(11)).collect()))
+        assert a == b
+
+    def test_half_away_rounding_matches_engine(self, spark):
+        # 0.0005 * 1000 = 0.5 -> half-away gives 1 (banker's would give 0)
+        df = spark.createDataFrame(
+            [(0, [0.0005]), (1, [-0.0005])],
+            "vec_id long, embedding array<float>",
+        )
+        out = sim.gram_matrix(df).collect()
+        # q = [1, -1]; gram cell (1,1) = 1 + 1 = 2
+        assert out[0]["sum_xy"] == 2
