@@ -3567,6 +3567,15 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.gram_matrix(emb)
 
 
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection scores via integer power
+    iteration (similarity.pca_power_scores): gram matrix in one pass,
+    3 exact fixed-point matvec rounds driver-side, component inlined as
+    a literal, one codegen'd fold per row."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    return sim.pca_power_scores(emb, iters=3)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3758,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "field_drift": q_field_drift,
         "gram_matrix": q_gram_matrix,
+        "pca_scores": q_pca_scores,
     }
 
 
@@ -4004,6 +4014,60 @@ SELECT source,
        CAST(sum(cnt * nsub) * 1000000 // sum(cnt * length(w)) AS BIGINT)
          AS compression_ppm
 FROM enc GROUP BY source
+"""
+
+
+def _pca_sql(iters: int = 3) -> str:
+    """Integer power-iteration replay: gram CTE, then per round one
+    matvec join+agg, a 1-row max, and a truncating fixed-point
+    renormalization (sign * (|w|*1e6 // mx) — DuckDB's // truncates
+    toward zero, matching the Spark driver's explicit trunc division);
+    final sign canonicalized on the largest-|component| (ties: smallest
+    index)."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""w{r} AS (
+  SELECT g.i, CAST(sum(g.sum_xy * v.v) AS BIGINT) AS w
+  FROM g JOIN {prev} v ON v.i = g.j GROUP BY g.i
+),
+m{r} AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w{r}),
+v{r} AS (
+  SELECT i, CAST((CAST(abs(w) AS HUGEINT) * 1000000) // mx AS BIGINT)
+           * (CASE WHEN w >= 0 THEN 1 ELSE -1 END) AS v
+  FROM w{r}, m{r}
+)""")
+        prev = f"v{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH d AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, q[CAST(i AS INT)] AS xi
+  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM d)
+),
+g AS (
+  SELECT x.i AS i, y.i AS j, CAST(sum(x.xi * y.xi) AS BIGINT) AS sum_xy
+  FROM a x JOIN a y ON x.vec_id = y.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v
+  FROM (SELECT unnest(range(1, 65)) AS i)
+),
+{body},
+sgn AS (
+  SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT v, row_number() OVER (ORDER BY abs(v) DESC, i) AS rn
+        FROM {prev})
+  WHERE rn = 1
+)
+SELECT a.vec_id, CAST(sum(a.xi * v.v) * s.s AS BIGINT) AS score
+FROM a JOIN {prev} v ON v.i = a.i CROSS JOIN sgn s
+GROUP BY a.vec_id, s.s
 """
 
 
@@ -8013,6 +8077,7 @@ SELECT conv_id,
 FROM f GROUP BY conv_id ORDER BY conv_id
 """,
         "bpe_train": _bpe_sql(3),
+        "pca_scores": _pca_sql(3),
         "bpe_fertility": _bpe_fertility_sql(3),
         "field_drift": f"""
 WITH {_TX},

@@ -128,6 +128,7 @@ HEADLINE_EXTRA = [
     "bpe_fertility",
     "field_drift",
     "gram_matrix",
+    "pca_scores",
 ]
 
 SCALE_GEN = dict(

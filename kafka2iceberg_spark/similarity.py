@@ -953,3 +953,66 @@ def gram_matrix(
         F.sum("n_part").cast("long").alias("n"),
         F.sum("s_part").cast("long").alias("sum_xy"),
     )
+
+
+def pca_power_scores(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """First-principal-component scores via INTEGER power iteration — the
+    distributed-PCA primitive (embedding drift directions, whitening prep,
+    top-variance axis) with every step engine-exact:
+
+      1. gram_matrix() reduces the corpus to d² int64 cells in one pass
+         (the only data-volume work; raw vectors never shuffle);
+      2. the d²-cell relation collects to the driver (the kmeans-centroid
+         coordination pattern) and ``iters`` matvec rounds run in exact
+         integer arithmetic, max-normalized to 1e6 fixed point each round
+         (graph.hits' determinism trick — the integer analogue of L2
+         normalization) with TRUNCATING division (sign·(|w|·1e6 div max))
+         so DuckDB's ``//``-toward-zero replays it bit-for-bit;
+      3. the sign is canonicalized (largest-|component|, ties → smallest
+         index, made positive — power iteration's sign is otherwise
+         arbitrary), the 64-int vector inlines as a literal (the LSH-plane
+         trick), and one codegen'd fold projects every row.
+
+    Overflow bound: d · max|gram| · 1e6 < 2^63, i.e. n·(scale·|x|max)²
+    < 1.4e11 at d=64 — milli-scale unit-norm embeddings allow ~10^11 rows;
+    retune ``scale`` beyond that.
+
+    Output: (vec_id, score) — exact BIGINT projection onto the estimated
+    top component.
+    """
+    gram = gram_matrix(emb, vec_col=vec_col, scale=scale)
+    cells = gram.select("i", "j", "sum_xy").collect()
+    d = max(r["i"] for r in cells)
+    g = {(r["i"], r["j"]): r["sum_xy"] for r in cells}
+    v = [10**6] * d
+    for _ in range(iters):
+        w = [
+            sum(g.get((i + 1, j + 1), 0) * v[j] for j in range(d))
+            for i in range(d)
+        ]
+        mx = max(abs(x) for x in w) or 1
+        v = [
+            (abs(x) * 10**6) // mx * (1 if x >= 0 else -1) for x in w
+        ]
+    k = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[k] < 0:
+        v = [-x for x in v]
+    vec_lit = "array({})".format(
+        ", ".join(f"CAST({x} AS BIGINT)" for x in v)
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+    score = F.aggregate(
+        F.zip_with(q, F.expr(vec_lit), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), score.alias("score"))

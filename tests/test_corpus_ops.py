@@ -930,3 +930,25 @@ class TestGramMatrix:
         out = sim.gram_matrix(df).collect()
         # q = [1, -1]; gram cell (1,1) = 1 + 1 = 2
         assert out[0]["sum_xy"] == 2
+
+
+class TestPcaPowerScores:
+    def test_recovers_dominant_axis(self, spark):
+        # variance lives on dim 0; scores must order by |x0| and the
+        # canonical sign makes the top component positive on dim 0
+        rows = [(i, [float(i - 10), 0.01 * (i % 3 - 1)]) for i in range(21)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r["score"] for r in
+               sim.pca_power_scores(df, iters=4).collect()}
+        # projection is monotone in x0
+        scores = [out[i] for i in range(21)]
+        assert scores == sorted(scores)
+        assert out[20] > 0 > out[0]
+
+    def test_deterministic_under_partitioning(self, spark):
+        rows = [(i, [float((i * 7) % 13) / 13, float((i * 5) % 11) / 11,
+                     float(i % 4) / 4]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, sim.pca_power_scores(df.repartition(1)).collect()))
+        b = sorted(map(tuple, sim.pca_power_scores(df.repartition(13)).collect()))
+        assert a == b
