@@ -3576,6 +3576,17 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_power_scores(emb, iters=3)
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation over events (rankstats.rfm_segments):
+    one per-user aggregate, dataset-max "now", three ntile windows over
+    the user-domain relation with total-order tiebreaks."""
+    from kafka2iceberg_spark import rankstats as rk
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    return rk.rfm_segments(ev)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3768,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_drift": q_field_drift,
         "gram_matrix": q_gram_matrix,
         "pca_scores": q_pca_scores,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -8113,6 +8125,30 @@ SELECT x.i AS i, y.i AS j, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(x.xi * y.xi) AS BIGINT) AS sum_xy
 FROM a x JOIN a y ON x.vec_id = y.vec_id
 GROUP BY 1, 2
+""",
+        "rfm_segments": """
+WITH pu AS (
+  SELECT user_id AS u, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY 1
+),
+nw AS (SELECT max(last_us) AS now FROM pu),
+s AS (
+  SELECT pu.*, CAST(nw.now - pu.last_us AS BIGINT) AS recency_us
+  FROM pu, nw
+)
+SELECT u AS user_id, recency_us, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC, u ASC) AS BIGINT) AS r,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, u ASC) AS BIGINT) AS f,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, u ASC) AS BIGINT)
+         AS m,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC, u ASC) * 100
+            + ntile(5) OVER (ORDER BY frequency DESC, u ASC) * 10
+            + ntile(5) OVER (ORDER BY monetary_cents DESC, u ASC)
+         AS BIGINT) AS rfm_code
+FROM s
 """,
         "quality_auc": f"""
 WITH {_QPPM},

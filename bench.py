@@ -129,6 +129,7 @@ HEADLINE_EXTRA = [
     "field_drift",
     "gram_matrix",
     "pca_scores",
+    "rfm_segments",
 ]
 
 SCALE_GEN = dict(

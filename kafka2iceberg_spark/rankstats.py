@@ -1240,3 +1240,62 @@ def weighted_quantile(
         .cast("long")
         .alias(f"wq_{value_col}"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic behavioral cohorting every events table eventually gets asked
+    for, engine-exact:
+
+      * one hash aggregate to per-user (last_ts, n_events, total cents) —
+        map-side combined, the only data-volume pass;
+      * "now" is the dataset's max timestamp (a 1-row broadcast), so the
+        result is deterministic, not wall-clock-dependent;
+      * tiles come from ntile(n) over a TOTAL order (metric desc, user
+        asc) — ntile's fill rule (first n mod k buckets get the extra
+        row) is the same in Spark and DuckDB given the same order, and
+        the tiebreak makes the order identical. Tile 1 = best.
+
+    The three ntile windows run over the per-USER relation (domain-sized,
+    not event-sized). Output: (user, recency_us, frequency,
+    monetary_cents, r, f, m, rfm_code = r·100 + f·10 + m).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        # cast: parquet NTZ timestamps need the session-TZ TIMESTAMP type
+        # before unix_micros (UTC sessions make this the identity wall
+        # clock DuckDB's epoch_us reads)
+        F.max(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    now = per_user.agg(F.max("last_us").alias("_now"))
+    scored = per_user.crossJoin(F.broadcast(now)).withColumn(
+        "recency_us", (F.col("_now") - F.col("last_us")).cast("long")
+    )
+    tile = lambda col, asc: F.ntile(n_tiles).over(  # noqa: E731
+        Window.orderBy(
+            F.asc(col) if asc else F.desc(col), F.asc("u")
+        )
+    )
+    return scored.select(
+        F.col("u").alias(user_col),
+        "recency_us",
+        "frequency",
+        "monetary_cents",
+        tile("recency_us", True).cast("long").alias("r"),
+        tile("frequency", False).cast("long").alias("f"),
+        tile("monetary_cents", False).cast("long").alias("m"),
+    ).withColumn(
+        "rfm_code",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"),
+    )

@@ -922,3 +922,42 @@ class TestTurnIntegrity:
         assert out["a"]["n_missing"] == 0
         assert out["b"]["n_missing"] == 3  # span 5..9, holes 6,7,8
         assert out["b"]["n_role_repeats"] == 1
+
+
+class TestRfmSegments:
+    def test_hand_computed_tiles(self, spark):
+        import datetime as dtm
+
+        base = dtm.datetime(2024, 1, 1)
+        rows = []
+        # 5 users: user i has i+1 events of value 10*(i+1), last event at
+        # base + i days -> recency best for user 4, frequency/monetary
+        # best for user 4 too
+        for u in range(5):
+            for k in range(u + 1):
+                rows.append((u, base + dtm.timedelta(days=u, hours=k),
+                             10.0 * (u + 1)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        from kafka2iceberg_spark import rankstats as rkm
+
+        out = {r["user_id"]: r for r in rkm.rfm_segments(df).collect()}
+        assert out[4]["r"] == 1 and out[4]["f"] == 1 and out[4]["m"] == 1
+        assert out[4]["rfm_code"] == 111
+        assert out[0]["r"] == 5 and out[0]["f"] == 5
+        # frequency tiles strictly follow event counts
+        assert [out[u]["f"] for u in range(5)] == [5, 4, 3, 2, 1]
+
+    def test_deterministic_ties_break_by_user(self, spark):
+        import datetime as dtm
+
+        t = dtm.datetime(2024, 1, 1)
+        rows = [(u, t, 5.0) for u in range(4)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        from kafka2iceberg_spark import rankstats as rkm
+
+        a = sorted(map(tuple, rkm.rfm_segments(df.repartition(1)).collect()))
+        b = sorted(map(tuple, rkm.rfm_segments(df.repartition(5)).collect()))
+        assert a == b
+        out = {r[0]: r for r in a}
+        # all metrics tied: ntile assigns by user ascending
+        assert [out[u][4] for u in range(4)] == [1, 2, 3, 4]
