@@ -3587,6 +3587,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.rfm_segments(ev)
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI over adjacent token bigrams
+    (textops.bigram_pmi_topk): nano-ln quantized counts, two
+    vocabulary-sized count aggs, two hash joins, TakeOrdered top-k."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    return tx.bigram_pmi_topk(d, min_count=5, top_k=50)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3780,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,
         "pca_scores": q_pca_scores,
         "rfm_segments": q_rfm_segments,
+        "bigram_pmi": q_bigram_pmi,
     }
 
 
@@ -8149,6 +8159,45 @@ SELECT u AS user_id, recency_us, frequency, monetary_cents,
             + ntile(5) OVER (ORDER BY monetary_cents DESC, u ASC)
          AS BIGINT) AS rfm_code
 FROM s
+""",
+        "bigram_pmi": """
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tt AS (SELECT t FROM t WHERE len(t) > 0),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM tt) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tt)
+  ) GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+np AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS np FROM tt WHERE len(t) > 1),
+j AS (
+  SELECT bi.w1, bi.w2, bi.c_ab, a.c AS c_a, b.c AS c_b,
+         CAST(round(ln(bi.c_ab) * 1e9) AS BIGINT)
+         + 2 * CAST(round(ln(nt.nt) * 1e9) AS BIGINT)
+         - CAST(round(ln(np.np) * 1e9) AS BIGINT)
+         - CAST(round(ln(a.c) * 1e9) AS BIGINT)
+         - CAST(round(ln(b.c) * 1e9) AS BIGINT) AS pmi_nano
+  FROM bi
+  JOIN uni a ON a.w = bi.w1
+  JOIN uni b ON b.w = bi.w2
+  CROSS JOIN nt CROSS JOIN np
+)
+SELECT w1, w2, c_ab, c_a, c_b, pmi_nano,
+       round(pmi_nano / 1e9, 6) AS pmi
+FROM j
+ORDER BY pmi_nano DESC, w1, w2
+LIMIT 50
 """,
         "quality_auc": f"""
 WITH {_QPPM},

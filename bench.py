@@ -130,6 +130,7 @@ HEADLINE_EXTRA = [
     "gram_matrix",
     "pca_scores",
     "rfm_segments",
+    "bigram_pmi",
 ]
 
 SCALE_GEN = dict(

@@ -1471,3 +1471,88 @@ def bpe_encode_stats(
             F.sum(F.col("cnt") * F.length("w")),
         ).alias("compression_ppm"),
     )
+
+
+def bigram_pmi_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction: top-k adjacent-token bigrams by pointwise
+    mutual information — the word2vec-era phrase-mining step ("new_york"
+    style merges, Mikolov et al. 2013) and the classic collocation
+    statistic (Church & Hanks 1990):
+
+        pmi = ln( p(ab) / (p(a)·p(b)) )
+            = ln c_ab + 2·ln N_tok − ln N_pairs − ln c_a − ln c_b
+
+    Engine-exactness via the nano-ln idiom (bigram_lm/source_entropy):
+    every ln of an integer count is rounded to integer nano-nats BEFORE
+    the additions, so the combined score is exact BIGINT arithmetic and
+    the (pmi desc, pair asc) top-k is engine-identical. ``min_count``
+    suppresses the PMI singleton bias (rare pairs trivially maximize PMI).
+
+    Shuffle shape: one positional-bigram count agg + one unigram count
+    agg (both map-side combined, vocabulary-sized keys), two hash joins
+    of the bigram relation against the unigram relation, two 1-row count
+    broadcasts; top-k is orderBy+limit = TakeOrdered, no global sort.
+
+    Output: (w1, w2, c_ab, c_a, c_b, pmi_nano BIGINT, pmi double).
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    base = docs.select(arr.alias("t")).where(F.size("t") > 0)
+    uni = base.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pair_expr = (
+        "CASE WHEN size(t) < 2 THEN cast(array() as array<struct<a:string,b:string>>)"
+        " ELSE transform(sequence(1, size(t) - 1),"
+        " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) END"
+    )
+    bi = (
+        base.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("_nt"))
+    # N_pairs counts ALL positional bigrams, not just the frequent ones
+    n_pair = (
+        base.select(
+            (F.size("t") - 1).cast("long").alias("k")
+        )
+        .where(F.col("k") > 0)
+        .agg(F.sum("k").cast("long").alias("_np"))
+    )
+    nano = lambda c: F.round(F.log(c.cast("double")) * 1e9).cast("long")  # noqa: E731
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    j = (
+        bi.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+    )
+    pmi_nano = (
+        nano(F.col("c_ab"))
+        + F.lit(2) * nano(F.col("_nt"))
+        - nano(F.col("_np"))
+        - nano(F.col("c_a"))
+        - nano(F.col("c_b"))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi_nano.alias("pmi_nano"),
+            F.round(pmi_nano / 1e9, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi_nano"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -191,3 +191,45 @@ def test_js_divergence_partial_overlap_between_bounds(spark):
     )
     js = tx.source_js_divergence(docs).collect()[0]["js_nats"]
     assert 0.0 < js < math.log(2)
+
+
+class TestBigramPmi:
+    def test_collocation_beats_frequent_independents(self, spark):
+        # "san francisco" always adjacent; "the" pairs with a different
+        # word each time, so each (the, X) stays below min_count
+        rows = [
+            (1, "the cat visits san francisco"),
+            (2, "the dog near san francisco"),
+            (3, "the fox from san francisco"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = tx.bigram_pmi_topk(df, min_count=2, top_k=10).collect()
+        pairs = [(r["w1"], r["w2"]) for r in out]
+        assert pairs[0] == ("san", "francisco")
+        assert all(w1 != "the" for w1, _ in pairs)
+
+    def test_min_count_suppresses_singletons(self, spark):
+        df = spark.createDataFrame(
+            [(1, "unique pairing here"), (2, "common common common common")],
+            ["doc_id", "text"],
+        )
+        out = tx.bigram_pmi_topk(df, min_count=3, top_k=10).collect()
+        pairs = {(r["w1"], r["w2"]) for r in out}
+        assert ("unique", "pairing") not in pairs
+        assert ("common", "common") in pairs
+
+    def test_hand_computed_pmi(self, spark):
+        import math
+
+        # corpus "a b a b": unigrams a:2 b:2, N_tok=4; pairs (a,b):2,
+        # (b,a):1, N_pairs=3. pmi(a,b) = ln(2) + 2ln(4) - ln(3) - ln(2) - ln(2)
+        df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+        out = {
+            (r["w1"], r["w2"]): r["pmi"]
+            for r in tx.bigram_pmi_topk(df, min_count=1, top_k=10).collect()
+        }
+        exp = round(
+            (round(math.log(2) * 1e9) + 2 * round(math.log(4) * 1e9)
+             - round(math.log(3) * 1e9) - 2 * round(math.log(2) * 1e9))
+            / 1e9, 6)
+        assert out[("a", "b")] == exp
