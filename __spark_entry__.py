@@ -3596,6 +3596,21 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_pmi_topk(d, min_count=5, top_k=50)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (source, lang, n_chars decile bucket)
+    quasi-identifiers (dq.k_anonymity): one hash agg + tiny rollup; the
+    post-redaction privacy gate."""
+    from kafka2iceberg_spark import dq as dqm
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+    )
+    return dqm.k_anonymity(d, ["source", "lang", "len_bucket"], k=5)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3790,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_scores": q_pca_scores,
         "rfm_segments": q_rfm_segments,
         "bigram_pmi": q_bigram_pmi,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -8198,6 +8214,23 @@ SELECT w1, w2, c_ab, c_a, c_b, pmi_nano,
 FROM j
 ORDER BY pmi_nano DESC, w1, w2
 LIMIT 50
+""",
+        "k_anonymity": """
+WITH q AS (
+  SELECT source, lang,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket
+  FROM documents
+),
+cl AS (
+  SELECT source, lang, len_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM q GROUP BY 1, 2, 3
+),
+t AS (SELECT CAST(sum(class_size) AS BIGINT) AS total FROM cl)
+SELECT source, lang, len_bucket, class_size,
+       (class_size < 5) AS at_risk,
+       CAST(class_size * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM cl, t
 """,
         "quality_auc": f"""
 WITH {_QPPM},

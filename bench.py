@@ -131,6 +131,7 @@ HEADLINE_EXTRA = [
     "pca_scores",
     "rfm_segments",
     "bigram_pmi",
+    "k_anonymity",
 ]
 
 SCALE_GEN = dict(

@@ -156,3 +156,43 @@ def profile(df: DataFrame, columns: list[str]) -> DataFrame:
             "as (column, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+def k_anonymity(
+    df,
+    quasi_cols: list[str],
+    k: int = 5,
+):
+    """k-anonymity audit over a quasi-identifier combination — the privacy
+    gate a dataset release runs after PII redaction (textops.redact_pii
+    removes direct identifiers; this catches the INDIRECT ones: a
+    (source, lang, length-bucket) combo shared by only two documents
+    re-identifies them, Sweeney 2002).
+
+    One hash aggregate on the quasi-identifier tuple (map-side combined —
+    the only data-volume pass), then a rollup: every equivalence class
+    with its size and at-risk flag, plus per-class share of total rows in
+    exact ppm. The caller buckets continuous columns BEFORE the call
+    (raw values make every class a singleton, which is a modeling error,
+    not a finding).
+
+    Output: one row per equivalence class — (quasi cols..., class_size,
+    at_risk = class_size < k, share_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    total = classes.agg(
+        F.sum("class_size").cast("long").alias("_total")
+    )
+    out = classes.crossJoin(F.broadcast(total))
+    return out.select(
+        *quasi_cols,
+        "class_size",
+        (F.col("class_size") < F.lit(k)).alias("at_risk"),
+        F.expr("class_size * 1000000 div _total")
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -273,3 +273,29 @@ class TestProfile:
         df = spark.createDataFrame([(1,)], "a long")
         with pytest.raises(ValueError):
             dq.profile(df, [])
+
+
+class TestKAnonymity:
+    def test_small_classes_flagged(self, spark):
+        from kafka2iceberg_spark import dq as dqm
+
+        rows = [("a", "en")] * 6 + [("a", "de")] * 2 + [("b", "en")]
+        df = spark.createDataFrame(rows, "src string, lang string")
+        out = {
+            (r["src"], r["lang"]): r
+            for r in dqm.k_anonymity(df, ["src", "lang"], k=3).collect()
+        }
+        assert not out[("a", "en")]["at_risk"]
+        assert out[("a", "de")]["at_risk"] and out[("b", "en")]["at_risk"]
+        assert out[("a", "en")]["class_size"] == 6
+        # shares: 6/9, 2/9, 1/9 in exact ppm (integer div)
+        assert out[("a", "en")]["share_ppm"] == 666_666
+        assert out[("b", "en")]["share_ppm"] == 111_111
+
+    def test_all_unique_all_at_risk(self, spark):
+        from kafka2iceberg_spark import dq as dqm
+
+        rows = [(f"s{i}", "en") for i in range(4)]
+        df = spark.createDataFrame(rows, "src string, lang string")
+        out = dqm.k_anonymity(df, ["src", "lang"], k=2).collect()
+        assert all(r["at_risk"] for r in out)
