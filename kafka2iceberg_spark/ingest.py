@@ -408,11 +408,21 @@ def field_drift(
     declared = spark.createDataFrame(
         [(f.name,) for f in spec.fields], "field string"
     ).withColumn("_declared", F.lit(True))
-    return (
-        observed.join(F.broadcast(declared), "field", "full_outer")
+    # a FULL OUTER join cannot broadcast (Spark falls back to sort-merge);
+    # split into a broadcast LEFT join for observed fields plus a
+    # broadcast LEFT ANTI for declared-but-never-seen — same relation,
+    # both sides stay broadcast hash joins
+    seen = observed.join(F.broadcast(declared), "field", "left").select(
+        "field",
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.coalesce("_declared", F.lit(False)).alias("expected"),
+    )
+    never = (
+        declared.join(F.broadcast(observed), "field", "left_anti")
         .select(
             "field",
-            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
-            F.coalesce("_declared", F.lit(False)).alias("expected"),
+            F.lit(0).cast("long").alias("n_seen"),
+            F.lit(True).alias("expected"),
         )
     )
+    return seen.unionByName(never)
