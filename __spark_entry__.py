@@ -3611,6 +3611,30 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dqm.k_anonymity(d, ["source", "lang", "len_bucket"], k=5)
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact report: docs, distinct fingerprints, dup
+    rate in exact ppm — the per-domain summary a curation run publishes
+    after exact dedup (composite over dedup.exact_dedup's fingerprint).
+    One (source, fp) distinct + two tiny aggs, map-side combined."""
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    from kafka2iceberg_spark.textops import fingerprint
+
+    fp = d.select("source", fingerprint(F.col("text")).alias("fp"))
+    per = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("fp")).cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        F.expr("(n_docs - n_distinct) * 1000000 div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3806,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "bigram_pmi": q_bigram_pmi,
         "k_anonymity": q_k_anonymity,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
     }
 
 
@@ -8231,6 +8256,19 @@ SELECT source, lang, len_bucket, class_size,
        (class_size < 5) AS at_risk,
        CAST(class_size * 1000000 // t.total AS BIGINT) AS share_ppm
 FROM cl, t
+""",
+        "dedup_rate_by_source": f"""
+WITH fp AS (
+  SELECT source, substr(md5({_NORM}), 1, 16) AS fp FROM documents
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+  FROM fp GROUP BY 1
+)
+SELECT source, n_docs, n_distinct,
+       CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm
+FROM per
 """,
         "quality_auc": f"""
 WITH {_QPPM},
