@@ -3635,6 +3635,17 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-role entropy per previous role over transcripts
+    (timeseries.transition_entropy): how scripted each role's successor
+    is — the dialogue-flow complement to transition_counts. One lag
+    window on conv_id + two tiny aggs; nano-ln exact."""
+    tx = _tx(spark, sf_dir)
+    return ts.transition_entropy(
+        tx, ["conv_id"], ["turn_idx"], "role"
+    ).withColumnRenamed("prev_state", "prev_role")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3831,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "k_anonymity": q_k_anonymity,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "transition_entropy": q_transition_entropy,
     }
 
 
@@ -8269,6 +8281,28 @@ per AS (
 SELECT source, n_docs, n_distinct,
        CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm
 FROM per
+""",
+        "transition_entropy": f"""
+WITH {_TX},
+t AS (
+  SELECT role AS next_role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+),
+c AS (
+  SELECT prev_role, next_role, CAST(count(*) AS BIGINT) AS c
+  FROM t WHERE prev_role IS NOT NULL GROUP BY 1, 2
+),
+a AS (
+  SELECT prev_role,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+           AS BIGINT) AS s
+  FROM c GROUP BY 1
+)
+SELECT prev_role, n,
+       round(ln(CAST(n AS DOUBLE)) - (s / 1e9) / n, 6) + 0.0 AS entropy
+FROM a
 """,
         "quality_auc": f"""
 WITH {_QPPM},

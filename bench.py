@@ -132,6 +132,8 @@ HEADLINE_EXTRA = [
     "rfm_segments",
     "bigram_pmi",
     "k_anonymity",
+    "dedup_rate_by_source",
+    "transition_entropy",
 ]
 
 SCALE_GEN = dict(

@@ -358,6 +358,63 @@ def transition_counts(
     )
 
 
+def transition_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """Conditional entropy of the next-state distribution given each
+    previous state, over per-key ordered sequences:
+
+        H(next | prev=r) = ln(N_r) - (1/N_r) * sum_s c_{r,s} * ln(c_{r,s})
+
+    The information-theoretic complement to ``transition_counts``: a
+    near-zero entropy row means that state's successor is essentially
+    scripted (deterministic dialogue flows, bot loops); high entropy
+    means genuine branching. Engine-exactness via the nano-ln idiom
+    (textops.source_entropy): each ln(c) is quantized to integer
+    nano-nats BEFORE the sum, so the aggregation is order-free exact
+    BIGINT math and only the final ln(N)/division is floating (rounded
+    to 6).
+
+    Scale shape: one lag window per key partition (hash exchange on
+    key_cols, per-key sort — no global sort), one |states|²-cardinality
+    pair count (map-side combined), one |states|-row final agg. At
+    10^12 turns the only data-sized stage is the window, which any
+    per-conversation op already pays.
+
+    Output: (prev_state, n BIGINT, entropy DOUBLE).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    t = df.select(
+        F.lag(state_col).over(w).alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).where(F.col("prev_state").isNotNull())
+    c = t.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nano = F.round(F.log(F.col("c").cast("double")) * 1e9).cast("long")
+    a = c.groupBy("prev_state").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * nano).cast("long").alias("s"),
+    )
+    # + 0.0 folds IEEE -0.0 (deterministic successors) to +0.0 so the
+    # result is bit-identical across engines.
+    return a.select(
+        "prev_state",
+        "n",
+        (
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - (F.col("s") / F.lit(1e9)) / F.col("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy"),
+    )
+
+
 def debounce(
     events: DataFrame,
     keys: list[str],

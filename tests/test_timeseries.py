@@ -339,3 +339,31 @@ class TestOHLCTwapBalance:
         assert rows[base] == (1000, 0)
         assert rows[base + HOUR_US] == (0, 1500)
         assert rows[base + 2 * HOUR_US] == (700, 1500)
+
+
+class TestTransitionEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        # conv A: u->a->u->a (deterministic u<->a); conv B: u->t, u->a
+        rows = [
+            ("A", 0, "u"), ("A", 1, "a"), ("A", 2, "u"), ("A", 3, "a"),
+            ("B", 0, "u"), ("B", 1, "t"), ("B", 2, "u"), ("B", 3, "a"),
+        ]
+        df = spark.createDataFrame(rows, "conv string, idx int, role string")
+        out = {
+            r["prev_state"]: (r["n"], r["entropy"])
+            for r in ts.transition_entropy(
+                df, ["conv"], ["idx"], "role"
+            ).collect()
+        }
+        # after 'u': {a: 3, t: 1} -> H = ln4 - (3 ln3 + 1 ln1)/4
+        want = math.log(4) - (3 * math.log(3)) / 4
+        assert out["u"][0] == 4
+        assert abs(out["u"][1] - want) < 1e-5
+        # after 'a' (a->u once; trailing 'a' has no successor) and
+        # after 't' (t->u once): deterministic
+        assert out["a"] == (1, 0.0)
+        assert out["t"] == (1, 0.0)
+        # +0.0 guard: never IEEE negative zero
+        assert all(math.copysign(1.0, v[1]) == 1.0 for v in out.values())
