@@ -3646,6 +3646,15 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("prev_state", "prev_role")
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-3-gram novelty (textops.ngram_novelty): share of
+    each source's distinct (doc, gram) incidences whose gram is corpus-
+    unique — the gram-level templated-ness dashboard row. One (doc,
+    gram) distinct + one count window on gram + tiny final agg."""
+    _utc(spark)
+    return tx.ngram_novelty(_read(spark, sf_dir, "documents"), n=3)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3843,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "transition_entropy": q_transition_entropy,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -8303,6 +8313,28 @@ a AS (
 SELECT prev_role, n,
        round(ln(CAST(n AS DOUBLE)) - (s / 1e9) / n, 6) + 0.0 AS entropy
 FROM a
+""",
+        "ngram_novelty": f"""
+WITH d AS (
+  SELECT doc_id, source, string_split({_NORM}, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[i:i+2], ' ') AS gram
+  FROM d, unnest(generate_series(1, len(t) - 2)) s(i)
+  WHERE len(t) >= 3 AND t[1] <> ''
+),
+flagged AS (
+  SELECT source,
+         count(*) OVER (PARTITION BY gram) = 1 AS uniq
+  FROM pairs
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incidences,
+       CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) * 1000000 // count(*)
+         AS BIGINT) AS novelty_ppm
+FROM flagged GROUP BY source
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -134,6 +134,7 @@ HEADLINE_EXTRA = [
     "k_anonymity",
     "dedup_rate_by_source",
     "transition_entropy",
+    "ngram_novelty",
 ]
 
 SCALE_GEN = dict(

@@ -733,6 +733,59 @@ def zipf_fit(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> DataF
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-``by``-group n-gram novelty: of each group's distinct
+    (doc, word-n-gram) incidences, the fraction whose n-gram appears in
+    exactly ONE document corpus-wide. High novelty = genuinely fresh
+    text; low novelty = boilerplate / template / near-dup mass that
+    exact-dedup missed (the gram-level cousin of dedup_rate_by_source,
+    and the curation dashboard's "how templated is this domain" row).
+
+    Shape (100 TB): explode per-doc DISTINCT n-grams (dedup inside the
+    doc first — one (doc, gram) distinct, map-side combinable), then a
+    count window partitioned by gram (hash exchange on the gram key —
+    never a join, so no sort-merge risk), then a group-sized final agg.
+    Gram keys are md5-free raw strings; at 10^12 docs you'd substitute
+    hash64(gram) to shrink the exchange — semantics identical.
+
+    Output: (source, n_incidences, n_unique, novelty_ppm) — exact
+    BIGINTs, one integer div.
+    """
+    t = tokens(F.col(text_col))
+    gram_expr = (
+        f"CASE WHEN size(t) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> array_join(slice(t, i, {n}), ' ')) END"
+    )
+    pairs = (
+        docs.select(F.col("doc_id"), F.col(by), t.alias("t"))
+        .select("doc_id", by, F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    flagged = pairs.select(by, (dfreq == 1).alias("uniq"))
+    return (
+        flagged.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incidences"),
+            F.sum(F.col("uniq").cast("long")).cast("long").alias("n_unique"),
+        )
+        .select(
+            by,
+            "n_incidences",
+            "n_unique",
+            F.expr("n_unique * 1000000 div n_incidences")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
 def source_vocab_overlap(docs: DataFrame) -> DataFrame:
     """Pairwise vocabulary Jaccard between sources: how much two slices of
     a corpus share their token vocabulary — the standard first look at

@@ -952,3 +952,27 @@ class TestPcaPowerScores:
         a = sorted(map(tuple, sim.pca_power_scores(df.repartition(1)).collect()))
         b = sorted(map(tuple, sim.pca_power_scores(df.repartition(13)).collect()))
         assert a == b
+
+
+class TestNgramNovelty:
+    def test_hand_computed(self, spark):
+        from kafka2iceberg_spark import textops as tx
+
+        rows = [
+            # doc 1/2 share the gram "a b c"; doc 1 also has unique "b c d"
+            (1, "a b c d", "s1"),
+            (2, "a b c", "s1"),
+            # doc 3: both grams unique; repeated gram inside the doc
+            # counts once (per-doc distinct)
+            (3, "x y z x y z", "s2"),
+            # doc 4: too short for a 3-gram -> contributes nothing
+            (4, "p q", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: (r["n_incidences"], r["n_unique"], r["novelty_ppm"])
+               for r in tx.ngram_novelty(df, n=3).collect()}
+        # s1: incidences = {(1,'a b c'), (1,'b c d'), (2,'a b c')} = 3;
+        #     unique = {'b c d'} = 1
+        assert out["s1"] == (3, 1, 333333)
+        # s2 doc3 distinct grams: 'x y z', 'y z x', 'z x y' — all unique
+        assert out["s2"] == (3, 3, 1000000)
