@@ -3655,6 +3655,19 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_novelty(_read(spark, sf_dir, "documents"), n=3)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against brute-force ground truth
+    (similarity.recall_at_k) — the index-quality eval every approximate
+    deployment publishes. Composes the two existing deterministic ANN
+    ops; the DuckDB oracle replays both (inlined plane literals) and
+    joins them identically."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 8)
+    approx = sim.lsh_topk(emb, q, k=5, dim=64)
+    exact = sim.brute_topk(emb, q, k=5)
+    return sim.recall_at_k(approx, exact)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3853,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "transition_entropy": q_transition_entropy,
         "ngram_novelty": q_ngram_novelty,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -8335,6 +8349,60 @@ SELECT source,
        CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) * 1000000 // count(*)
          AS BIGINT) AS novelty_ppm
 FROM flagged GROUP BY source
+""",
+        "ann_recall": f"""
+WITH {_EMB_D},
+pl(t, p, i, v) AS (VALUES {_LSH_PLANE_VALUES}),
+plane AS (SELECT t, p, list(v ORDER BY i) AS pv FROM pl GROUP BY t, p),
+proj AS (
+  SELECT d.vec_id, plane.t, plane.p,
+         list_sum(list_transform(range(1, 65), i -> d.e[i] * plane.pv[i])) AS s
+  FROM d, plane
+),
+bucket AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS b
+  FROM proj GROUP BY vec_id, t
+),
+qb AS (SELECT * FROM bucket WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN bucket cb ON qb.t = cb.t AND qb.b = cb.b
+  WHERE cb.vec_id <> qb.vec_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM cand
+  JOIN d q ON q.vec_id = cand.query_id
+  JOIN d c ON c.vec_id = cand.neighbor_id
+),
+lr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc
+),
+lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+bsc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM d q JOIN d c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+),
+brr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM bsc
+),
+brute AS (SELECT query_id, neighbor_id FROM brr WHERE rank <= 5)
+SELECT b.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS recall_ppm
+FROM brute b
+LEFT JOIN lsh l
+  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
 """,
         "quality_auc": f"""
 WITH {_QPPM},

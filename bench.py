@@ -135,6 +135,7 @@ HEADLINE_EXTRA = [
     "dedup_rate_by_source",
     "transition_entropy",
     "ngram_novelty",
+    "ann_recall",
 ]
 
 SCALE_GEN = dict(

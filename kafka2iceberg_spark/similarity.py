@@ -955,6 +955,45 @@ def gram_matrix(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """ANN quality eval: per-query recall of an approximate top-k result
+    against the exact (brute-force) top-k ground truth — the number every
+    index deployment reports before trading exactness for speed. Both
+    inputs are (query_id, neighbor_id, ...) top-k relations.
+
+    Shape: the exact side is |queries|·k rows and the approximate side
+    the same order — both tiny relative to the corpus regardless of SF,
+    so this is a broadcast left join + one |queries|-sized agg; the
+    corpus itself is never touched here (the two ANN ops already paid
+    their scans). recall_ppm is exact integer arithmetic.
+
+    Output: (query_id, n_exact, n_hit, recall_ppm).
+    """
+    marked = F.broadcast(
+        approx.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)
+        )
+    )
+    j = exact.select("query_id", "neighbor_id").join(
+        marked, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 1000000 div n_exact")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def pca_power_scores(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -976,3 +976,27 @@ class TestNgramNovelty:
         assert out["s1"] == (3, 1, 333333)
         # s2 doc3 distinct grams: 'x y z', 'y z x', 'z x y' — all unique
         assert out["s2"] == (3, 3, 1000000)
+
+
+class TestRecallAtK:
+    def test_hand_computed(self, spark):
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)],
+            "query_id long, neighbor_id long",
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)],
+            "query_id long, neighbor_id long",
+        )
+        out = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_ppm"])
+               for r in sim.recall_at_k(approx, exact).collect()}
+        assert out[1] == (2, 1, 500000)
+        assert out[2] == (2, 2, 1000000)
+
+    def test_zero_overlap_query_still_reported(self, spark):
+        exact = spark.createDataFrame([(7, 1), (7, 2)],
+                                      "query_id long, neighbor_id long")
+        approx = spark.createDataFrame([(7, 9)],
+                                       "query_id long, neighbor_id long")
+        [r] = sim.recall_at_k(approx, exact).collect()
+        assert (r["n_exact"], r["n_hit"], r["recall_ppm"]) == (2, 0, 0)
