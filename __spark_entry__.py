@@ -3668,6 +3668,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.recall_at_k(approx, exact)
 
 
+def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization quality per label (similarity.sq8_error):
+    the flat 4× vector-memory cut every store applies before indexing,
+    graded by exact integer reconstruction error. Two corpus passes, a
+    64-row driver coordination collect, no joins."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    return sim.sq8_error(emb, dim=64)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3867,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": q_transition_entropy,
         "ngram_novelty": q_ngram_novelty,
         "ann_recall": q_ann_recall,
+        "sq8_error": q_sq8_error,
     }
 
 
@@ -8403,6 +8413,37 @@ FROM brute b
 LEFT JOIN lsh l
   ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
+""",
+        "sq8_error": """
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM d, unnest(generate_series(1, 64)) s(i)
+  GROUP BY i
+),
+e AS (
+  SELECT d.label, d.vec_id,
+         CASE WHEN dm.mx > dm.mn THEN
+           (d.v[s.i] - (dm.mn
+              + (((d.v[s.i] - dm.mn) * 255) // (dm.mx - dm.mn))
+                * (dm.mx - dm.mn) // 255))
+           * (d.v[s.i] - (dm.mn
+              + (((d.v[s.i] - dm.mn) * 255) // (dm.mx - dm.mn))
+                * (dm.mx - dm.mn) // 255))
+         ELSE 0 END AS err
+  FROM d, unnest(generate_series(1, 64)) s(i), dims dm
+  WHERE dm.i = s.i
+)
+SELECT label,
+       CAST(count(*) // 64 AS BIGINT) AS n_vecs,
+       CAST(sum(err) AS BIGINT) AS sq_err_sum,
+       CAST(sum(err) // count(*) AS BIGINT) AS mse_per_dim
+FROM e GROUP BY label
 """,
         "quality_auc": f"""
 WITH {_QPPM},

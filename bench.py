@@ -136,6 +136,7 @@ HEADLINE_EXTRA = [
     "transition_entropy",
     "ngram_novelty",
     "ann_recall",
+    "sq8_error",
 ]
 
 SCALE_GEN = dict(

@@ -994,6 +994,83 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+def sq8_error(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Scalar int8 quantization (SQ8) quality report: quantize every
+    embedding dimension to 8 bits against the corpus-wide per-dimension
+    [min, max] range and report the exact reconstruction error per
+    label — the storage-compression sibling of PQ (ann_pq_topk): SQ8 is
+    what FAISS/production vector stores use for a flat 4× memory cut
+    before any coarse index.
+
+    Engine-exactness: values ride a fixed 1e-6 grid (round(x·1e6) as
+    BIGINT) so quantize ((v-mn)·255 div (mx-mn)), reconstruct
+    (mn + q·(mx-mn) div 255) and squared error are all exact BIGINT
+    arithmetic — no float in the whole path.
+
+    Shape (100 TB): pass 1 computes per-dimension min/max via posexplode
+    + map-side-combined agg (``dim`` output rows); the driver collects
+    those ``dim`` rows — constant-size coordination, the kmeans-idiom —
+    and re-broadcasts them as literal arrays, so pass 2 is a single
+    whole-stage-codegen projection over the corpus with one final
+    |labels|-sized agg. No joins, no window over data.
+
+    Output: (label, n_vecs, sq_err_sum BIGINT, mse_per_dim BIGINT).
+    """
+    v_int = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    d = emb.select(F.col(id_col), F.col(label_col).alias("label"), v_int.alias("v"))
+    rng = (
+        d.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = [0] * dim
+    sc = [0] * dim
+    for r in rng:
+        mn[r["i"]] = r["mn"]
+        sc[r["i"]] = r["mx"] - r["mn"]
+    mn_sql = "array(" + ",".join(f"{x}L" for x in mn) + ")"
+    sc_sql = "array(" + ",".join(f"{x}L" for x in sc) + ")"
+    # reconstruction r_i = mn_i + (((x - mn_i)·255) div sc_i)·sc_i div 255;
+    # constant-range dimensions reconstruct exactly (err 0)
+    recon = (
+        f"transform(v, (x, i) -> CASE WHEN element_at({sc_sql}, i + 1) > 0"
+        f" THEN element_at({mn_sql}, i + 1)"
+        f" + (((x - element_at({mn_sql}, i + 1)) * 255)"
+        f" div element_at({sc_sql}, i + 1))"
+        f" * element_at({sc_sql}, i + 1) div 255"
+        " ELSE x END)"
+    )
+    err = (
+        f"aggregate(zip_with(v, {recon}, (x, r) -> (x - r) * (x - r)),"
+        " 0L, (acc, e) -> acc + e)"
+    )
+    per_vec = d.select("label", F.expr(err).alias("sq"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sq").cast("long").alias("sq_err_sum"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "sq_err_sum",
+            F.expr(f"sq_err_sum div (n_vecs * {dim})")
+            .cast("long")
+            .alias("mse_per_dim"),
+        )
+    )
+
+
 def pca_power_scores(
     emb: DataFrame,
     vec_col: str = "embedding",

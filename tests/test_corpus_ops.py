@@ -1000,3 +1000,35 @@ class TestRecallAtK:
                                        "query_id long, neighbor_id long")
         [r] = sim.recall_at_k(approx, exact).collect()
         assert (r["n_exact"], r["n_hit"], r["recall_ppm"]) == (2, 0, 0)
+
+
+class TestSq8Error:
+    def test_endpoints_exact_and_error_bounded(self, spark):
+        # dim-0 spans [0, 1]: endpoints quantize exactly (codes 0/255);
+        # dim-1 is constant: reconstructs exactly by the scale-0 branch
+        rows = [(i, [i / 4.0, 0.5], i % 2) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = sim.sq8_error(df, dim=2).collect()
+        total = {r["label"]: r["sq_err_sum"] for r in out}
+        # max per-dim error is one quantization step = range/255 micro
+        step = 1_000_000 // 255 + 1
+        assert all(v <= 5 * step * step for v in total.values())
+        # exact reconstruction rows (0.0 and 1.0 endpoints, constant dim)
+        one = spark.createDataFrame(
+            [(0, [0.0, 0.5], 0), (1, [1.0, 0.5], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        [r] = sim.sq8_error(one, dim=2).collect()
+        assert (r["n_vecs"], r["sq_err_sum"], r["mse_per_dim"]) == (2, 0, 0)
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, [((i * 13) % 7) / 7.0, ((i * 5) % 3) / 3.0], i % 3)
+                for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        a = sorted(map(tuple, sim.sq8_error(df.repartition(1), dim=2).collect()))
+        b = sorted(map(tuple, sim.sq8_error(df.repartition(7), dim=2).collect()))
+        assert a == b
