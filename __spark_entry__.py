@@ -3677,6 +3677,22 @@ def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.sq8_error(emb, dim=64)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean order value
+    (rankstats.poisson_bootstrap_ci, B=200): the one-pass,
+    map-side-combined bootstrap — the only formulation that survives
+    100 TB. Deterministic md5 micro-draws through a pinned Poisson(1)
+    CDF ladder; the oracle replays every draw."""
+    from kafka2iceberg_spark import rankstats as rs
+
+    _utc(spark)
+    o = _read(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return rs.poisson_bootstrap_ci(o, "cents", "o_orderkey", b=200)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3877,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "ann_recall": q_ann_recall,
         "sq8_error": q_sq8_error,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -3938,6 +3955,16 @@ c{tag} AS (
 )"""
 
 # The 8 tables × 4 planes × 64 dims of deterministic LSH hyperplanes, inlined
+from kafka2iceberg_spark.rankstats import POISSON1_CDF_MICRO
+
+# Poisson(1) inverse-CDF CASE ladder shared verbatim with
+# rankstats.poisson_bootstrap_ci (same pinned micro thresholds).
+_POIS_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {c} THEN {k}" for k, c in enumerate(POISSON1_CDF_MICRO))
+    + f" ELSE {len(POISSON1_CDF_MICRO)} END"
+)
+
 # as SQL literals exactly like _PERM_VALUES — Python float repr round-trips
 # to the identical double on DuckDB's parser, so both engines project onto
 # bit-identical planes.
@@ -8444,6 +8471,44 @@ SELECT label,
        CAST(sum(err) AS BIGINT) AS sq_err_sum,
        CAST(sum(err) // count(*) AS BIGINT) AS mse_per_dim
 FROM e GROUP BY label
+""",
+        "bootstrap_ci": f"""
+WITH v AS (
+  SELECT o_orderkey AS id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+draws AS (
+  SELECT s.b, cents,
+         CAST(concat('0x', substr(md5(CAST(id AS STRING) || ':'
+           || CAST(s.b AS STRING)), 1, 8)) AS BIGINT) % 1000000 AS u
+  FROM v, unnest(generate_series(0, 199)) s(b)
+),
+rep AS (SELECT b, cents, {_POIS_CASE} AS w FROM draws),
+means AS (
+  SELECT b,
+         CAST(CAST(sum(w * cents) AS BIGINT) * 1000
+           // CAST(sum(w) AS BIGINT) AS BIGINT) AS m
+  FROM rep GROUP BY b HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn,
+         count(*) OVER () AS nb
+  FROM means
+),
+ci AS (
+  SELECT CAST(max(nb) AS BIGINT) AS b_reps,
+         CAST(max(CASE WHEN rn = 5 THEN m END) AS BIGINT) AS ci_lo_milli,
+         CAST(max(CASE WHEN rn = nb - 4 THEN m END) AS BIGINT) AS ci_hi_milli
+  FROM ranked
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(cents) AS BIGINT) * 1000 // count(*) AS BIGINT)
+           AS mean_milli
+  FROM v
+)
+SELECT n, b_reps, mean_milli, ci_lo_milli, ci_hi_milli FROM point, ci
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -137,6 +137,7 @@ HEADLINE_EXTRA = [
     "ngram_novelty",
     "ann_recall",
     "sq8_error",
+    "bootstrap_ci",
 ]
 
 SCALE_GEN = dict(

@@ -1299,3 +1299,100 @@ def rfm_segments(
         "rfm_code",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"),
     )
+
+
+#: Poisson(1) CDF at micro precision, pinned as integer literals so Spark
+#: and the DuckDB oracle share the exact inverse-CDF ladder. Index k holds
+#: P(X <= k) * 1e6 rounded; a uniform micro-draw u maps to the first k with
+#: u < cdf[k] (else len(cdf) = 9).
+POISSON1_CDF_MICRO = (
+    367879,  # P(0)
+    735759,
+    919699,
+    981012,
+    996340,
+    999406,
+    999917,
+    999990,
+    999999,
+)
+
+
+def _poisson_weight_sql(u_sql: str) -> str:
+    """CASE ladder mapping a uniform micro-draw to a Poisson(1) variate."""
+    cases = " ".join(
+        f"WHEN {u_sql} < {c} THEN {k}"
+        for k, c in enumerate(POISSON1_CDF_MICRO)
+    )
+    return f"CASE {cases} ELSE {len(POISSON1_CDF_MICRO)} END"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_cents_col: str,
+    id_col: str,
+    b: int = 200,
+    lo_rank: int = 5,
+    hi_rank_from_top: int = 5,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams") — the only bootstrap that works at 100 TB: classic
+    resampling needs N draws per replicate from a global index, which is
+    a shuffle per replicate; the Poisson trick instead gives every row
+    an independent Poisson(1) weight per replicate, so all B replicates
+    are computed in ONE pass with map-side partial aggregation and the
+    shuffle carries only B × n_partitions partial rows.
+
+    Determinism/engine-exactness: the per-(row, replicate) uniform is a
+    micro-quantized md5 draw (hash32(id || ':' || b) mod 1e6) pushed
+    through the pinned integer CDF ladder ``POISSON1_CDF_MICRO``; each
+    replicate mean is exact BIGINT milli-cents ((Σ w·v)·1000 div Σ w);
+    the CI bounds are order statistics of the B replicate means selected
+    by integer rank (default: 5th / 5th-from-top of 200 ≈ 95% CI).
+
+    Output (single row): (n BIGINT, b_reps BIGINT, mean_milli BIGINT,
+    ci_lo_milli BIGINT, ci_hi_milli BIGINT).
+    """
+    u_sql = (
+        "cast(conv(substring(md5(concat(cast(_id as string), ':',"
+        " cast(b as string))), 1, 8), 16, 10) as long) % 1000000"
+    )
+    rep = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(value_cents_col).alias("_v"),
+        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("b"),
+    ).select(
+        "b", "_v", F.expr(_poisson_weight_sql(u_sql)).cast("long").alias("w")
+    )
+    means = (
+        rep.groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("_v")).cast("long").alias("swv"),
+        )
+        .where(F.col("sw") > 0)
+        .select("b", F.expr("swv * 1000 div sw").alias("m"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.asc("m"), F.asc("b")))
+    ranked = means.select("m", rn.alias("rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"))
+    ci = ranked.agg(
+        F.max("nb").cast("long").alias("b_reps"),
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m")))
+        .cast("long")
+        .alias("ci_lo_milli"),
+        F.max(
+            F.when(F.col("rn") == F.col("nb") - hi_rank_from_top + 1, F.col("m"))
+        )
+        .cast("long")
+        .alias("ci_hi_milli"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"sum({value_cents_col}) * 1000 div count(1)")
+        .cast("long")
+        .alias("mean_milli"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", "b_reps", "mean_milli", "ci_lo_milli", "ci_hi_milli"
+    )

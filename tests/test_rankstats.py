@@ -961,3 +961,31 @@ class TestRfmSegments:
         out = {r[0]: r for r in a}
         # all metrics tied: ntile assigns by user ascending
         assert [out[u][4] for u in range(4)] == [1, 2, 3, 4]
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from kafka2iceberg_spark import rankstats as rs
+
+        rows = [(i, 1000 + (i * 37) % 500) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, cents long")
+        [r] = rs.poisson_bootstrap_ci(df, "cents", "id", b=100).collect()
+        assert r["n"] == 400 and r["b_reps"] == 100
+        # the CI must bracket the point estimate and be ordered
+        assert r["ci_lo_milli"] <= r["mean_milli"] <= r["ci_hi_milli"]
+        assert r["ci_lo_milli"] < r["ci_hi_milli"]
+        # deterministic under partitioning (md5 draws, not rand())
+        [r2] = rs.poisson_bootstrap_ci(
+            df.repartition(13), "cents", "id", b=100
+        ).collect()
+        assert tuple(r) == tuple(r2)
+
+    def test_degenerate_constant_data_collapses_ci(self, spark):
+        from kafka2iceberg_spark import rankstats as rs
+
+        df = spark.createDataFrame(
+            [(i, 500) for i in range(50)], "id long, cents long"
+        )
+        [r] = rs.poisson_bootstrap_ci(df, "cents", "id", b=50).collect()
+        # every resample of a constant has the same mean
+        assert r["ci_lo_milli"] == r["ci_hi_milli"] == r["mean_milli"] == 500000
