@@ -3693,6 +3693,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.poisson_bootstrap_ci(o, "cents", "o_orderkey", b=200)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the k-anonymity quasi-identifier classes
+    with lang as the sensitive attribute (dq.l_diversity): catches
+    homogeneous classes that k-anonymity alone misses. Two map-side-
+    combined hash aggs, no joins."""
+    from kafka2iceberg_spark import dq as dqm
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+        "lang",
+    )
+    return dqm.l_diversity(d, ["source", "len_bucket"], "lang", l=3)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3894,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "sq8_error": q_sq8_error,
         "bootstrap_ci": q_bootstrap_ci,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -8509,6 +8526,23 @@ point AS (
   FROM v
 )
 SELECT n, b_reps, mean_milli, ci_lo_milli, ci_hi_milli FROM point, ci
+""",
+        "l_diversity": """
+WITH d AS (
+  SELECT source,
+         CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         lang
+  FROM documents
+),
+cells AS (
+  SELECT source, len_bucket, lang, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT source, len_bucket,
+       CAST(sum(n) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_sensitive,
+       count(*) < 3 AS at_risk
+FROM cells GROUP BY 1, 2
 """,
         "quality_auc": f"""
 WITH {_QPPM},

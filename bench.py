@@ -138,6 +138,7 @@ HEADLINE_EXTRA = [
     "ann_recall",
     "sq8_error",
     "bootstrap_ci",
+    "l_diversity",
 ]
 
 SCALE_GEN = dict(

@@ -196,3 +196,39 @@ def k_anonymity(
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def l_diversity(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+):
+    """l-diversity audit — the k-anonymity follow-up (Machanavajjhala et
+    al. 2007): an equivalence class can be large (k-anonymous) yet still
+    leak if every member shares the SAME sensitive value (homogeneity
+    attack). Each quasi-identifier class is graded by how many distinct
+    sensitive values it contains.
+
+    One hash aggregate on (quasi..., sensitive) — map-side combined, the
+    only data-volume pass — then a class-level rollup counting distinct
+    sensitive values exactly (the first agg already deduplicated them).
+
+    Output: one row per equivalence class — (quasi cols..., class_size,
+    n_sensitive, at_risk = n_sensitive < l).
+    """
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("_n").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+    )
+    return classes.select(
+        *quasi_cols,
+        "class_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < F.lit(l)).alias("at_risk"),
+    )

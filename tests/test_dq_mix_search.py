@@ -299,3 +299,20 @@ class TestKAnonymity:
         df = spark.createDataFrame(rows, "src string, lang string")
         out = dqm.k_anonymity(df, ["src", "lang"], k=2).collect()
         assert all(r["at_risk"] for r in out)
+
+
+class TestLDiversity:
+    def test_homogeneous_class_flagged(self, spark):
+        from kafka2iceberg_spark import dq as dqm
+
+        rows = [
+            # class A: 3 rows, all sensitive 'x' -> at risk for l=2
+            ("A", "x"), ("A", "x"), ("A", "x"),
+            # class B: 2 rows, 2 distinct -> ok
+            ("B", "x"), ("B", "y"),
+        ]
+        df = spark.createDataFrame(rows, "qi string, s string")
+        out = {r["qi"]: (r["class_size"], r["n_sensitive"], r["at_risk"])
+               for r in dqm.l_diversity(df, ["qi"], "s", l=2).collect()}
+        assert out["A"] == (3, 1, True)
+        assert out["B"] == (2, 2, False)
