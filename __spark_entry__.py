@@ -3709,6 +3709,21 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dqm.l_diversity(d, ["source", "len_bucket"], "lang", l=3)
 
 
+def q_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the Naive Bayes source
+    classifier on its held-out fifth (rankstats.classifier_prf over
+    textops.nb_classify): the confusion-matrix rollup — one tiny pair
+    agg + broadcast label joins, all-integer ppm metrics."""
+    from kafka2iceberg_spark import rankstats as rs
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents")
+    preds = tx.nb_classify(
+        d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0)
+    )
+    return rs.classifier_prf(preds, "true_source", "pred_source")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3911,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_error": q_sq8_error,
         "bootstrap_ci": q_bootstrap_ci,
         "l_diversity": q_l_diversity,
+        "classifier_prf": q_classifier_prf,
     }
 
 
@@ -8641,6 +8657,44 @@ SELECT doc_id, component, n_len,
           PARTITION BY component ORDER BY n_len DESC, doc_id
         ) = 1) AS keep
 FROM j
+"""
+    )
+    # classifier_prf reuses the nb_classify oracle verbatim as its
+    # prediction source, then rolls up the confusion matrix.
+    out["classifier_prf"] = (
+        "WITH preds AS (\n"
+        + out["nb_classify"]
+        + """
+),
+pairs AS (
+  SELECT true_source AS t, pred_source AS p, CAST(count(*) AS BIGINT) AS n
+  FROM preds GROUP BY 1, 2
+),
+tpos AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS tp
+         FROM pairs WHERE t = p GROUP BY 1),
+nt AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS n_true
+       FROM pairs GROUP BY 1),
+np AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+       FROM pairs GROUP BY 1),
+cls AS (SELECT label FROM nt UNION SELECT label FROM np)
+SELECT c.label,
+       CAST(coalesce(nt.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(np.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(coalesce(tpos.tp, 0) AS BIGINT) AS tp,
+       CAST(CASE WHEN coalesce(np.n_pred, 0) > 0
+            THEN coalesce(tpos.tp, 0) * 1000000 // np.n_pred
+            ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN coalesce(nt.n_true, 0) > 0
+            THEN coalesce(tpos.tp, 0) * 1000000 // nt.n_true
+            ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0) > 0
+            THEN 2 * coalesce(tpos.tp, 0) * 1000000
+                 // (coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0))
+            ELSE 0 END AS BIGINT) AS f1_ppm
+FROM cls c
+LEFT JOIN nt ON nt.label = c.label
+LEFT JOIN np ON np.label = c.label
+LEFT JOIN tpos ON tpos.label = c.label
 """
     )
     return out

@@ -139,6 +139,7 @@ HEADLINE_EXTRA = [
     "sq8_error",
     "bootstrap_ci",
     "l_diversity",
+    "classifier_prf",
 ]
 
 SCALE_GEN = dict(

@@ -1396,3 +1396,75 @@ def poisson_bootstrap_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "n", "b_reps", "mean_milli", "ci_lo_milli", "ci_hi_milli"
     )
+
+
+def classifier_prf(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a (true, pred) relation —
+    the confusion-matrix rollup that turns a classifier op (e.g.
+    textops.nb_classify) into a publishable eval. Complements roc_auc
+    (threshold-free, binary) and ece_calibration (probability quality)
+    with the hard-decision multi-class view.
+
+    Shape: ONE |classes|²-cardinality hash agg over the scored relation
+    (map-side combined — the only data-sized pass), then label-keyed
+    rollups and broadcast joins over |classes|-row relations. All three
+    metrics are exact integer ppm (division-by-zero guarded to 0), so
+    rows hash-match across engines.
+
+    Output: (label, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    f1_ppm) — one row per label seen in either column.
+    """
+    pairs = df.groupBy(
+        F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    tp = (
+        pairs.where(F.col("_t") == F.col("_p"))
+        .groupBy(F.col("_t").alias("label"))
+        .agg(F.sum("_n").cast("long").alias("tp"))
+    )
+    n_true = pairs.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").cast("long").alias("n_true")
+    )
+    n_pred = pairs.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").cast("long").alias("n_pred")
+    )
+    cls = (
+        n_true.select("label").union(n_pred.select("label")).distinct()
+    )
+    j = (
+        cls.join(F.broadcast(n_true), "label", "left")
+        .join(F.broadcast(n_pred), "label", "left")
+        .join(F.broadcast(tp), "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.expr(
+            "CASE WHEN n_pred > 0 THEN tp * 1000000 div n_pred ELSE 0 END"
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_true > 0 THEN tp * 1000000 div n_true ELSE 0 END"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_pred + n_true > 0 THEN"
+            " 2 * tp * 1000000 div (n_pred + n_true) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )

@@ -989,3 +989,36 @@ class TestPoissonBootstrap:
         [r] = rs.poisson_bootstrap_ci(df, "cents", "id", b=50).collect()
         # every resample of a constant has the same mean
         assert r["ci_lo_milli"] == r["ci_hi_milli"] == r["mean_milli"] == 500000
+
+
+class TestClassifierPRF:
+    def test_hand_computed(self, spark):
+        from kafka2iceberg_spark import rankstats as rs
+
+        rows = [
+            ("a", "a"), ("a", "a"), ("a", "b"),   # a: tp=2, fn=1
+            ("b", "a"),                           # b: fn=1, a gets fp=1
+            ("c", "c"),                           # c: perfect
+        ]
+        df = spark.createDataFrame(rows, "t string, p string")
+        out = {r["label"]: r for r in
+               rs.classifier_prf(df, "t", "p").collect()}
+        a = out["a"]
+        assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 3, 2)
+        assert a["precision_ppm"] == 666666 and a["recall_ppm"] == 666666
+        assert a["f1_ppm"] == 666666
+        b = out["b"]
+        assert (b["n_true"], b["n_pred"], b["tp"]) == (1, 1, 0)
+        assert (b["precision_ppm"], b["recall_ppm"], b["f1_ppm"]) == (0, 0, 0)
+        c = out["c"]
+        assert (c["precision_ppm"], c["recall_ppm"], c["f1_ppm"]) == (
+            1000000, 1000000, 1000000)
+
+    def test_label_only_predicted_still_reported(self, spark):
+        from kafka2iceberg_spark import rankstats as rs
+
+        df = spark.createDataFrame([("x", "y")], "t string, p string")
+        out = {r["label"]: r for r in
+               rs.classifier_prf(df, "t", "p").collect()}
+        assert set(out) == {"x", "y"}
+        assert out["y"]["n_true"] == 0 and out["y"]["n_pred"] == 1
