@@ -3724,6 +3724,18 @@ def q_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.classifier_prf(preds, "true_source", "pred_source")
 
 
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the LSH ANN ranking vs brute-force ground truth
+    (similarity.ndcg_at_k): position-aware index quality — recall asks
+    whether true neighbors appear, NDCG asks whether they appear early.
+    Pinned integer discount weights, broadcast joins only."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 8)
+    approx = sim.lsh_topk(emb, q, k=10, dim=64)
+    exact = sim.brute_topk(emb, q, k=10)
+    return sim.ndcg_at_k(approx, exact, k=10)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3927,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "l_diversity": q_l_diversity,
         "classifier_prf": q_classifier_prf,
+        "ann_ndcg": q_ann_ndcg,
     }
 
 
@@ -3989,6 +4002,24 @@ c{tag} AS (
 
 # The 8 tables × 4 planes × 64 dims of deterministic LSH hyperplanes, inlined
 from kafka2iceberg_spark.rankstats import POISSON1_CDF_MICRO
+
+from kafka2iceberg_spark.similarity import NDCG_W_MICRO
+
+# NDCG discount/ideal CASE ladders shared verbatim with
+# similarity.ndcg_at_k (same pinned micro weights).
+_NDCG_W_CASE = (
+    "CASE l.rank "
+    + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(NDCG_W_MICRO))
+    + " ELSE 0 END"
+)
+_NDCG_CUM_CASE = (
+    "CASE least(count(*), 10) "
+    + " ".join(
+        f"WHEN {i + 1} THEN {sum(NDCG_W_MICRO[: i + 1])}"
+        for i in range(len(NDCG_W_MICRO))
+    )
+    + " END"
+)
 
 # Poisson(1) inverse-CDF CASE ladder shared verbatim with
 # rankstats.poisson_bootstrap_ci (same pinned micro thresholds).
@@ -8559,6 +8590,69 @@ SELECT source, len_bucket,
        CAST(count(*) AS BIGINT) AS n_sensitive,
        count(*) < 3 AS at_risk
 FROM cells GROUP BY 1, 2
+""",
+        "ann_ndcg": f"""
+WITH {_EMB_D},
+pl(t, p, i, v) AS (VALUES {_LSH_PLANE_VALUES}),
+plane AS (SELECT t, p, list(v ORDER BY i) AS pv FROM pl GROUP BY t, p),
+proj AS (
+  SELECT d.vec_id, plane.t, plane.p,
+         list_sum(list_transform(range(1, 65), i -> d.e[i] * plane.pv[i])) AS s
+  FROM d, plane
+),
+bucket AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS b
+  FROM proj GROUP BY vec_id, t
+),
+qb AS (SELECT * FROM bucket WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN bucket cb ON qb.t = cb.t AND qb.b = cb.b
+  WHERE cb.vec_id <> qb.vec_id
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM cand
+  JOIN d q ON q.vec_id = cand.query_id
+  JOIN d c ON c.vec_id = cand.neighbor_id
+),
+lr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc
+),
+lsh AS (SELECT query_id, neighbor_id, rank FROM lr WHERE rank <= 10),
+bsc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM d q JOIN d c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+),
+brr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM bsc
+),
+brute AS (SELECT query_id, neighbor_id, rank FROM brr WHERE rank <= 10),
+dcg AS (
+  SELECT l.query_id,
+         CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+                  THEN {_NDCG_W_CASE} ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM lsh l
+  LEFT JOIN brute b
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+),
+idcg AS (
+  SELECT query_id, CAST({_NDCG_CUM_CASE} AS BIGINT) AS idcg_micro
+  FROM brute GROUP BY query_id
+)
+SELECT i.query_id,
+       CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       i.idcg_micro,
+       CAST(coalesce(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS BIGINT)
+         AS ndcg_ppm
+FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -140,6 +140,7 @@ HEADLINE_EXTRA = [
     "bootstrap_ci",
     "l_diversity",
     "classifier_prf",
+    "ann_ndcg",
 ]
 
 SCALE_GEN = dict(

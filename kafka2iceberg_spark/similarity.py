@@ -994,6 +994,77 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+#: NDCG position weights w_i = round(1e6 / log2(i+1)) for ranks 1..10,
+#: pinned as integer micro literals so Spark and the DuckDB oracle share
+#: the exact discount curve (no engine-side logs in the metric).
+NDCG_W_MICRO = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+
+
+def ndcg_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k of an approximate ranking against exact top-k ground truth
+    with binary relevance — the position-aware complement of
+    ``recall_at_k``: recall only asks "did the true neighbors appear",
+    NDCG asks "did they appear EARLY". Inputs are (query_id, neighbor_id,
+    rank) relations; a ground-truth member found at approx rank i earns
+    the pinned discount weight ``NDCG_W_MICRO[i-1]``; the ideal DCG is
+    the prefix sum over min(|truth|, k) positions.
+
+    Shape: both sides are |queries|·k rows — broadcast join + one
+    |queries|-sized agg; the corpus is untouched. All arithmetic is
+    exact BIGINT micro units; one integer div for the ratio.
+
+    Output: (query_id, dcg_micro, idcg_micro, ndcg_ppm).
+    """
+    if k > len(NDCG_W_MICRO):
+        raise ValueError(f"k > {len(NDCG_W_MICRO)} needs more pinned weights")
+    w_sql = "array(" + ",".join(f"{w}L" for w in NDCG_W_MICRO[:k]) + ")"
+    cum = []
+    t = 0
+    for w in NDCG_W_MICRO[:k]:
+        t += w
+        cum.append(t)
+    cum_sql = "array(" + ",".join(f"{c}L" for c in cum) + ")"
+    rel = F.broadcast(
+        exact.select("query_id", "neighbor_id").withColumn("_rel", F.lit(1))
+    )
+    dcg = (
+        approx.where(F.col("rank") <= k)
+        .join(rel, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_rel") == 1,
+                    F.expr(f"element_at({w_sql}, cast(rank as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("dcg_micro")
+        )
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.expr(
+            f"element_at({cum_sql}, cast(least(count(1), {k}) as int))"
+        )
+        .cast("long")
+        .alias("idcg_micro")
+    )
+    return (
+        idcg.join(F.broadcast(dcg), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            "idcg_micro",
+            F.expr("coalesce(dcg_micro, 0L) * 1000000 div idcg_micro")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
+
+
 def sq8_error(
     emb: DataFrame,
     dim: int = 64,

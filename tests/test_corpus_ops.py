@@ -1032,3 +1032,35 @@ class TestSq8Error:
         a = sorted(map(tuple, sim.sq8_error(df.repartition(1), dim=2).collect()))
         b = sorted(map(tuple, sim.sq8_error(df.repartition(7), dim=2).collect()))
         assert a == b
+
+
+class TestNdcgAtK:
+    def test_perfect_and_displaced_rankings(self, spark):
+        from kafka2iceberg_spark.similarity import NDCG_W_MICRO, ndcg_at_k
+
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        # query 1: perfect order; query 2: one truth at rank 3, one miss
+        approx = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 99, 1), (2, 98, 2), (2, 20, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        out = {r["query_id"]: r for r in ndcg_at_k(approx, exact, k=10).collect()}
+        ideal2 = NDCG_W_MICRO[0] + NDCG_W_MICRO[1]
+        assert out[1]["dcg_micro"] == ideal2
+        assert out[1]["ndcg_ppm"] == 1000000
+        assert out[2]["dcg_micro"] == NDCG_W_MICRO[2]
+        assert out[2]["idcg_micro"] == ideal2
+        assert out[2]["ndcg_ppm"] == NDCG_W_MICRO[2] * 1000000 // ideal2
+
+    def test_query_with_no_hits_scores_zero(self, spark):
+        from kafka2iceberg_spark.similarity import ndcg_at_k
+
+        exact = spark.createDataFrame([(5, 1, 1)],
+                                      "query_id long, neighbor_id long, rank long")
+        approx = spark.createDataFrame([(5, 9, 1)],
+                                       "query_id long, neighbor_id long, rank long")
+        [r] = ndcg_at_k(approx, exact, k=10).collect()
+        assert (r["dcg_micro"], r["ndcg_ppm"]) == (0, 0)
