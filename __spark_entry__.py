@@ -3736,6 +3736,14 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ndcg_at_k(approx, exact, k=10)
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the near-dup-augmented corpus
+    (dedup.minhash_calibration): estimated vs exact Jaccard for every
+    LSH candidate pair, bucketed by true similarity — validates the
+    N_PERMS/N_BANDS operating point before scale-out."""
+    return dd.minhash_calibration(_docs_aug_near(spark, sf_dir, subset=False))
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3940,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "classifier_prf": q_classifier_prf,
         "ann_ndcg": q_ann_ndcg,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -8653,6 +8662,63 @@ SELECT i.query_id,
        CAST(coalesce(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS BIGINT)
          AS ndcg_ppm
 FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+""",
+        "minhash_calibration": f"""
+WITH {_aug_near(False)},
+{_SHINGLES},
+perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+mh AS (
+  SELECT sh.doc_id, perms.i,
+         min((perms.a * (CAST(concat('0x', substr(md5(sh.g), 1, 8)) AS BIGINT) % {dd.MINHASH_P})
+              + perms.b) % {dd.MINHASH_P}) AS v
+  FROM sh, perms GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(v ORDER BY i) AS l FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, l, unnest(range(0, {dd.N_BANDS})) AS band FROM sig),
+bh AS (
+  SELECT doc_id, band,
+         md5(concat_ws(',', l[band * {dd.ROWS_PER_BAND} + 1], l[band * {dd.ROWS_PER_BAND} + 2],
+                            l[band * {dd.ROWS_PER_BAND} + 3], l[band * {dd.ROWS_PER_BAND} + 4])) AS h
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(round(round(list_sum(list_transform(range(1, {dd.N_PERMS} + 1),
+              k -> CASE WHEN sa.l[k] = sb.l[k] THEN 1 ELSE 0 END))
+              / {float(dd.N_PERMS)}, 4) * 1000000) AS BIGINT) AS est_ppm
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2
+),
+tj AS (
+  SELECT e.doc_a, e.doc_b, e.est_ppm,
+         CASE WHEN i.i IS NULL THEN 0
+              ELSE CAST(round(round(CAST(i.i AS DOUBLE)
+                   / (za.sz + zb.sz - i.i), 4) * 1000000) AS BIGINT)
+         END AS true_ppm
+  FROM est e
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+)
+SELECT CAST(true_ppm // 100000 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_ppm - true_ppm)) // count(*) AS BIGINT) AS mae_ppm,
+       CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+       CAST(sum(true_ppm) // count(*) AS BIGINT) AS mean_true_ppm
+FROM tj GROUP BY 1
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -141,6 +141,7 @@ HEADLINE_EXTRA = [
     "l_diversity",
     "classifier_prf",
     "ann_ndcg",
+    "minhash_calibration",
 ]
 
 SCALE_GEN = dict(

@@ -962,3 +962,72 @@ def dup_span_remove(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_ppm: int = 100_000,
+) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the signature-based Jaccard ESTIMATE against the exact
+    shingle Jaccard, bucketed by true similarity — the report that tells
+    you whether N_PERMS/N_BANDS are adequate before trusting the
+    estimator at 100 TB (a mis-calibrated band threshold silently turns
+    near-dup removal into random deletion).
+
+    Scale shape: the estimate side is the banded LSH join (never
+    all-pairs); the exact side is computed ONLY over documents that
+    appear in some candidate pair (left-semi pushdown) — calibration is
+    an eval op you run on a corpus slice, and the restriction keeps the
+    quadratic inverted-index join bounded by the candidate set. One
+    broadcast-or-hash join keyed on the pair, one decile agg.
+
+    Engine-exactness: est_ppm/true_ppm are round(round(x, 4)·1e6) of
+    IEEE doubles built from identical integer inputs in both engines;
+    all downstream aggregation is BIGINT.
+
+    Output: (bucket, n_pairs, mae_ppm, mean_est_ppm, mean_true_ppm),
+    bucket = true_ppm div bucket_ppm.
+    """
+    est = minhash_lsh_pairs(docs, threshold=0.0, id_col=id_col, text_col=text_col).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_ppm"),
+    )
+    ids = est.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    sub = docs.join(ids, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(
+        sub, threshold=0.0, id_col=id_col, text_col=text_col
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("true_ppm"),
+    )
+    j = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "est_ppm",
+        F.coalesce("true_ppm", F.lit(0)).cast("long").alias("true_ppm"),
+    )
+    return (
+        j.groupBy(
+            F.expr(f"true_ppm div {bucket_ppm}").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.abs(F.col("est_ppm") - F.col("true_ppm")))
+            .cast("long")
+            .alias("_ae"),
+            F.sum("est_ppm").cast("long").alias("_se"),
+            F.sum("true_ppm").cast("long").alias("_st"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            F.expr("_ae div n_pairs").cast("long").alias("mae_ppm"),
+            F.expr("_se div n_pairs").cast("long").alias("mean_est_ppm"),
+            F.expr("_st div n_pairs").cast("long").alias("mean_true_ppm"),
+        )
+    )

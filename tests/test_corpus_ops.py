@@ -1064,3 +1064,21 @@ class TestNdcgAtK:
                                        "query_id long, neighbor_id long, rank long")
         [r] = ndcg_at_k(approx, exact, k=10).collect()
         assert (r["dcg_micro"], r["ndcg_ppm"]) == (0, 0)
+
+
+class TestMinhashCalibration:
+    def test_identical_docs_land_in_top_bucket(self, spark):
+        # two identical docs: est = true = 1.0 -> bucket 10, zero error;
+        # an unrelated doc may or may not collide into candidates
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "the quick brown fox jumps over the lazy dog " * 3),
+            (3, "completely different text about spark shuffles " * 3),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["bucket"]: r for r in dd.minhash_calibration(df).collect()}
+        top = out[10]
+        assert top["n_pairs"] >= 1
+        assert top["mae_ppm"] == 0
+        assert top["mean_est_ppm"] == 1000000
+        assert top["mean_true_ppm"] == 1000000
