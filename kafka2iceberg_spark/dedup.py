@@ -999,7 +999,10 @@ def minhash_calibration(
     ids = est.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
-    sub = docs.join(ids, id_col, "left_semi")
+    # shuffle_hash hints: every relation here is aggregation-shrunk, but
+    # Catalyst has no size estimate for them, so without the hint the
+    # pair-keyed joins default to sort-merge (the suite bans SMJ).
+    sub = docs.join(ids.hint("shuffle_hash"), id_col, "left_semi")
     exact = ngram_jaccard_pairs(
         sub, threshold=0.0, id_col=id_col, text_col=text_col
     ).select(
@@ -1007,7 +1010,7 @@ def minhash_calibration(
         "doc_b",
         F.round(F.col("jaccard") * 1e6).cast("long").alias("true_ppm"),
     )
-    j = est.join(exact, ["doc_a", "doc_b"], "left").select(
+    j = est.join(exact.hint("shuffle_hash"), ["doc_a", "doc_b"], "left").select(
         "est_ppm",
         F.coalesce("true_ppm", F.lit(0)).cast("long").alias("true_ppm"),
     )
