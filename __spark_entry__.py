@@ -3744,6 +3744,16 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_calibration(_docs_aug_near(spark, sf_dir, subset=False))
 
 
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-closed sessions with a hard 2-hour duration cap
+    (windows.capped_sessions, gap 30 min): the bounded-state W4 variant —
+    never-idle conversations split on cap boundaries so no session (and
+    no streaming state object) grows without bound. Two reused per-conv
+    windows + one hash agg, closed-form, no Python."""
+    tx = _tx(spark, sf_dir)
+    return win.capped_sessions(tx, gap_seconds=1800, cap_seconds=7200)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3949,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_prf": q_classifier_prf,
         "ann_ndcg": q_ann_ndcg,
         "minhash_calibration": q_minhash_calibration,
+        "capped_sessions": q_capped_sessions,
     }
 
 
@@ -8719,6 +8730,44 @@ SELECT CAST(true_ppm // 100000 AS BIGINT) AS bucket,
        CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
        CAST(sum(true_ppm) // count(*) AS BIGINT) AS mean_true_ppm
 FROM tj GROUP BY 1
+""",
+        "capped_sessions": f"""
+WITH {_TX},
+m AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS eu,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {1800 * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+g AS (
+  SELECT conv_id, eu,
+         sum(brk) OVER (
+           PARTITION BY conv_id ORDER BY eu, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS gsid
+  FROM m
+),
+s AS (
+  SELECT conv_id, eu, gsid,
+         (eu - min(eu) OVER (PARTITION BY conv_id, gsid))
+           // {7200 * 1_000_000} AS seg
+  FROM g
+),
+a AS (
+  SELECT conv_id, gsid, seg,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(min(eu) AS BIGINT) AS start_us,
+         CAST(max(eu) AS BIGINT) AS end_us
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT conv_id,
+       CAST(row_number() OVER (
+         PARTITION BY conv_id ORDER BY start_us, gsid, seg
+       ) AS BIGINT) AS session_seq,
+       n_turns, start_us, end_us,
+       CAST(end_us - start_us AS BIGINT) AS dur_us
+FROM a
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -142,6 +142,7 @@ HEADLINE_EXTRA = [
     "classifier_prf",
     "ann_ndcg",
     "minhash_calibration",
+    "capped_sessions",
 ]
 
 SCALE_GEN = dict(

@@ -578,3 +578,76 @@ def concurrency_curve(
     return deltas.withColumn(
         "active", F.sum("delta").over(w).cast("long")
     ).select("boundary_us", F.col("delta").cast("long").alias("delta"), "active")
+
+
+def capped_sessions(
+    df: DataFrame,
+    gap_seconds: int,
+    cap_seconds: int,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Gap-closed sessions with a hard duration cap — the production
+    variant of W4: inactivity > ``gap_seconds`` closes a session as
+    usual, and any gap-session longer than ``cap_seconds`` is split on
+    fixed cap boundaries measured from its own start (so no emitted
+    session ever spans more than the cap). The cap is what bounds
+    per-key state at 10^12 turns: without it a never-idle bot
+    conversation grows one session forever (unbounded streaming state,
+    unmergeable rollups); with it every session is a bounded object.
+
+    The cap split is intentionally grid-based (bucket = elapsed-since-
+    gap-session-start div cap), not reset-on-row: that keeps the whole
+    operator CLOSED-FORM — two per-key window passes and one hash agg,
+    all JVM-side whole-stage codegen — where reset-on-row semantics
+    would force a sequential per-row scan (a Python loop or a custom
+    stateful op).
+
+    Shape: one lag window (hash exchange on key, in-partition sort),
+    one min-over-gap-session window (same partitioning reused), one
+    (key, session) hash agg, one post-agg row_number for the stable
+    per-key sequence. No joins.
+
+    Output: (conv_id, session_seq, n_turns, start_us, end_us, dur_us).
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = gap_seconds * 1_000_000
+    cap_us = cap_seconds * 1_000_000
+    eu = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    marked = (
+        df.select(key, ts_col, order_col)
+        .withColumn("_eu", eu)
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_eu") - F.lag("_eu").over(w) > gap_us, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_gsid",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    wg = Window.partitionBy(key, "_gsid")
+    seg = marked.withColumn(
+        "_els", F.col("_eu") - F.min("_eu").over(wg)
+    ).withColumn("_seg", F.expr(f"_els div {cap_us}").cast("long"))
+    agg = seg.groupBy(key, "_gsid", "_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("_eu").alias("start_us"),
+        F.max("_eu").alias("end_us"),
+    )
+    wseq = Window.partitionBy(key).orderBy("start_us", "_gsid", "_seg")
+    return agg.select(
+        key,
+        F.row_number().over(wseq).cast("long").alias("session_seq"),
+        "n_turns",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).cast("long").alias("dur_us"),
+    )

@@ -360,3 +360,46 @@ class TestConcurrencyCurve:
         df = spark.createDataFrame([(1, 2)], "session_start_us long, session_end_us long")
         with _pt.raises(ValueError):
             concurrency_curve(df, 0)
+
+
+class TestCappedSessions:
+    def test_gap_split_and_cap_split(self, spark):
+        import datetime as dt
+
+        from kafka2iceberg_spark import windows as win
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # conv A: turns every 10 min for 130 min -> one gap-session,
+            # cap 60 min splits at [0,60), [60,120), [120,...)
+            *[("A", i, t(10 * i)) for i in range(14)],
+            # conv B: two turns 90 min apart with gap 30 -> two sessions
+            ("B", 0, t(0)), ("B", 1, t(90)),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+        out = win.capped_sessions(
+            df, gap_seconds=1800, cap_seconds=3600
+        ).collect()
+        a = sorted([r for r in out if r["conv_id"] == "A"],
+                   key=lambda r: r["session_seq"])
+        assert [r["n_turns"] for r in a] == [6, 6, 2]
+        # every session obeys the cap
+        assert all(r["dur_us"] < 3600 * 1_000_000 for r in a)
+        b = sorted([r for r in out if r["conv_id"] == "B"],
+                   key=lambda r: r["session_seq"])
+        assert [r["n_turns"] for r in b] == [1, 1]
+
+    def test_single_turn_conv(self, spark):
+        import datetime as dt
+
+        from kafka2iceberg_spark import windows as win
+
+        df = spark.createDataFrame(
+            [("C", 0, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))],
+            "conv_id string, turn_idx int, ts timestamp",
+        )
+        [r] = win.capped_sessions(df, 1800, 3600).collect()
+        assert (r["session_seq"], r["n_turns"], r["dur_us"]) == (1, 1, 0)
