@@ -3754,6 +3754,18 @@ def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.capped_sessions(tx, gap_seconds=1800, cap_seconds=7200)
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (weekly season, dyadic smoothing) over
+    daily revenue per event type (timeseries.holt_winters): the
+    seasonal member of the forecasting trio (ewma → holt → HW). One
+    collect_list fold per key, exact BIGINT recurrence; the oracle
+    replays it with a seasonal-list recursive CTE."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.holt_winters(r, ["event_type"], "v_cents", period=7)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3960,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "minhash_calibration": q_minhash_calibration,
         "capped_sessions": q_capped_sessions,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -8768,6 +8781,50 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "holt_winters": f"""
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+         ) AS rn
+  FROM b
+),
+c AS (
+  SELECT event_type, bucket_us, rn, v,
+         v AS l, CAST(0 AS BIGINT) AS tr, CAST(0 AS BIGINT) AS s,
+         [CAST(0 AS BIGINT)] AS sl
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.bucket_us, o.rn, o.v,
+         CASE WHEN o.rn <= 7 THEN o.v
+              ELSE (o.v - c.sl[o.rn - 7] + c.l + c.tr) // 2 END,
+         CASE WHEN o.rn <= 7 THEN CAST(0 AS BIGINT)
+              ELSE (c.tr + ((o.v - c.sl[o.rn - 7] + c.l + c.tr) // 2
+                    - c.l)) // 2 END,
+         CASE WHEN o.rn <= 7 THEN CAST(0 AS BIGINT)
+              ELSE (o.v - ((o.v - c.sl[o.rn - 7] + c.l + c.tr) // 2)
+                    + c.sl[o.rn - 7]) // 2 END,
+         list_append(c.sl,
+           CASE WHEN o.rn <= 7 THEN CAST(0 AS BIGINT)
+                ELSE (o.v - ((o.v - c.sl[o.rn - 7] + c.l + c.tr) // 2)
+                      + c.sl[o.rn - 7]) // 2 END)
+  FROM c JOIN o ON o.event_type = c.event_type AND o.rn = c.rn + 1
+)
+SELECT event_type, bucket_us,
+       CAST(v AS BIGINT) AS v_cents,
+       CAST(l AS BIGINT) AS level_cents,
+       CAST(tr AS BIGINT) AS trend_cents,
+       CAST(s AS BIGINT) AS season_cents,
+       CAST(l + tr + coalesce(lag(s, 6) OVER (
+         PARTITION BY event_type ORDER BY bucket_us), 0) AS BIGINT)
+         AS forecast_cents
+FROM c
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -143,6 +143,7 @@ HEADLINE_EXTRA = [
     "ann_ndcg",
     "minhash_calibration",
     "capped_sessions",
+    "holt_winters",
 ]
 
 SCALE_GEN = dict(

@@ -1144,3 +1144,80 @@ def running_balance(
         F.col("_s.bal").alias("balance"),
         F.col("_s.lost").alias("lost"),
     )
+
+
+def holt_winters(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Integer additive Holt-Winters (alpha = beta = gamma = 1/2,
+    season length ``period``) over bucket summaries — the seasonal
+    upgrade of :func:`holt_linear` for series with a weekly shape:
+
+        i <= m:  l_i = v_i;  b_i = 0;  s_i = 0          (warm-up)
+        i  > m:  l_i = (v_i - s_{i-m} + l_{i-1} + b_{i-1}) div 2
+                 b_i = (b_{i-1} + (l_i - l_{i-1})) div 2
+                 s_i = (v_i - l_i + s_{i-m}) div 2
+
+    and the one-step forecast at bucket i is l_i + b_i + s_{i-m+1}
+    (the season slot the NEXT bucket will reuse, lag m-1).
+
+    Same scale discipline as holt_linear: the sequential fold runs over
+    RESAMPLED per-key summaries via one collect_list + one JVM-side
+    higher-order ``aggregate`` (the lag-m seasonal is just
+    try_element_at(acc, -m) on the accumulated trajectory) — O(span/
+    step) elements per key, no Python, exact BIGINT throughout; the
+    DuckDB oracle replays the identical recurrence with a recursive CTE
+    carrying the seasonal list.
+
+    Output: per (keys, bucket) — (v_cents, level_cents, trend_cents,
+    season_cents, forecast_cents).
+    """
+    m = period
+    rows = F.array_sort(
+        F.collect_list(F.struct("bucket_us", F.col(value_col).alias("v")))
+    )
+    folded = resampled.groupBy(*keys).agg(rows.alias("_rows"))
+    prev = "try_element_at(acc, -1)"
+    lagm = f"try_element_at(acc, -{m})"
+    lvl = f"(r.v - {lagm}.s + {prev}.l + {prev}.b) div 2"
+    step = (
+        "(acc, r) -> array_append(acc, struct("
+        " r.bucket_us AS bucket_us, r.v AS v,"
+        f" CASE WHEN size(acc) < {m} THEN r.v ELSE {lvl} END AS l,"
+        f" CASE WHEN size(acc) < {m} THEN CAST(0 AS BIGINT)"
+        f"      ELSE ({prev}.b + ({lvl} - {prev}.l)) div 2 END AS b,"
+        f" CASE WHEN size(acc) < {m} THEN CAST(0 AS BIGINT)"
+        f"      ELSE (r.v - ({lvl}) + {lagm}.s) div 2 END AS s))"
+    )
+    out = folded.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "aggregate(_rows,"
+                " cast(array() as array<struct<bucket_us:bigint,"
+                "v:bigint,l:bigint,b:bigint,s:bigint>>),"
+                f" {step})"
+            )
+        ).alias("_s"),
+    ).select(
+        *keys,
+        F.col("_s.bucket_us").alias("bucket_us"),
+        F.col("_s.v").alias("v_cents"),
+        F.col("_s.l").alias("level_cents"),
+        F.col("_s.b").alias("trend_cents"),
+        F.col("_s.s").alias("season_cents"),
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket_us")
+    return out.withColumn(
+        "forecast_cents",
+        (
+            F.col("level_cents")
+            + F.col("trend_cents")
+            + F.coalesce(
+                F.lag("season_cents", m - 1).over(w), F.lit(0).cast("long")
+            )
+        ).cast("long"),
+    )

@@ -367,3 +367,37 @@ class TestTransitionEntropy:
         assert out["t"] == (1, 0.0)
         # +0.0 guard: never IEEE negative zero
         assert all(math.copysign(1.0, v[1]) == 1.0 for v in out.values())
+
+
+class TestHoltWinters:
+    def test_hand_computed_period2(self, spark):
+        # alternating series, m=2: warm-up i<=2, then the dyadic
+        # recurrence (values traced by hand, incl. negative div)
+        rows = [("k", i * HOUR_US, v) for i, v in
+                enumerate([10, 20, 10, 20])]
+        df = spark.createDataFrame(rows, "key string, bucket_us long, v long")
+        out = {r["bucket_us"] // HOUR_US: r for r in
+               ts.holt_winters(df, ["key"], "v", period=2).collect()}
+        assert (out[0]["level_cents"], out[0]["trend_cents"],
+                out[0]["season_cents"]) == (10, 0, 0)
+        assert (out[1]["level_cents"], out[1]["trend_cents"],
+                out[1]["season_cents"]) == (20, 0, 0)
+        # i=3: l=(10-0+20+0)/2=15, b=(0+(15-20))/2=-2, s=(10-15+0)/2=-2
+        assert (out[2]["level_cents"], out[2]["trend_cents"],
+                out[2]["season_cents"]) == (15, -2, -2)
+        # i=4: l=(20-0+15-2)/2=16, b=(-2+1)/2=0, s=(20-16+0)/2=2
+        assert (out[3]["level_cents"], out[3]["trend_cents"],
+                out[3]["season_cents"]) == (16, 0, 2)
+        # forecast at i=4 = l + b + s_{i-1} = 16 + 0 + (-2)
+        assert out[3]["forecast_cents"] == 14
+
+    def test_constant_series_flat_forecast(self, spark):
+        rows = [("k", i * HOUR_US, 100) for i in range(20)]
+        df = spark.createDataFrame(rows, "key string, bucket_us long, v long")
+        last = sorted(
+            ts.holt_winters(df, ["key"], "v", period=7).collect(),
+            key=lambda r: r["bucket_us"],
+        )[-1]
+        assert last["level_cents"] == 100
+        assert last["trend_cents"] == 0
+        assert last["forecast_cents"] == 100
