@@ -3766,6 +3766,16 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.holt_winters(r, ["event_type"], "v_cents", period=7)
 
 
+def q_role_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-role streak per conversation (cep.longest_streaks,
+    gaps-and-islands): agent-loop / monologue detection. One per-(conv,
+    role) window + one hash agg + one per-conv top-1 window."""
+    from kafka2iceberg_spark import cep
+
+    tx = _tx(spark, sf_dir)
+    return cep.longest_streaks(tx)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3973,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "capped_sessions": q_capped_sessions,
         "holt_winters": q_holt_winters,
+        "role_streaks": q_role_streaks,
     }
 
 
@@ -8825,6 +8836,30 @@ SELECT event_type, bucket_us,
          PARTITION BY event_type ORDER BY bucket_us), 0) AS BIGINT)
          AS forecast_cents
 FROM c
+""",
+        "role_streaks": f"""
+WITH {_TX},
+isl AS (
+  SELECT conv_id, role, turn_idx,
+         turn_idx - row_number() OVER (
+           PARTITION BY conv_id, role ORDER BY turn_idx
+         ) AS g
+  FROM transcripts
+),
+runs AS (
+  SELECT conv_id, role,
+         CAST(count(*) AS BIGINT) AS streak_len,
+         CAST(min(turn_idx) AS BIGINT) AS start_turn
+  FROM isl GROUP BY conv_id, role, g
+),
+rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY conv_id
+           ORDER BY streak_len DESC, start_turn, role
+         ) AS r
+  FROM runs
+)
+SELECT conv_id, role, streak_len, start_turn FROM rk WHERE r = 1
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -144,6 +144,7 @@ HEADLINE_EXTRA = [
     "minhash_calibration",
     "capped_sessions",
     "holt_winters",
+    "role_streaks",
 ]
 
 SCALE_GEN = dict(

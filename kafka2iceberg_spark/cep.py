@@ -313,3 +313,49 @@ def turn_integrity(tr: DataFrame) -> DataFrame:
         ).cast("long").alias("n_dup_idx"),
         F.sum("_rep").cast("long").alias("n_role_repeats"),
     )
+
+
+def longest_streaks(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    state_col: str = "role",
+) -> DataFrame:
+    """Longest run of consecutive same-state rows per key — the classic
+    gaps-and-islands pattern (island id = dense position minus per-state
+    row_number), surfaced for transcripts as "the longest uninterrupted
+    streak of one role in each conversation": a long assistant/tool
+    streak is a monologue or an agent loop, exactly what a dialogue-
+    quality gate flags.
+
+    Requires ``order_col`` to be DENSE per key (transcripts' turn_idx
+    is, by construction). Shape: one row_number window partitioned by
+    (key, state) + one (key, state, island) hash agg + one per-key
+    top-1 window over the aggregated runs — no joins, no global sort,
+    every stage keyed on the conversation.
+
+    Output: (key, state, streak_len, start_turn) — the single longest
+    run per key (ties: earliest start, then smallest state).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key, state_col).orderBy(order_col)
+    runs = (
+        df.select(key, state_col, order_col)
+        .withColumn(
+            "_isl", F.col(order_col) - F.row_number().over(w)
+        )
+        .groupBy(key, state_col, "_isl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_len"),
+            F.min(order_col).cast("long").alias("start_turn"),
+        )
+    )
+    wr = Window.partitionBy(key).orderBy(
+        F.desc("streak_len"), F.asc("start_turn"), F.asc(state_col)
+    )
+    return (
+        runs.withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") == 1)
+        .select(key, state_col, "streak_len", "start_turn")
+    )

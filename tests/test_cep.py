@@ -160,3 +160,21 @@ def test_precedence_support_hand_computed(spark):
         ("tool_1", "tool_2"): (2, 2_000_000 // 3),
         ("tool_2", "tool_1"): (1, 1_000_000 // 3),
     }
+
+
+class TestLongestStreaks:
+    def test_hand_computed(self, spark):
+        from kafka2iceberg_spark.cep import longest_streaks
+
+        rows = [
+            # conv A roles: u a a a u -> longest = a x3 starting turn 1
+            ("A", 0, "u"), ("A", 1, "a"), ("A", 2, "a"), ("A", 3, "a"),
+            ("A", 4, "u"),
+            # conv B: tie between two 2-runs -> earliest start wins
+            ("B", 0, "t"), ("B", 1, "t"), ("B", 2, "u"), ("B", 3, "u"),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+        out = {r["conv_id"]: (r["role"], r["streak_len"], r["start_turn"])
+               for r in longest_streaks(df).collect()}
+        assert out["A"] == ("a", 3, 1)
+        assert out["B"] == ("t", 2, 0)
