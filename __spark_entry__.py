@@ -3776,6 +3776,15 @@ def q_role_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cep.longest_streaks(tx)
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per source by Dirichlet-prior log-odds
+    z-score (textops.distinctive_terms, Monroe et al. 2008): the
+    comparative-corpus statistic TF-IDF approximates badly. Vocabulary-
+    sized aggs + one word-keyed hash join; nano-ln exact deltas."""
+    _utc(spark)
+    return tx.distinctive_terms(_read(spark, sf_dir, "documents"), top_k=10)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3984,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sessions": q_capped_sessions,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
+        "distinctive_terms": q_distinctive_terms,
     }
 
 
@@ -8860,6 +8870,51 @@ rk AS (
   FROM runs
 )
 SELECT conv_id, role, streak_len, start_turn FROM rk WHERE r = 1
+""",
+        "distinctive_terms": f"""
+WITH flat AS (
+  SELECT source, t.w
+  FROM (SELECT source, string_split({_NORM}, ' ') AS ws FROM documents) d,
+       unnest(d.ws) t(w)
+  WHERE t.w <> ''
+),
+cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS y_i
+  FROM flat GROUP BY 1, 2
+),
+grp AS (SELECT source, CAST(sum(y_i) AS BIGINT) AS n_i FROM cnt GROUP BY 1),
+tw AS (SELECT w, CAST(sum(y_i) AS BIGINT) AS y_w FROM cnt GROUP BY 1),
+gl AS (
+  SELECT CAST(sum(y_i) AS BIGINT) AS n_all,
+         CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM cnt
+),
+sc AS (
+  SELECT cnt.source, cnt.w, cnt.y_i,
+         tw.y_w - cnt.y_i AS y_j,
+         gl.n_all - grp.n_i AS n_j,
+         grp.n_i, gl.v
+  FROM cnt JOIN tw USING (w) JOIN grp USING (source) CROSS JOIN gl
+),
+zt AS (
+  SELECT source, w, y_i, y_j AS y_rest,
+         round((
+           CAST(CAST(round(ln(CAST(y_i + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(n_i + v - y_i - 1 AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(y_j + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+              + CAST(round(ln(CAST(n_j + v - y_j - 1 AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9
+         ) / sqrt(1.0 / CAST(y_i + 1 AS DOUBLE)
+                  + 1.0 / CAST(y_j + 1 AS DOUBLE)), 6) AS z
+  FROM sc
+),
+rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY z DESC, w
+         ) AS r
+  FROM zt
+)
+SELECT source, w AS word, y_i, y_rest, z FROM rk WHERE r <= 10
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -145,6 +145,7 @@ HEADLINE_EXTRA = [
     "capped_sessions",
     "holt_winters",
     "role_streaks",
+    "distinctive_terms",
 ]
 
 SCALE_GEN = dict(

@@ -1082,3 +1082,23 @@ class TestMinhashCalibration:
         assert top["mae_ppm"] == 0
         assert top["mean_est_ppm"] == 1000000
         assert top["mean_true_ppm"] == 1000000
+
+
+class TestDistinctiveTerms:
+    def test_overused_word_surfaces_with_positive_z(self, spark):
+        rows = (
+            [(i, "zebra zebra zebra common", "s1") for i in range(5)]
+            + [(100 + i, "common filler words here", "s2") for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = tx.distinctive_terms(df, top_k=3).collect()
+        s1 = {r["word"]: r for r in out if r["source"] == "s1"}
+        # 'zebra' is exclusively s1 and frequent -> its top distinctive term
+        top_s1 = max(s1.values(), key=lambda r: r["z"])
+        assert top_s1["word"] == "zebra"
+        assert top_s1["z"] > 0
+        assert top_s1["y_i"] == 15 and top_s1["y_rest"] == 0
+        # per-group rows = min(top_k, group's distinct vocabulary):
+        # only words the group actually uses are scored (s1 has 2)
+        assert sum(1 for r in out if r["source"] == "s1") == 2
+        assert sum(1 for r in out if r["source"] == "s2") == 3
