@@ -3785,6 +3785,15 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.distinctive_terms(_read(spark, sf_dir, "documents"), top_k=10)
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over blob payloads (multimodal.sample_frames):
+    every 4th 64-byte frame sliced and summarized inside mapInPandas —
+    the multimodal decode dataflow with a deterministic stand-in codec;
+    the oracle replays the byte slicing in SQL."""
+    blobs = mm.as_blobs(_read(spark, sf_dir, "documents", spread=True))
+    return mm.sample_frames(blobs, frame_bytes=64, every_n=4)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -3994,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
+        "frame_samples": q_frame_samples,
     }
 
 
@@ -8915,6 +8925,37 @@ rk AS (
   FROM zt
 )
 SELECT source, w AS word, y_i, y_rest, z FROM rk WHERE r <= 10
+""",
+        "frame_samples": """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0,
+           (octet_length(encode(text)) + 63) // 64, 4)) AS k
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+fr AS (
+  SELECT doc_id, k AS frame_idx,
+         substr(text, CAST(k * 64 + 1 AS INT), 64) AS fch
+  FROM f
+),
+pos AS (
+  SELECT doc_id, frame_idx, fch,
+         unnest(range(1, length(fch) + 1)) AS i
+  FROM fr
+),
+m AS (
+  SELECT doc_id, frame_idx,
+         CAST(count(*) AS BIGINT) AS frame_bytes,
+         CAST(sum(ascii(substr(fch, CAST(i AS INT), 1))) * 1000000
+           // count(*) AS BIGINT) AS mean_ppm
+  FROM pos GROUP BY doc_id, frame_idx
+)
+SELECT m.doc_id,
+       CAST(m.frame_idx AS BIGINT) AS frame_idx,
+       m.frame_bytes, m.mean_ppm,
+       lower(hex(encode(substr(fr.fch, 1, 4)))) AS head_hex
+FROM m JOIN fr ON fr.doc_id = m.doc_id AND fr.frame_idx = m.frame_idx
 """,
         "quality_auc": f"""
 WITH {_QPPM},

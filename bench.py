@@ -146,6 +146,7 @@ HEADLINE_EXTRA = [
     "holt_winters",
     "role_streaks",
     "distinctive_terms",
+    "frame_samples",
 ]
 
 SCALE_GEN = dict(

@@ -150,3 +150,57 @@ def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_bytes", T.LongType(), True),
+        T.StructField("mean_ppm", T.LongType(), True),
+        T.StructField("head_hex", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling with a deterministic stand-in codec: the
+    payload is treated as a stream of fixed-size ``frame_bytes`` frames;
+    every ``every_n``-th frame is extracted and summarized (length,
+    integer mean byte value, head bytes) — the completed version of
+    :func:`frame_sample_plan`: same sampling schedule, but the frames
+    are actually SLICED from the payload inside a mapInPandas over
+    Arrow batches, which is byte-for-byte the dataflow a real decoder
+    plugs into (swap the slicing loop for cv2/av frame extraction; the
+    schema, batching, and partition behavior do not change).
+
+    Per-blob Python work is the codec stand-in (real decoders are also
+    per-payload C calls); everything around it is Arrow-batched, and
+    frames never ride a shuffle — only their summaries do.
+
+    Output: (doc_id, frame_idx, frame_bytes, mean_ppm, head_hex).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [],
+                "mean_ppm": [], "head_hex": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    fr = b[k * frame_bytes : (k + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_bytes"].append(len(fr))
+                    out["mean_ppm"].append(sum(fr) * 1_000_000 // len(fr))
+                    out["head_hex"].append(fr[:4].hex())
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "payload").mapInPandas(fn, FRAME_SCHEMA)

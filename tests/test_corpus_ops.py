@@ -1102,3 +1102,29 @@ class TestDistinctiveTerms:
         # only words the group actually uses are scored (s1 has 2)
         assert sum(1 for r in out if r["source"] == "s1") == 2
         assert sum(1 for r in out if r["source"] == "s2") == 3
+
+
+class TestSampleFrames:
+    def test_slicing_and_schedule(self, spark):
+        # 200 ascii bytes -> 4 frames of 64/64/64/8; every_n=2 samples 0, 2
+        text = "ab" * 100
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        blobs = mm.as_blobs(df)
+        out = {r["frame_idx"]: r for r in
+               mm.sample_frames(blobs, frame_bytes=64, every_n=2).collect()}
+        assert set(out) == {0, 2}
+        assert out[0]["frame_bytes"] == 64
+        # frame 2 covers bytes 128..191 (full), frame 3 (the 8-byte tail)
+        # is unsampled at every_n=2
+        assert out[2]["frame_bytes"] == 64
+        # 'a'=97, 'b'=98 alternating -> mean = 97.5 -> 97500000 ppm
+        assert out[0]["mean_ppm"] == 97_500_000
+        assert out[0]["head_hex"] == "61626162"
+
+    def test_short_tail_frame(self, spark):
+        df = spark.createDataFrame([(1, "x" * 70)], "doc_id long, text string")
+        out = {r["frame_idx"]: r for r in
+               mm.sample_frames(mm.as_blobs(df), frame_bytes=64,
+                                every_n=1).collect()}
+        assert out[1]["frame_bytes"] == 6
+        assert out[1]["mean_ppm"] == 120_000_000  # 'x' = 120
