@@ -3794,6 +3794,17 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(blobs, frame_bytes=64, every_n=4)
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted anomalies in daily revenue per event type
+    (timeseries.seasonal_anomalies): z-scores of residuals against each
+    type's weekly rhythm — raw z-scores flag every weekend; this flags
+    only rhythm breaks. Two tiny broadcast moment joins, no window."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.seasonal_anomalies(r, ["event_type"], "v_cents", z_threshold=1.5)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4004,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
         "frame_samples": q_frame_samples,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -8956,6 +8968,40 @@ SELECT m.doc_id,
        m.frame_bytes, m.mean_ppm,
        lower(hex(encode(substr(fr.fch, 1, 4)))) AS head_hex
 FROM m JOIN fr ON fr.doc_id = m.doc_id AND fr.frame_idx = m.frame_idx
+""",
+        "seasonal_anomaly": f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT *, CAST((bucket_us // {DAY_US} + 4) % 7 AS INT) AS dow FROM b
+),
+mdow AS (
+  SELECT event_type, dow, count(*) AS nd, CAST(sum(v) AS BIGINT) AS sd
+  FROM d GROUP BY 1, 2
+),
+r AS (
+  SELECT d.event_type, d.bucket_us, d.v, d.dow,
+         CAST(d.v - sd // nd AS BIGINT) AS resid
+  FROM d JOIN mdow USING (event_type, dow)
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(resid) AS s1,
+         CAST(sum(resid * resid) AS BIGINT) AS s2
+  FROM r GROUP BY 1
+)
+SELECT r.event_type, r.bucket_us,
+       CAST(r.v AS BIGINT) AS v_cents,
+       r.dow,
+       CAST(r.resid AS BIGINT) AS resid_cents,
+       round((r.resid - s1 / n)
+             / sqrt((s2 - s1 * (s1 / n)) / (n - 1)), 4) AS z
+FROM r JOIN st USING (event_type)
+WHERE abs(round((r.resid - s1 / n)
+          / sqrt((s2 - s1 * (s1 / n)) / (n - 1)), 4)) >= 1.5
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -147,6 +147,7 @@ HEADLINE_EXTRA = [
     "role_streaks",
     "distinctive_terms",
     "frame_samples",
+    "seasonal_anomaly",
 ]
 
 SCALE_GEN = dict(

@@ -1221,3 +1221,69 @@ def holt_winters(
             )
         ).cast("long"),
     )
+
+
+def seasonal_anomalies(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly detection over daily bucket
+    summaries: raw z-scores (anomaly_zscore) flag every weekend of a
+    weekly-shaped series; this op first removes each key's day-of-week
+    mean (dow_profile's seasonal component) and z-scores the RESIDUALS,
+    so only departures from the key's own weekly rhythm fire.
+
+        mean_dow = exact integer mean of the key's values on that dow
+        r_i      = v_i - mean_dow(i)               (exact BIGINT)
+        z_i      = (r_i - mu_r) / sigma_r          (moment idiom)
+
+    Both moment sets come from exact integer sums broadcast back
+    (|keys|·7 and |keys| rows) — one scan of bucket summaries, two tiny
+    aggs, two broadcast joins, no window. mu/sigma use the repo's
+    fixed-parenthesization IEEE idiom (s2 - s1*(s1/n)) so z is
+    engine-identical.
+
+    Output: (keys..., bucket_us, v_cents, dow, resid_cents, z) for
+    buckets with |z| >= z_threshold.
+    """
+    day_us = 86_400_000_000
+    # epoch day 0 (1970-01-01) was a Thursday = dow 4
+    b = resampled.withColumn(
+        "dow", F.expr(f"(bucket_us div {day_us} + 4) % 7").cast("int")
+    )
+    mdow = b.groupBy(*keys, "dow").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(value_col).cast("long").alias("_sd"),
+    )
+    r = b.join(F.broadcast(mdow), [*keys, "dow"]).withColumn(
+        "resid_cents",
+        (F.col(value_col) - F.expr("_sd div _nd")).cast("long"),
+    )
+    st = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("resid_cents").alias("_s1"),
+        F.sum(F.col("resid_cents") * F.col("resid_cents")).alias("_s2"),
+    )
+    z = F.round(
+        (F.col("resid_cents") - F.col("_s1") / F.col("_n"))
+        / F.sqrt(
+            (F.col("_s2") - F.col("_s1") * (F.col("_s1") / F.col("_n")))
+            / (F.col("_n") - 1)
+        ),
+        4,
+    )
+    return (
+        r.join(F.broadcast(st), keys)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            *keys,
+            "bucket_us",
+            F.col(value_col).alias("v_cents"),
+            "dow",
+            "resid_cents",
+            "z",
+        )
+    )

@@ -401,3 +401,31 @@ class TestHoltWinters:
         assert last["level_cents"] == 100
         assert last["trend_cents"] == 0
         assert last["forecast_cents"] == 100
+
+
+class TestSeasonalAnomalies:
+    def test_weekly_rhythm_not_flagged_break_flagged(self, spark):
+        DAY = 86_400_000_000
+        # two full weeks of a strong weekly shape (weekend = 200, weekday
+        # = 100), then a third week whose Saturday collapses to 100
+        rows = []
+        for w in range(3):
+            for dref in range(7):
+                b = (w * 7 + dref) * DAY
+                dow = (w * 7 + dref + 4) % 7
+                v = 200 if dow in (5, 6) else 100
+                rows.append(("k", b, v))
+        # break: make the last Saturday (dow 5) collapse
+        rows = [
+            (k, b, 100 if (b // DAY + 4) % 7 == 5 and b // DAY >= 14 else v)
+            for (k, b, v) in rows
+        ]
+        df = spark.createDataFrame(rows, "event_type string, bucket_us long, v_cents long")
+        out = ts.seasonal_anomalies(
+            df, ["event_type"], "v_cents", z_threshold=2.0
+        ).collect()
+        # exactly the broken Saturday fires; steady rhythm does not
+        assert len(out) == 1
+        r = out[0]
+        assert (r["bucket_us"] // DAY + 4) % 7 == 5
+        assert r["resid_cents"] < 0
