@@ -3805,6 +3805,17 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.seasonal_anomalies(r, ["event_type"], "v_cents", z_threshold=1.5)
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature table over daily revenue per event type
+    (timeseries.lag_features): lag-1/lag-7, trailing 7-day integer
+    moving average, next-day label — one per-key ordered window, the
+    audited feature/label alignment step."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", DAY_US, ["event_type"], value_col="value")
+    return ts.lag_features(r, ["event_type"], "v_cents")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4016,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "frame_samples": q_frame_samples,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "lag_features": q_lag_features,
     }
 
 
@@ -9002,6 +9014,24 @@ SELECT r.event_type, r.bucket_us,
 FROM r JOIN st USING (event_type)
 WHERE abs(round((r.resid - s1 / n)
           / sqrt((s2 - s1 * (s1 / n)) / (n - 1)), 4)) >= 1.5
+""",
+        "lag_features": f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, v,
+       CAST(lag(v, 1) OVER w AS BIGINT) AS lag_1,
+       CAST(lag(v, 7) OVER w AS BIGINT) AS lag_7,
+       CAST(CAST(sum(v) OVER (PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+            // count(*) OVER (PARTITION BY event_type ORDER BY bucket_us
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma_7,
+       CAST(lead(v, 1) OVER w AS BIGINT) AS target
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -148,6 +148,7 @@ HEADLINE_EXTRA = [
     "distinctive_terms",
     "frame_samples",
     "seasonal_anomaly",
+    "lag_features",
 ]
 
 SCALE_GEN = dict(

@@ -1287,3 +1287,44 @@ def seasonal_anomalies(
             "z",
         )
     )
+
+
+def lag_features(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lags: tuple[int, ...] = (1, 7),
+    ma_window: int = 7,
+) -> DataFrame:
+    """Supervised feature assembly over bucket summaries — the table a
+    forecasting/anomaly model actually trains on: per (key, bucket),
+    lagged values, a trailing moving-average, and the next bucket's
+    value as the label. This is the feature-engineering step every
+    production time-series pipeline runs after ``resample``; emitting
+    it as an engine op keeps the label/feature alignment (and its
+    off-by-one traps) in ONE audited place.
+
+    All features come from a single per-key ordered window (hash
+    exchange on keys, in-partition sort — the same pass any per-key op
+    pays); the moving average is exact: a rolling BIGINT sum divided by
+    the actual window row count (integer div), so early buckets use the
+    shorter true window rather than a NULL-padded lie.
+
+    Output: (keys..., bucket_us, v, lag_<n>..., ma_<w>, target).
+    Rows without a next bucket (the series tail) keep target NULL so
+    callers can split train/score sets without recomputing.
+    """
+    w = Window.partitionBy(*keys).orderBy("bucket_us")
+    out = resampled.select(*keys, "bucket_us", F.col(value_col).alias("v"))
+    for n in lags:
+        out = out.withColumn(
+            f"lag_{n}", F.lag("v", n).over(w).cast("long")
+        )
+    wm = w.rowsBetween(-(ma_window - 1), 0)
+    out = out.withColumn(
+        "_ms", F.sum("v").over(wm).cast("long")
+    ).withColumn("_mn", F.count(F.lit(1)).over(wm).cast("long"))
+    out = out.withColumn(
+        f"ma_{ma_window}", F.expr("_ms div _mn").cast("long")
+    ).drop("_ms", "_mn")
+    return out.withColumn("target", F.lead("v", 1).over(w).cast("long"))

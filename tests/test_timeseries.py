@@ -429,3 +429,19 @@ class TestSeasonalAnomalies:
         r = out[0]
         assert (r["bucket_us"] // DAY + 4) % 7 == 5
         assert r["resid_cents"] < 0
+
+
+class TestLagFeatures:
+    def test_alignment_and_ma(self, spark):
+        rows = [("k", i * HOUR_US, (i + 1) * 10) for i in range(5)]
+        df = spark.createDataFrame(rows, "event_type string, bucket_us long, v_cents long")
+        out = {r["bucket_us"] // HOUR_US: r for r in
+               ts.lag_features(df, ["event_type"], "v_cents",
+                               lags=(1, 2), ma_window=3).collect()}
+        # values: 10 20 30 40 50
+        assert out[0]["lag_1"] is None and out[0]["ma_3"] == 10
+        assert out[2]["lag_1"] == 20 and out[2]["lag_2"] == 10
+        # ma_3 at i=2: (10+20+30) div 3 = 20; early rows use true short window
+        assert out[1]["ma_3"] == 15 and out[2]["ma_3"] == 20
+        # label = next bucket's value; tail stays NULL
+        assert out[3]["target"] == 50 and out[4]["target"] is None
