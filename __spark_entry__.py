@@ -38,6 +38,7 @@ from kafka2iceberg_spark.state import paired_turns_batch
 from kafka2iceberg_spark.transcripts import ORACLE_TRANSCRIPTS_CTE, transcripts
 
 DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
 SESSION_GAP = "4 hours"
 SESSION_GAP_US = 4 * 3_600_000_000
 
@@ -3816,6 +3817,16 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.lag_features(r, ["event_type"], "v_cents")
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type (timeseries.burstiness): Fano
+    factor of hourly counts over the densified grid — Poisson ≈ 1,
+    bursty >> 1. Gap-filled so silent hours count as real zeros."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    r = ts.resample(ev, "ts", HOUR_US, ["event_type"])
+    return ts.burstiness(r, HOUR_US, ["event_type"])
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4028,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "seasonal_anomaly": q_seasonal_anomaly,
         "lag_features": q_lag_features,
+        "burstiness": q_burstiness,
     }
 
 
@@ -9032,6 +9044,40 @@ SELECT event_type, bucket_us, v,
        CAST(lead(v, 1) OVER w AS BIGINT) AS target
 FROM b
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
+""",
+        "burstiness": f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS bucket_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(bucket_us) AS mn, max(bucket_us) AS mx
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT span.event_type, g.bucket_us
+  FROM span, unnest(generate_series(span.mn, span.mx, {HOUR_US})) g(bucket_us)
+),
+dense AS (
+  SELECT grid.event_type, grid.bucket_us, coalesce(b.n, 0) AS n
+  FROM grid LEFT JOIN b
+    ON b.event_type = grid.event_type AND b.bucket_us = grid.bucket_us
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM dense GROUP BY 1
+)
+SELECT event_type, n_buckets, total,
+       CASE WHEN n_buckets > 1 AND total > 0 THEN
+         round(((s2 - total * (total / n_buckets)) / (n_buckets - 1))
+               / (total / n_buckets), 4)
+       END AS fano
+FROM st
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -149,6 +149,7 @@ HEADLINE_EXTRA = [
     "frame_samples",
     "seasonal_anomaly",
     "lag_features",
+    "burstiness",
 ]
 
 SCALE_GEN = dict(

@@ -1328,3 +1328,45 @@ def lag_features(
         f"ma_{ma_window}", F.expr("_ms div _mn").cast("long")
     ).drop("_ms", "_mn")
     return out.withColumn("target", F.lead("v", 1).over(w).cast("long"))
+
+
+def burstiness(
+    resampled: DataFrame,
+    step_us: int,
+    keys: list[str],
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket event counts:
+    var(n)/mean(n) over each key's DENSIFIED bucket grid — ~1 for a
+    Poisson arrival process, >>1 for bursty traffic (bot storms, retry
+    loops), <1 for throttled/regular traffic. The standard first look a
+    stream operator takes at arrival shape before sizing state stores
+    and watermarks.
+
+    Densification matters: silent buckets are real zeros, and skipping
+    them (as a plain groupBy would) deflates variance exactly where
+    burstiness lives. Reuses :func:`gap_fill` (distributed grid, one
+    left join), then one tiny per-key moment agg; the final division is
+    the repo's fixed-parenthesization IEEE idiom over exact BIGINTs.
+
+    Output: (keys..., n_buckets, total, fano) — fano NULL for keys with
+    a single bucket or zero mean.
+    """
+    dense = gap_fill(resampled, step_us, keys)
+    st = dense.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+    )
+    var = (
+        F.col("_s2") - F.col("total") * (F.col("total") / F.col("n_buckets"))
+    ) / (F.col("n_buckets") - 1)
+    mean = F.col("total") / F.col("n_buckets")
+    return st.select(
+        *keys,
+        "n_buckets",
+        "total",
+        F.when(
+            (F.col("n_buckets") > 1) & (F.col("total") > 0),
+            F.round(var / mean, 4),
+        ).alias("fano"),
+    )

@@ -445,3 +445,27 @@ class TestLagFeatures:
         assert out[1]["ma_3"] == 15 and out[2]["ma_3"] == 20
         # label = next bucket's value; tail stays NULL
         assert out[3]["target"] == 50 and out[4]["target"] is None
+
+
+class TestBurstiness:
+    def test_regular_vs_bursty(self, spark):
+        # regular: exactly 5 per hour -> variance 0 -> fano 0
+        rows = [("reg", i * HOUR_US, 5) for i in range(6)]
+        # bursty: one hour with 30, surrounding silent hours appear via
+        # gap_fill as true zeros
+        rows += [("burst", 0, 30), ("burst", 5 * HOUR_US, 30)]
+        df = spark.createDataFrame(rows, "event_type string, bucket_us long, n long")
+        out = {r["event_type"]: r for r in
+               ts.burstiness(df, HOUR_US, ["event_type"]).collect()}
+        assert out["reg"]["fano"] == 0.0
+        assert out["reg"]["n_buckets"] == 6
+        # burst spans 6 buckets (4 filled zeros), mean 10, var high
+        assert out["burst"]["n_buckets"] == 6
+        assert out["burst"]["total"] == 60
+        assert out["burst"]["fano"] > 10
+
+    def test_single_bucket_null(self, spark):
+        df = spark.createDataFrame([("x", 0, 3)],
+                                   "event_type string, bucket_us long, n long")
+        [r] = ts.burstiness(df, HOUR_US, ["event_type"]).collect()
+        assert r["fano"] is None
