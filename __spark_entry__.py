@@ -3827,6 +3827,16 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.burstiness(r, HOUR_US, ["event_type"])
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the augmented corpus
+    (dedup.simhash_pairs, Manku et al. WWW'07): 4-band pigeonhole join,
+    exact recall for Hamming <= 3, one xor+bit_count per candidate —
+    the deterministic-recall complement of the MinHash band path."""
+    return dd.simhash_pairs(
+        _docs_aug_near(spark, sf_dir, subset=False), max_hamming=3
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4040,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly": q_seasonal_anomaly,
         "lag_features": q_lag_features,
         "burstiness": q_burstiness,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -9078,6 +9089,40 @@ SELECT event_type, n_buckets, total,
                / (total / n_buckets), 4)
        END AS fano
 FROM st
+""",
+        "simhash_pairs": f"""
+WITH {_aug_near(False)},
+normd AS (SELECT doc_id, {_NORM} AS n FROM aug),
+tok0 AS (SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM normd),
+toks AS (SELECT DISTINCT doc_id, t FROM tok0 WHERE t <> ''),
+th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT th.doc_id, j.j,
+         sum(CASE WHEN (th.h >> CAST(j.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, {dd.SIMHASH_BITS})) AS j) j
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS bv
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """,
         "quality_auc": f"""
 WITH {_QPPM},

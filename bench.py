@@ -150,6 +150,7 @@ HEADLINE_EXTRA = [
     "seasonal_anomaly",
     "lag_features",
     "burstiness",
+    "simhash_pairs",
 ]
 
 SCALE_GEN = dict(

@@ -1034,3 +1034,76 @@ def minhash_calibration(
             F.expr("_st div n_pairs").cast("long").alias("mean_true_ppm"),
         )
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming join — the web-scale
+    SimHash dedup recipe (Manku, Jain & Das Sarma, WWW'07): split the
+    60-bit signature into ``max_hamming + 1`` bands; by pigeonhole, any
+    pair within ``max_hamming`` bit flips agrees EXACTLY on at least
+    one band, so candidates come from equality joins on (band, band
+    value) — never an all-pairs scan — and the final Hamming distance
+    is one xor + bit_count per surviving candidate. Recall is exact
+    (guaranteed 100% for distance <= max_hamming), unlike MinHash's
+    probabilistic bands.
+
+    Shape: one signature pass (dedup.simhash: two map-side-combined
+    aggs), a (doc, band)-exploded self-join keyed on short band values
+    (shuffle-balanced, id-only rows), one id-keyed rejoin of the 8-byte
+    signatures, one distinct. At 10^12 docs the band join is the same
+    shape Google ran this at.
+
+    Output: (doc_a, doc_b, hamming) for pairs with hamming <= max_hamming.
+    """
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    sig = simhash(docs, id_col=id_col, text_col=text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash >> {b * band_bits})"
+                            f" & {(1 << band_bits) - 1}"
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "bb.band", "bb.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(_ha ^ _hb)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

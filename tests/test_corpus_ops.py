@@ -1128,3 +1128,22 @@ class TestSampleFrames:
                                 every_n=1).collect()}
         assert out[1]["frame_bytes"] == 6
         assert out[1]["mean_ppm"] == 120_000_000  # 'x' = 120
+
+
+class TestSimhashPairs:
+    def test_exact_recall_within_hamming(self, spark, docs):
+        d = docs.where("doc_id IN (1, 2, 3, 4)")
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in dd.simhash_pairs(d, max_hamming=10).collect()}
+        # identical docs: hamming 0 — pigeonhole guarantees the pair
+        assert pairs[(1, 2)] == 0
+        # near dup found with small distance, far doc at most absent or far
+        if (1, 3) in pairs:
+            assert pairs[(1, 3)] <= 10
+        assert (1, 4) not in pairs or pairs[(1, 4)] > 0
+
+    def test_bound_respected(self, spark, docs):
+        d = docs.where("doc_id IN (1, 2, 3, 4)")
+        out = dd.simhash_pairs(d, max_hamming=0).collect()
+        assert all(r["hamming"] == 0 for r in out)
+        assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
