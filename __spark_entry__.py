@@ -3837,6 +3837,36 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool→next-tool transition matrix within conversations
+    (timeseries.transition_counts over the tool-turn subsequence):
+    which tool follows which — the agent-workflow handoff map. One lag
+    window on conv_id over the filtered tool turns + a |tools|² agg."""
+    tx = _tx(spark, sf_dir).where(F.col("tool").isNotNull())
+    return ts.transition_counts(
+        tx, user_col="conv_id", order_cols=("turn_idx",), type_col="tool"
+    ).withColumnRenamed("prev_type", "prev_tool")
+
+
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity distribution profile over label-blocked
+    embedding pairs (composite over dedup.embedding_neardup_pairs at
+    threshold -1): per label, pair counts per 0.1 cosine bucket — the
+    separation histogram you read BEFORE choosing an ANN/near-dup
+    threshold. Blocked pairwise join, one tiny bucket agg."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    pairs = dd.embedding_neardup_pairs(emb, threshold=-1.0)
+    lab = F.broadcast(emb.select(F.col("vec_id").alias("vec_a"), "label"))
+    return (
+        pairs.join(lab, "vec_a")
+        .groupBy(
+            "label",
+            F.floor(F.col("cosine") * 10).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4051,6 +4081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "burstiness": q_burstiness,
         "simhash_pairs": q_simhash_pairs,
+        "tool_transitions": q_tool_transitions,
+        "distance_histogram": q_distance_histogram,
     }
 
 
@@ -9123,6 +9155,35 @@ FROM cand
 JOIN sig sa ON sa.doc_id = cand.doc_a
 JOIN sig sb ON sb.doc_id = cand.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+""",
+        "tool_transitions": f"""
+WITH {_TX},
+t AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+         ) AS prev_tool
+  FROM transcripts WHERE tool IS NOT NULL
+),
+p AS (
+  SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_tool, tool, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_tool) AS BIGINT), 6)
+         AS prob
+FROM p
+""",
+        "distance_histogram": f"""
+WITH {_EMB_D},
+pr AS (
+  SELECT a.label, round({_cos_sql('a', 'b')}, 6) AS cosine
+  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label,
+       CAST(floor(cosine * 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1, 2
 """,
         "quality_auc": f"""
 WITH {_QPPM},

@@ -151,6 +151,8 @@ HEADLINE_EXTRA = [
     "lag_features",
     "burstiness",
     "simhash_pairs",
+    "tool_transitions",
+    "distance_histogram",
 ]
 
 SCALE_GEN = dict(

@@ -1147,3 +1147,26 @@ class TestSimhashPairs:
         out = dd.simhash_pairs(d, max_hamming=0).collect()
         assert all(r["hamming"] == 0 for r in out)
         assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
+
+
+class TestDistanceHistogram:
+    def test_buckets_partition_all_blocked_pairs(self, spark):
+        rows = [
+            (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1), (5, [-1.0, 0.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        pairs = dd.embedding_neardup_pairs(emb, threshold=-1.0)
+        lab = emb.select(F.col("vec_id").alias("vec_a"), "label")
+        hist = (pairs.join(lab, "vec_a")
+                .groupBy("label",
+                         F.floor(F.col("cosine") * 10).cast("long")
+                          .alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_pairs"))).collect()
+        got = {(r["label"], r["bucket"]): r["n_pairs"] for r in hist}
+        # label 0: (1,2) cos 1.0 -> bucket 10; (1,3) and (2,3) cos 0 -> 0
+        assert got[(0, 10)] == 1 and got[(0, 0)] == 2
+        # label 1: (4,5) cos -1 -> bucket -10; no cross-label pairs anywhere
+        assert got[(1, -10)] == 1
+        assert sum(got.values()) == 4
