@@ -3867,6 +3867,48 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ooo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile per source partition
+    (windows.disorder_profile): replay arrival order (event time plus a
+    deterministic md5 delivery jitter of up to 2h — the oracle reproduces
+    it) and measure each row's lateness against the running max event
+    time, i.e. the exact quantity a watermark tracker maintains. Emits
+    per Kafka-partition ooo counts, worst lateness, and would-drop counts
+    at candidate watermark delays — the table you read to CHOOSE
+    ``withWatermark`` instead of guessing it. One window + one agg, both
+    hash-partitioned on the bounded partition id."""
+    ev = _read(spark, sf_dir, "events")
+    eu = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ parquet, UTC pinned
+    jitter = (
+        tx.hash32(F.col("event_id").cast("string")) % F.lit(7200)
+    ) * F.lit(1_000_000)
+    df = ev.select(
+        (F.col("user_id") % 16).cast("long").alias("kafka_partition"),
+        F.col("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (eu + jitter).alias("_arr_us"),
+    ).withColumn(
+        "arrival_seq",
+        F.row_number().over(
+            Window.partitionBy("kafka_partition").orderBy(
+                "_arr_us", "event_id"
+            )
+        ),
+    )
+    return win.disorder_profile(df)
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report over conv_id (dq.key_skew): the measurement
+    half of X1 — top-10 heaviest conversations with share-of-rows and
+    multiple-of-mean-load in exact ppm, read before sizing salts or
+    trusting AQE skew-join. Partial-agg groupBy + TakeOrdered top-k +
+    two broadcast scalars; never a global sort."""
+    from kafka2iceberg_spark import dq
+
+    return dq.key_skew(_tx(spark, sf_dir), "conv_id", top_k=10)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4083,6 +4125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "tool_transitions": q_tool_transitions,
         "distance_histogram": q_distance_histogram,
+        "ooo_profile": q_ooo_profile,
+        "key_skew": q_key_skew,
     }
 
 
@@ -9184,6 +9228,62 @@ SELECT label,
        CAST(floor(cosine * 10) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr GROUP BY 1, 2
+""",
+        "ooo_profile": """
+WITH a AS (
+  SELECT user_id % 16 AS kafka_partition, event_id, epoch_us(ts) AS eu,
+         epoch_us(ts)
+           + (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 7200) * 1000000 AS arr_us
+  FROM events
+),
+s AS (
+  SELECT kafka_partition, eu,
+         row_number() OVER (PARTITION BY kafka_partition
+                            ORDER BY arr_us, event_id) AS arrival_seq
+  FROM a
+),
+r AS (
+  SELECT kafka_partition,
+         greatest(coalesce(
+           max(eu) OVER (PARTITION BY kafka_partition ORDER BY arrival_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - eu, 0), 0) AS late_us
+  FROM s
+)
+SELECT kafka_partition,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+       CAST(max(late_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_60s,
+       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_3600s,
+       CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_86400s,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS ooo_ppm
+FROM r GROUP BY 1
+""",
+        "key_skew": f"""
+WITH {_TX},
+counts AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM transcripts GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+top AS (
+  SELECT * FROM counts ORDER BY n_rows DESC, conv_id LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, conv_id) AS INT) AS rnk,
+       conv_id, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(n_rows * n_keys * 1000000 // total AS BIGINT) AS x_mean_ppm
+FROM top, tot
 """,
         "quality_auc": f"""
 WITH {_QPPM},

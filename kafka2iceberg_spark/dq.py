@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -154,6 +154,46 @@ def profile(df: DataFrame, columns: list[str]) -> DataFrame:
         F.expr(
             f"stack({len(columns)}, {stack_args}) "
             "as (column, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+def key_skew(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Hot-key skew report — the diagnostic read *before* choosing a salt
+    factor or enabling AQE skew-join on a key (X1's measurement half;
+    ``windows.salted_agg`` is the mitigation half).
+
+    Per heaviest key: row count, its share of all rows (ppm), and its
+    multiple of the mean key load (ppm — 1_000_000 ≡ exactly average).
+    A mega-conversation at 40× mean tells you the session/join stage
+    needs ~40 salts before you ship it, not after it straggles.
+
+    Scale shape: one partial-aggregated groupBy(key) (map-side combine
+    shrinks the shuffle to |keys|), a TakeOrdered top-k (per-partition
+    heap + driver merge of k rows — never a global sort), and two scalar
+    totals broadcast back over the k survivors. Ties broken by key so
+    both engines select identical rows. All outputs exact integers.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.col(key)).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.col(key))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "rnk",
+            key,
+            "n_rows",
+            F.expr("CAST(n_rows * 1000000 DIV _total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST(n_rows * n_keys * 1000000 DIV _total AS BIGINT)"
+            ).alias("x_mean_ppm"),
         )
     )
 

@@ -228,6 +228,63 @@ def late_rows_batch(
     )
 
 
+def disorder_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "arrival_seq",
+    partition_col: str = "kafka_partition",
+    delays_seconds: tuple[int, ...] = (60, 3600, 86400),
+) -> DataFrame:
+    """W1/W5 companion — the out-of-orderness profile that *chooses* the
+    watermark delay.
+
+    For each source partition (Kafka partitions are the unit of arrival
+    order, so disorder is only well-defined within one), replay arrival
+    order and measure every row's lateness against the running max event
+    time of the rows that arrived before it — exactly the quantity a
+    streaming watermark tracker maintains. Emits, per partition: row and
+    out-of-order counts, worst lateness, and how many rows each candidate
+    ``withWatermark`` delay would drop. Reading this table *before*
+    deploying the stream replaces guessing the delay with measuring it.
+
+    Scale shape: one ordered window hash-partitioned on the source
+    partition id (bounded cardinality — one group per Kafka partition,
+    never per key), then a partial-aggregated groupBy on the same key, so
+    the window's partitioning is reused and the whole profile is a single
+    shuffle of the input. All outputs are exact integers (micros / ppm).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    run_max = F.max(ts_us).over(w)
+    late = df.withColumn(
+        "_lateness_us",
+        F.greatest(F.coalesce(run_max - ts_us, F.lit(0)), F.lit(0)),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("_lateness_us") > 0).cast("long"))
+        .cast("long")
+        .alias("n_ooo"),
+        F.max("_lateness_us").cast("long").alias("max_lateness_us"),
+    ]
+    for d in delays_seconds:
+        aggs.append(
+            F.sum((F.col("_lateness_us") > d * 1_000_000).cast("long"))
+            .cast("long")
+            .alias(f"n_late_{d}s")
+        )
+    out = late.groupBy(partition_col).agg(*aggs)
+    return out.withColumn(
+        "ooo_ppm", F.expr("CAST(n_ooo * 1000000 DIV n_rows AS BIGINT)")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

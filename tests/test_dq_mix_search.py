@@ -316,3 +316,29 @@ class TestLDiversity:
                for r in dqm.l_diversity(df, ["qi"], "s", l=2).collect()}
         assert out["A"] == (3, 1, True)
         assert out["B"] == (2, 2, False)
+
+
+class TestKeySkew:
+    def test_top_keys_and_ratios(self, spark):
+        from kafka2iceberg_spark import dq as dqm
+
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = dqm.key_skew(df, "k", top_k=2).collect()
+        assert [(r["rnk"], r["k"], r["n_rows"]) for r in out] == [
+            (1, "a", 6), (2, "b", 3),
+        ]
+        by = {r["k"]: r for r in out}
+        # 10 rows over 3 keys: mean load 10/3
+        assert by["a"]["share_ppm"] == 600_000
+        assert by["a"]["x_mean_ppm"] == 1_800_000  # 6*3*1e6 // 10
+        assert by["b"]["x_mean_ppm"] == 900_000
+
+    def test_tie_break_deterministic(self, spark):
+        from kafka2iceberg_spark import dq as dqm
+
+        rows = [("z",)] * 2 + [("y",)] * 2 + [("x",)] * 2
+        df = spark.createDataFrame(rows, "k string")
+        out = dqm.key_skew(df, "k", top_k=2).collect()
+        # equal counts -> lexicographic key order decides, both engines
+        assert [r["k"] for r in out] == ["x", "y"]

@@ -403,3 +403,55 @@ class TestCappedSessions:
         )
         [r] = win.capped_sessions(df, 1800, 3600).collect()
         assert (r["session_seq"], r["n_turns"], r["dur_us"]) == (1, 1, 0)
+
+
+class TestDisorderProfile:
+    def test_known_lateness(self, spark):
+        import datetime as dt
+
+        from kafka2iceberg_spark import windows as win
+
+        def t(minutes):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+        # partition 0 arrives 60, 0, 90, 30 -> rows 2 and 4 are 1h late;
+        # partition 1 arrives in event-time order -> zero disorder
+        rows = [
+            (0, 1, t(60)), (0, 2, t(0)), (0, 3, t(90)), (0, 4, t(30)),
+            (1, 1, t(0)), (1, 2, t(10)), (1, 3, t(20)),
+        ]
+        df = spark.createDataFrame(
+            rows, "kafka_partition long, arrival_seq int, ts timestamp"
+        )
+        out = {
+            r["kafka_partition"]: r
+            for r in win.disorder_profile(df).collect()
+        }
+        p0 = out[0]
+        assert (p0["n_rows"], p0["n_ooo"]) == (4, 2)
+        assert p0["max_lateness_us"] == 3600 * 1_000_000
+        # 1h lateness exceeds the 60s candidate delay but not the 1h one
+        assert p0["n_late_60s"] == 2
+        assert p0["n_late_3600s"] == 0
+        assert p0["n_late_86400s"] == 0
+        assert p0["ooo_ppm"] == 500_000
+        p1 = out[1]
+        assert (p1["n_ooo"], p1["max_lateness_us"], p1["ooo_ppm"]) == (0, 0, 0)
+
+    def test_partitions_independent(self, spark):
+        import datetime as dt
+
+        from kafka2iceberg_spark import windows as win
+
+        base = dt.datetime(2024, 1, 1)
+        # the late row in partition 0 must not count against partition 1
+        rows = [
+            (0, 1, base + dt.timedelta(hours=5)),
+            (0, 2, base),
+            (1, 1, base + dt.timedelta(hours=1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "kafka_partition long, arrival_seq int, ts timestamp"
+        )
+        out = {r["kafka_partition"]: r for r in win.disorder_profile(df).collect()}
+        assert out[0]["n_ooo"] == 1 and out[1]["n_ooo"] == 0
