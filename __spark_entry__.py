@@ -3909,6 +3909,58 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.key_skew(_tx(spark, sf_dir), "conv_id", top_k=10)
 
 
+def q_turn_echoes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent echo/loop detector (cep.echo_stats): per conversation, count
+    turns where a speaker's NEXT turn repeats its own previous action —
+    action = the text's event_type prefix, sequenced within (conv, role)
+    so the interleaved other speakers don't break a loop. The
+    content-aware sibling of role_streaks: a degenerate agent loop is
+    exactly this signature, and a transcript-quality gate drops on it.
+    One rank window + gaps-and-islands, every stage on conv_id."""
+    t = _tx(spark, sf_dir).withColumn(
+        "signal", F.substring_index("text", ":", 1)
+    )
+    seq = F.row_number().over(
+        Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    )
+    return cep.echo_stats(t.withColumn("role_seq", seq), order_col="role_seq")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit (dedup.split_leakage): exact-dup
+    fingerprints whose copies land in different dataset_split buckets —
+    eval rows silently present in train. One fingerprint groupBy + one
+    scalar agg + a 4-row unpivot; the exact_dedup silhouette."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    return dd.split_leakage(d)
+
+
+def q_role_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT over per-conversation role counts: the melt
+    relational operator (Spark ``DataFrame.unpivot`` — TungstenExpand,
+    no shuffle beyond the count agg), completing the reshape pair with
+    role_day_pivot. Output (conv_id, metric, n) sorted by nothing —
+    the gate sorts."""
+    t = _tx(spark, sf_dir)
+    wide = t.groupBy("conv_id").agg(
+        F.sum((F.col("role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long"))
+        .cast("long")
+        .alias("n_tool"),
+    )
+    return wide.unpivot(
+        ids=["conv_id"],
+        values=["n_user", "n_assistant", "n_tool"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4127,6 +4179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q_distance_histogram,
         "ooo_profile": q_ooo_profile,
         "key_skew": q_key_skew,
+        "turn_echoes": q_turn_echoes,
+        "split_leakage": q_split_leakage,
+        "role_unpivot": q_role_unpivot,
     }
 
 
@@ -9284,6 +9339,66 @@ SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, conv_id) AS INT) AS rnk,
        CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
        CAST(n_rows * n_keys * 1000000 // total AS BIGINT) AS x_mean_ppm
 FROM top, tot
+""",
+        "turn_echoes": f"""
+WITH {_TX},
+q AS (
+  SELECT conv_id, role, split_part(text, ':', 1) AS signal,
+         row_number() OVER (PARTITION BY conv_id, role
+                            ORDER BY turn_idx) AS role_seq
+  FROM transcripts
+),
+s AS (
+  SELECT conv_id, role, signal,
+         role_seq - row_number() OVER (
+           PARTITION BY conv_id, role, signal
+           ORDER BY role_seq) AS isl
+  FROM q
+),
+runs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+  FROM s GROUP BY conv_id, role, signal, isl
+)
+SELECT conv_id,
+       CAST(sum(len) AS BIGINT) AS n_turns,
+       CAST(sum(len) - count(*) AS BIGINT) AS n_echoes,
+       CAST(max(len) AS BIGINT) AS longest_echo,
+       CAST((sum(len) - count(*)) * 1000000 // sum(len) AS BIGINT)
+         AS echo_ppm
+FROM runs GROUP BY conv_id
+""",
+        "split_leakage": f"""
+WITH per_fp AS (
+  SELECT substr(md5({_NORM}), 1, 16) AS fp,
+         max(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 >= 200 THEN 1 ELSE 0 END) AS tr,
+         max(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 1 ELSE 0 END) AS va,
+         max(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS te
+  FROM documents GROUP BY 1
+),
+sums AS (
+  SELECT CAST(sum(CASE WHEN tr = 1 AND va = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tv,
+         CAST(sum(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         CAST(sum(CASE WHEN va = 1 AND te = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vt,
+         CAST(sum(CASE WHEN tr + va + te >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS anyp
+  FROM per_fp
+)
+SELECT 'train|val' AS leak_pair, tv AS n_fingerprints FROM sums
+UNION ALL SELECT 'train|test', tt FROM sums
+UNION ALL SELECT 'val|test', vt FROM sums
+UNION ALL SELECT 'any', anyp FROM sums
+""",
+        "role_unpivot": f"""
+WITH {_TX},
+wide AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+         CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+  FROM transcripts GROUP BY 1
+)
+SELECT conv_id, 'n_user' AS metric, n_user AS n FROM wide
+UNION ALL SELECT conv_id, 'n_assistant', n_assistant FROM wide
+UNION ALL SELECT conv_id, 'n_tool', n_tool FROM wide
 """,
         "quality_auc": f"""
 WITH {_QPPM},

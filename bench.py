@@ -153,6 +153,12 @@ HEADLINE_EXTRA = [
     "simhash_pairs",
     "tool_transitions",
     "distance_histogram",
+    # round-3 session-8 additions
+    "ooo_profile",
+    "key_skew",
+    "turn_echoes",
+    "split_leakage",
+    "role_unpivot",
 ]
 
 SCALE_GEN = dict(

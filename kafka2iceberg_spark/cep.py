@@ -359,3 +359,59 @@ def longest_streaks(
         .where(F.col("_rk") == 1)
         .select(key, state_col, "streak_len", "start_turn")
     )
+
+
+def echo_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Echo/loop detector over turn streams: an *echo* is a turn that
+    repeats the previous turn's (role, signal) — the signature of an
+    agent stuck re-issuing the same action or re-emitting the same
+    response. ``longest_streaks`` flags same-ROLE monologues; this is the
+    stricter content-aware version a transcript-quality gate runs to
+    drop degenerate loops before training.
+
+    Same gaps-and-islands shape as ``longest_streaks``, keyed one level
+    deeper: island id = dense ``order_col`` minus row_number inside the
+    (key, role, signal) partition, so a run of identical actions is one
+    island. A run of length L contributes L-1 echoes. Requires
+    ``order_col`` to be DENSE within each (key, role) group — for
+    transcripts pass each role's within-conversation rank, which also
+    gives echoes the useful semantics: "the agent's NEXT turn repeats
+    the same action", regardless of the other speakers in between.
+
+    Shape: one row_number window + one hash agg on (key, role, signal,
+    island) + one per-key rollup — every stage partitioned by the
+    conversation, no joins, no global sort; at 10^12 turns it is the
+    standard single conv_id exchange.
+
+    Output per key: (key, n_turns, n_echoes, longest_echo — longest run
+    of one repeated action, ≥1 — and echo_ppm, exact integer).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key, role_col, signal_col).orderBy(order_col)
+    runs = (
+        df.select(key, role_col, signal_col, order_col)
+        .withColumn("_isl", F.col(order_col) - F.row_number().over(w))
+        .groupBy(key, role_col, signal_col, "_isl")
+        .agg(F.count(F.lit(1)).cast("long").alias("_len"))
+    )
+    return (
+        runs.groupBy(key)
+        .agg(
+            F.sum("_len").cast("long").alias("n_turns"),
+            (F.sum("_len") - F.count(F.lit(1))).cast("long").alias(
+                "n_echoes"
+            ),
+            F.max("_len").cast("long").alias("longest_echo"),
+        )
+        .withColumn(
+            "echo_ppm",
+            F.expr("CAST(n_echoes * 1000000 DIV n_turns AS BIGINT)"),
+        )
+    )

@@ -1107,3 +1107,68 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_per_mille: int = 100,
+    test_per_mille: int = 100,
+) -> DataFrame:
+    """Train/val/test leakage audit — the hygiene check run right after
+    ``textops.dataset_split``: exact duplicates (same content
+    fingerprint) whose copies land in *different* splits silently leak
+    eval data into training. Reports, per split pair, how many distinct
+    fingerprints span both, plus an ``any`` rollup (fingerprints in ≥2
+    splits) — nonzero means dedup must run BEFORE the split, or the
+    split key must be the fingerprint itself.
+
+    Shape: one scan → one partial-aggregated groupBy(fingerprint)
+    carrying three booleans (map-side combine shrinks the shuffle to
+    |distinct docs|) → one scalar aggregate → a 4-row unpivot. No joins;
+    the same single-shuffle silhouette as ``exact_dedup`` at 100 TB.
+
+    Output: (leak_pair ∈ {train|val, train|test, val|test, any},
+    n_fingerprints) — deterministic 4-row table, exact integers.
+    """
+    from kafka2iceberg_spark import textops as tx
+
+    per_fp = (
+        docs.select(
+            tx.fingerprint(F.col(text_col)).alias("fp"),
+            tx.dataset_split(
+                F.col(id_col).cast("string"), val_per_mille, test_per_mille
+            ).alias("split"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.max((F.col("split") == "train").cast("int")).alias("_tr"),
+            F.max((F.col("split") == "val").cast("int")).alias("_va"),
+            F.max((F.col("split") == "test").cast("int")).alias("_te"),
+        )
+    )
+    sums = per_fp.agg(
+        F.sum(((F.col("_tr") == 1) & (F.col("_va") == 1)).cast("long"))
+        .cast("long")
+        .alias("tv"),
+        F.sum(((F.col("_tr") == 1) & (F.col("_te") == 1)).cast("long"))
+        .cast("long")
+        .alias("tt"),
+        F.sum(((F.col("_va") == 1) & (F.col("_te") == 1)).cast("long"))
+        .cast("long")
+        .alias("vt"),
+        F.sum(
+            ((F.col("_tr") + F.col("_va") + F.col("_te")) >= 2).cast("long")
+        )
+        .cast("long")
+        .alias("anyp"),
+    )
+    return sums.selectExpr(
+        """stack(4,
+             'train|val',  tv,
+             'train|test', tt,
+             'val|test',   vt,
+             'any',        anyp
+           ) AS (leak_pair, n_fingerprints)"""
+    )

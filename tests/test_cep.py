@@ -178,3 +178,51 @@ class TestLongestStreaks:
                for r in longest_streaks(df).collect()}
         assert out["A"] == ("a", 3, 1)
         assert out["B"] == ("t", 2, 0)
+
+
+class TestEchoStats:
+    def test_hand_computed(self, spark):
+        from kafka2iceberg_spark.cep import echo_stats
+
+        # conv A, one role: signals x x x y x -> runs [3,1,1] ->
+        # 2 echoes, longest 3
+        rows = [
+            ("A", "a", "x", 1), ("A", "a", "x", 2), ("A", "a", "x", 3),
+            ("A", "a", "y", 4), ("A", "a", "x", 5),
+            # conv B: alternating -> zero echoes
+            ("B", "a", "x", 1), ("B", "a", "y", 2), ("B", "a", "x", 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, role string, signal string, turn_idx int"
+        )
+        out = {r["conv_id"]: r for r in echo_stats(df).collect()}
+        a = out["A"]
+        assert (a["n_turns"], a["n_echoes"], a["longest_echo"]) == (5, 2, 3)
+        assert a["echo_ppm"] == 400_000
+        b = out["B"]
+        assert (b["n_echoes"], b["longest_echo"], b["echo_ppm"]) == (0, 1, 0)
+
+    def test_roles_do_not_cross_echo(self, spark):
+        from kafka2iceberg_spark.cep import echo_stats
+
+        # same signal, different roles, interleaved: no echo across roles
+        rows = [
+            ("C", "u", "x", 1), ("C", "a", "x", 2),
+            ("C", "u", "x", 3), ("C", "a", "x", 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, role string, signal string, turn_idx int"
+        )
+        # turn_idx is dense per conv but NOT per (conv, role); re-rank the
+        # way q_turn_echoes does
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        seq = F.row_number().over(
+            Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+        )
+        [c] = echo_stats(
+            df.withColumn("seq", seq), order_col="seq"
+        ).collect()
+        # within each role the signal repeats consecutively -> 2 echoes
+        assert (c["n_turns"], c["n_echoes"], c["longest_echo"]) == (4, 2, 2)
