@@ -3935,6 +3935,41 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.split_leakage(d)
 
 
+def q_conv_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window tail truncation report (packing.truncate_tail,
+    budget=32 tokens): per conversation, the longest whole-turn suffix
+    that fits the context budget — newest-context-wins, never split a
+    turn, the newest turn kept even oversized. The chat-training
+    pre-packing step; waste_tokens sizes the downstream bins. One
+    reverse-cumsum window + one agg, both on conv_id."""
+    from kafka2iceberg_spark import packing as pk
+
+    t = _tx(spark, sf_dir).withColumn("n_tok", tx.n_tokens(F.col("text")))
+    return pk.truncate_tail(t, budget=32)
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-path skew join (windows.skew_join): transcripts
+    (fact, skewed on conv_id) joined to a derived per-conversation
+    dimension — hot conversations stream map-side against a broadcast of
+    their dim rows, cold ones take a shuffle-hash join, union of the
+    two. Result is row-identical to the plain join (the oracle IS the
+    plain join), so the gate proves the rewrite is semantics-free.
+    Post-join rollup: turns per (first_event_type, role)."""
+    t = _tx(spark, sf_dir)
+    dim = (
+        t.where(F.col("turn_idx") == 0)
+        .select(
+            "conv_id",
+            F.substring_index("text", ":", 1).alias("first_event_type"),
+        )
+    )
+    joined = win.skew_join(t, dim, "conv_id", hot_threshold=70)
+    return joined.groupBy("first_event_type", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+
+
 def q_role_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long UNPIVOT over per-conversation role counts: the melt
     relational operator (Spark ``DataFrame.unpivot`` — TungstenExpand,
@@ -4182,6 +4217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_echoes": q_turn_echoes,
         "split_leakage": q_split_leakage,
         "role_unpivot": q_role_unpivot,
+        "conv_truncation": q_conv_truncation,
+        "skew_join": q_skew_join,
     }
 
 
@@ -9386,6 +9423,51 @@ SELECT 'train|val' AS leak_pair, tv AS n_fingerprints FROM sums
 UNION ALL SELECT 'train|test', tt FROM sums
 UNION ALL SELECT 'val|test', vt FROM sums
 UNION ALL SELECT 'any', anyp FROM sums
+""",
+        "conv_truncation": f"""
+WITH {_TX},
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN {_NORM} = '' THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS BIGINT) AS n_tok
+  FROM transcripts
+),
+suff AS (
+  SELECT conv_id, turn_idx, n_tok,
+         sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS suffix_tok,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+           AS rk
+  FROM tok
+),
+k AS (
+  SELECT conv_id, turn_idx, n_tok,
+         CASE WHEN suffix_tok <= 32 OR rk = 1 THEN 1 ELSE 0 END AS keep
+  FROM suff
+),
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+         CAST(sum(n_tok * keep) AS BIGINT) AS kept_tokens,
+         CAST(min(CASE WHEN keep = 1 THEN turn_idx END) AS BIGINT)
+           AS first_kept_turn
+  FROM k GROUP BY 1
+)
+SELECT *, CAST(greatest(32 - kept_tokens, 0) AS BIGINT) AS waste_tokens
+FROM agg
+""",
+        "skew_join": f"""
+WITH {_TX},
+dim AS (
+  SELECT conv_id, split_part(text, ':', 1) AS first_event_type
+  FROM transcripts WHERE turn_idx = 0
+)
+SELECT d.first_event_type, t.role, CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts t JOIN dim d USING (conv_id)
+GROUP BY 1, 2
 """,
         "role_unpivot": f"""
 WITH {_TX},

@@ -159,6 +159,8 @@ HEADLINE_EXTRA = [
     "turn_echoes",
     "split_leakage",
     "role_unpivot",
+    "conv_truncation",
+    "skew_join",
 ]
 
 SCALE_GEN = dict(

@@ -102,3 +102,67 @@ def bin_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("n_tok").alias("fill_tok"),
         ((F.sum("n_tok") * 1_000_000) / budget).cast("long").alias("fill_ppm"),
     )
+
+
+def truncate_tail(
+    df: DataFrame,
+    budget: int,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    tokens_col: str = "n_tok",
+) -> DataFrame:
+    """Context-window tail truncation report: for each conversation, keep
+    the longest SUFFIX of whole turns whose token total fits ``budget`` —
+    the standard "most recent context wins, never split a turn" rule a
+    chat-training pipeline applies before packing. The newest turn is
+    kept even when it alone exceeds the budget (a model must see at
+    least the last message).
+
+    One reverse cumulative-sum window per conversation (suffix sums) +
+    one aggregate on the same partitioning — the standard single conv_id
+    exchange; no joins, no global sort, exact integers end to end.
+
+    Output per key: n_turns, n_kept, n_dropped, kept_tokens,
+    first_kept_turn, and waste_tokens = budget − kept_tokens (floored at
+    0 for the oversized-single-turn case) — the fill-efficiency number
+    that sizes the downstream packing bins.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suff = df.select(key, order_col, tokens_col).withColumn(
+        "_suffix_tok", F.sum(tokens_col).over(w)
+    )
+    keep = (F.col("_suffix_tok") <= budget) | (
+        F.col("_rk") == 1
+    )
+    suff = suff.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy(key).orderBy(F.desc(order_col))),
+    ).withColumn("_keep", keep.cast("int"))
+    return (
+        suff.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("_keep").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("_keep")).cast("long").alias(
+                "n_dropped"
+            ),
+            F.sum(F.col(tokens_col) * F.col("_keep"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.min(F.when(F.col("_keep") == 1, F.col(order_col)))
+            .cast("long")
+            .alias("first_kept_turn"),
+        )
+        .withColumn(
+            "waste_tokens",
+            F.greatest(F.lit(budget) - F.col("kept_tokens"), F.lit(0)).cast(
+                "long"
+            ),
+        )
+    )

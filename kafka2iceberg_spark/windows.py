@@ -316,6 +316,57 @@ def salted_agg(
     return partial.groupBy(key).agg(F.sum("_c").cast("long").alias(count_col))
 
 
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_threshold: int,
+    how: str = "inner",
+) -> DataFrame:
+    """X1 for JOINS — the explicit two-path skew join ``salted_agg`` is
+    for aggregates. A shuffle join hash-partitions BOTH sides on the key,
+    so one mega-conversation lands its entire fact side in one task; AQE
+    skew-join splits such partitions at runtime, but only after the skew
+    materializes and only per-partition, not per-key. This operator makes
+    the plan explicit and deterministic:
+
+      hot keys   left-side counts > hot_threshold (one partial-agg count;
+                 the survivors are by construction few — a driver-side
+                 collect of hot keys only is bounded coordination, same
+                 discipline as sink commit metadata)
+      hot path   fact rows with hot keys join a ``broadcast()`` of the
+                 dim rows for those keys — no shuffle of the heavy side
+                 at all, the mega-key streams map-side
+      cold path  everything else takes the normal shuffle-hash join
+      result     unionByName of both paths — row-identical to the plain
+                 join for inner/left semantics (each row takes exactly
+                 one path, decided by its key)
+
+    Requires the RIGHT side to be join-key-unique-ish and small per hot
+    key (a dimension), which is the only regime where per-key broadcast
+    is correct medicine. ``dq.key_skew`` is the diagnostic that chooses
+    ``hot_threshold``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports inner/left joins")
+    counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    hot = [
+        r[0]
+        for r in counts.where(F.col("_n") > hot_threshold)
+        .select(key)
+        .collect()
+    ]
+    if not hot:
+        return left.join(right.hint("shuffle_hash"), key, how)
+    hot_lit = [F.lit(h) for h in hot]
+    hot_left = left.where(F.col(key).isin(*hot_lit))
+    cold_left = left.where(~F.col(key).isin(*hot_lit))
+    hot_right = right.where(F.col(key).isin(*hot_lit))
+    hot_part = hot_left.join(F.broadcast(hot_right), key, how)
+    cold_part = cold_left.join(right.hint("shuffle_hash"), key, how)
+    return hot_part.unionByName(cold_part)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

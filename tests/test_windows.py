@@ -455,3 +455,58 @@ class TestDisorderProfile:
         )
         out = {r["kafka_partition"]: r for r in win.disorder_profile(df).collect()}
         assert out[0]["n_ooo"] == 1 and out[1]["n_ooo"] == 0
+
+
+class TestSkewJoin:
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [("hot", i) for i in range(20)] + [("c1", 0), ("c2", 0)],
+            "k string, v int",
+        )
+        right = spark.createDataFrame(
+            [("hot", "H"), ("c1", "A"), ("c2", "B"), ("orphan", "X")],
+            "k string, lab string",
+        )
+        return left, right
+
+    def test_inner_matches_plain_join(self, spark):
+        from kafka2iceberg_spark import windows as win
+
+        left, right = self._data(spark)
+        out = win.skew_join(left, right, "k", hot_threshold=5)
+        plain = left.join(right, "k")
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_left_keeps_unmatched(self, spark):
+        from kafka2iceberg_spark import windows as win
+
+        left, right = self._data(spark)
+        left = left.union(
+            spark.createDataFrame([("lonely", 9)], "k string, v int")
+        )
+        out = win.skew_join(left, right, "k", hot_threshold=5, how="left")
+        plain = left.join(right, "k", "left")
+        assert sorted(map(str, out.collect())) == sorted(
+            map(str, plain.collect())
+        )
+
+    def test_no_hot_keys_path(self, spark):
+        from kafka2iceberg_spark import windows as win
+
+        left, right = self._data(spark)
+        out = win.skew_join(left, right, "k", hot_threshold=1000)
+        plain = left.join(right, "k")
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_rejects_other_join_types(self, spark):
+        import pytest
+
+        from kafka2iceberg_spark import windows as win
+
+        left, right = self._data(spark)
+        with pytest.raises(ValueError):
+            win.skew_join(left, right, "k", 5, how="full")
