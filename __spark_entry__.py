@@ -3970,6 +3970,19 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_struct_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure dedup (dedup.structure_groups): group
+    conversations opening with the identical 3-turn (role:event_type)
+    sequence — templated/scripted flows that text dedup can't see
+    because every turn's text differs. One conv_id fold + one signature
+    agg; no joins."""
+    t = _tx(spark, sf_dir).withColumn(
+        "signal",
+        F.concat_ws(":", "role", F.substring_index("text", ":", 1)),
+    )
+    return dd.structure_groups(t, prefix_len=3, min_group=2)
+
+
 def q_role_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long UNPIVOT over per-conversation role counts: the melt
     relational operator (Spark ``DataFrame.unpivot`` — TungstenExpand,
@@ -4219,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_unpivot": q_role_unpivot,
         "conv_truncation": q_conv_truncation,
         "skew_join": q_skew_join,
+        "struct_dups": q_struct_dups,
     }
 
 
@@ -9468,6 +9482,20 @@ dim AS (
 SELECT d.first_event_type, t.role, CAST(count(*) AS BIGINT) AS n_turns
 FROM transcripts t JOIN dim d USING (conv_id)
 GROUP BY 1, 2
+""",
+        "struct_dups": f"""
+WITH {_TX},
+folded AS (
+  SELECT conv_id,
+         array_to_string(
+           (list(role || ':' || split_part(text, ':', 1)
+                 ORDER BY turn_idx))[1:3], '>') AS struct_sig
+  FROM transcripts GROUP BY 1
+)
+SELECT struct_sig,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS canonical_conv
+FROM folded GROUP BY 1 HAVING count(*) >= 2
 """,
         "role_unpivot": f"""
 WITH {_TX},

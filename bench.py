@@ -161,6 +161,7 @@ HEADLINE_EXTRA = [
     "role_unpivot",
     "conv_truncation",
     "skew_join",
+    "struct_dups",
 ]
 
 SCALE_GEN = dict(

@@ -1172,3 +1172,52 @@ def split_leakage(
              'any',        anyp
            ) AS (leak_pair, n_fingerprints)"""
     )
+
+
+def structure_groups(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    signal_col: str = "signal",
+    prefix_len: int = 3,
+    min_group: int = 2,
+) -> DataFrame:
+    """Conversation-STRUCTURE dedup: group conversations whose first
+    ``prefix_len`` turns follow the identical (ordered) signal sequence —
+    scripted openings, templated bot flows, replayed scenarios. Document
+    dedup sees none of this (every turn's text differs); the *sequence*
+    is the duplicated artifact, which makes this the conversation-level
+    complement of exact_dedup.
+
+    Same fold as cep.role_sequence: collect_list(struct(order, signal))
+    → array_sort → slice → join — ONE hash shuffle on the conversation
+    key, the prefix costs O(prefix_len) bytes per conv, then one
+    partial-aggregated groupBy on the folded signature. No joins; at
+    10^12 turns this is the standard conv_id exchange plus a
+    |signatures|-sized agg.
+
+    Output: (struct_sig, n_convs, canonical_conv — smallest member key)
+    for every signature shared by ≥ ``min_group`` conversations.
+    """
+    pair = F.struct(F.col(order_col).alias("i"), F.col(signal_col).alias("s"))
+    folded = (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(pair)).alias("seq"))
+        .select(
+            key,
+            F.array_join(
+                F.slice(
+                    F.transform("seq", lambda x: x["s"]), 1, prefix_len
+                ),
+                ">",
+            ).alias("struct_sig"),
+        )
+    )
+    return (
+        folded.groupBy("struct_sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.min(key).alias("canonical_conv"),
+        )
+        .where(F.col("n_convs") >= min_group)
+    )

@@ -46,3 +46,34 @@ class TestSplitLeakage:
                for r in split_leakage(df).collect()}
         assert out == {"train|val": 0, "train|test": 0,
                        "val|test": 0, "any": 0}
+
+
+class TestStructureGroups:
+    def test_prefix_grouping(self, spark):
+        from kafka2iceberg_spark.dedup import structure_groups
+
+        rows = [
+            # A and B share the 2-prefix x>y; C differs
+            ("A", 0, "x"), ("A", 1, "y"), ("A", 2, "z"),
+            ("B", 0, "x"), ("B", 1, "y"),
+            ("C", 0, "x"), ("C", 1, "z"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, signal string"
+        )
+        out = structure_groups(df, prefix_len=2, min_group=2).collect()
+        assert len(out) == 1
+        [g] = out
+        assert (g["struct_sig"], g["n_convs"], g["canonical_conv"]) == (
+            "x>y", 2, "A",
+        )
+
+    def test_order_not_arrival(self, spark):
+        from kafka2iceberg_spark.dedup import structure_groups
+
+        # same multiset, different ORDER -> different signatures
+        rows = [("A", 0, "x"), ("A", 1, "y"), ("B", 1, "x"), ("B", 0, "y")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, signal string"
+        )
+        assert structure_groups(df, prefix_len=2).count() == 0
