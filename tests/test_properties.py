@@ -264,3 +264,44 @@ class TestStateCodecProperty:
         got = [None if t is None else t for t in out["text"]]
         want = [None if t is None else str(t) for t in texts]
         assert got == want
+
+
+tok_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),
+    min_size=1,
+    max_size=3,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestTruncateTailProperty:
+    @given(convs=tok_strategy, budget=st.integers(min_value=1, max_value=80))
+    @SETTINGS
+    def test_suffix_invariants(self, spark, convs, budget):
+        from kafka2iceberg_spark.packing import truncate_tail
+
+        rows = [
+            (f"c{ci}", idx, tok)
+            for ci, toks in enumerate(convs)
+            for idx, tok in enumerate(toks)
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, n_tok int"
+        )
+        out = {r["conv_id"]: r for r in truncate_tail(df, budget).collect()}
+        for ci, toks in enumerate(convs):
+            r = out[f"c{ci}"]
+            n = len(toks)
+            assert r["n_kept"] + r["n_dropped"] == r["n_turns"] == n
+            assert 1 <= r["n_kept"] <= n  # newest turn always kept
+            # kept set is exactly the suffix starting at first_kept_turn
+            fk = r["first_kept_turn"]
+            assert fk == n - r["n_kept"]
+            assert r["kept_tokens"] == sum(toks[fk:])
+            # budget respected unless a single oversized newest turn
+            if r["n_kept"] > 1:
+                assert r["kept_tokens"] <= budget
+            # maximality: one more turn would burst the budget
+            if fk > 0:
+                assert r["kept_tokens"] + toks[fk - 1] > budget
+            assert r["waste_tokens"] == max(budget - r["kept_tokens"], 0)
