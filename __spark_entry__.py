@@ -3964,7 +3964,16 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("text", ":", 1).alias("first_event_type"),
         )
     )
-    joined = win.skew_join(t, dim, "conv_id", hot_threshold=70)
+    # hot = 4x the mean key load (dq.key_skew's x_mean reading), so the
+    # hot set stays "the few mega-conversations" at every sf instead of
+    # swallowing the whole table as row counts grow
+    mean_load = (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("n"))
+        .first()[0]
+    )
+    joined = win.skew_join(t, dim, "conv_id", hot_threshold=int(mean_load * 4))
     return joined.groupBy("first_event_type", "role").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns")
     )
