@@ -3741,8 +3741,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration over the near-dup-augmented corpus
     (dedup.minhash_calibration): estimated vs exact Jaccard for every
     LSH candidate pair, bucketed by true similarity — validates the
-    N_PERMS/N_BANDS operating point before scale-out."""
-    return dd.minhash_calibration(_docs_aug_near(spark, sf_dir, subset=False))
+    N_PERMS/N_BANDS operating point before scale-out. Runs on the same
+    deterministic 20% corpus slice as the other near-dup evals:
+    calibration is a sampled eval by design (the estimator statistics
+    are slice-invariant), and the exact-Jaccard side is quadratic in
+    the candidate set."""
+    return dd.minhash_calibration(_docs_aug_near(spark, sf_dir, subset=True))
 
 
 def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8957,7 +8961,7 @@ SELECT i.query_id,
 FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
 """,
         "minhash_calibration": f"""
-WITH {_aug_near(False)},
+WITH {_aug_near(True)},
 {_SHINGLES},
 perms(i, a, b) AS (VALUES {_PERM_VALUES}),
 mh AS (
