@@ -52,6 +52,7 @@ __all__ = [
     "match_extract",
     "match_counts",
     "match_spans",
+    "match_stream",
     "precedence_support",
 ]
 
@@ -567,6 +568,154 @@ def echo_stream(
                     "run_len": [n for *_, n in finalized],
                 }
             )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def match_stream(
+    events: DataFrame,
+    pattern: str,
+    gap_seconds: int = 1800,
+    key: str = "conv_id",
+    role_col: str = "role",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """LIVE variable-length CEP: ``match_spans`` as a streaming stateful
+    operator — the Flink-CEP ``within()`` shape the reference's unused
+    flink-cep dependency (pom.xml:276-281) points at, Spark-first.
+
+    Greedy regex matching over a growing role string is not prefix-stable
+    (``a+b`` on ``"aaa"`` has no match yet, and a match that ends exactly at
+    the frontier can still extend), so per-turn finalization cannot equal
+    the batch matcher.  Instead the unit of finalization is the
+    *gap-closed conversation segment* — exactly the session-window
+    boundary every other op in this repo uses: once the watermark passes
+    ``last buffered turn + gap_seconds`` the segment can never grow, the
+    buffered turns are folded into one role string (sorted by turn_idx,
+    ties impossible by data contract) and matched with ``re.finditer`` —
+    the same engine and non-overlap semantics as the batch twin — then the
+    state is dropped.  Stream == batch row-for-row whenever no
+    conversation straddles a silence longer than ``gap_seconds``
+    (tests/test_cep_stream.py pins parity, segment splitting, cross-batch
+    buffering, and the late-row drop policy shared with echo_stream).
+
+    State per open conversation = the un-emitted turn buffer
+    (``[ts_us, turn_idx, role_char]`` triples) — normally one open segment,
+    transiently several while the watermark lags behind a silence; the
+    close step splits the buffer on ts-gaps and seals each segment
+    independently, so a lagging watermark never glues two conversations'
+    worth of turns into one matched string.  Output rows reuse the batch
+    ``_SPAN_SCHEMA``: (conv_id, match_seq, start_turn, end_turn,
+    match_len, span_us).
+    """
+    import json as _json
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from .windows import with_watermark
+
+    rx = re.compile(pattern)
+    gap_us = int(gap_seconds) * 1_000_000
+    events = with_watermark(events, ts_col, watermark_delay)
+    key_field = [f for f in events.schema.fields if f.name == key][0]
+    out_schema = StructType(
+        [StructField(key, key_field.dataType)]
+        + [f for f in _SPAN_SCHEMA.fields if f.name != "conv_id"]
+    )
+    state_schema = StructType([StructField("buf_json", StringType())])
+    role_char = {"user": "u", "tool": "t"}
+
+    def _close(conv, seg):
+        """Fold one closed segment and emit its matches (batch semantics).
+        ``seg`` is ts-sorted; fold order is turn_idx, like array_sort."""
+        seg = sorted(seg, key=lambda r: r[1])
+        s = "".join(c for _, _, c in seg)
+        rows = []
+        for k, m in enumerate(rx.finditer(s)):
+            rows.append(
+                (
+                    conv,
+                    k,
+                    int(seg[m.start()][1]),
+                    int(seg[m.end() - 1][1]),
+                    m.end() - m.start(),
+                    int(seg[m.end() - 1][0]) - int(seg[m.start()][0]),
+                )
+            )
+        return rows
+
+    def fn(kt, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf = (
+            _json.loads(state.get[0]) if state.exists else []
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                us = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                ).tolist()
+                for u, i, r in zip(
+                    us, pdf[idx_col].tolist(), pdf[role_col].tolist()
+                ):
+                    if u > wm_us:  # late-beyond-watermark: dropped
+                        buf.append([u, int(i), role_char.get(r, "a")])
+        # split the buffer into gap-separated segments (a lagging
+        # watermark can hold several per conversation); close every
+        # segment the watermark has sealed.  Safe exactly-once: a row
+        # able to extend a segment has ts <= seg_end + gap <= wm, so it
+        # would already have been dropped as late.
+        buf.sort()
+        segs, cur = [], []
+        for row in buf:
+            if cur and row[0] - cur[-1][0] > gap_us:
+                segs.append(cur)
+                cur = []
+            cur.append(row)
+        if cur:
+            segs.append(cur)
+        out, keep = [], []
+        for seg in segs:
+            if wm_us >= seg[-1][0] + gap_us:
+                out.extend(_close(kt[0], seg))
+            else:
+                keep.extend(seg)
+        if keep:
+            state.update((_json.dumps(keep),))
+            state.setTimeoutTimestamp(
+                max(
+                    min(
+                        seg[-1][0] + gap_us
+                        for seg in segs
+                        if wm_us < seg[-1][0] + gap_us
+                    )
+                    // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+        if out:
+            pdf = pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+            for f in out_schema.fields[1:]:
+                pdf[f.name] = pdf[f.name].astype(
+                    "int64" if f.name == "span_us" else "int32"
+                )
+            yield pdf
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
