@@ -202,6 +202,18 @@ def countmin_heavy_hitters(
     Output: ``token, est_count`` (exact integers, engine-portable).
     """
     counters = countmin_counters(tokens, value, depth, width)
+    return _cm_probe(counters, candidates, value, depth, width)
+
+
+def _cm_probe(
+    counters: DataFrame,
+    candidates: DataFrame,
+    value: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """min-over-rows probe of a Count-Min counter matrix (shared by the
+    batch heavy-hitters query and the maintained streaming sketch)."""
     probe_rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     probes = candidates.select(F.col(value).alias("token")).distinct().select(
         "token", probe_rows
@@ -294,6 +306,70 @@ class StreamingHLL:
         return hll_estimate_from_registers(
             self.table.read(spark).select("register", "max_rank"), None, self.p
         )
+
+
+class StreamingCountMin:
+    """Continuously-maintained Count-Min sketch: the ``d x w`` counter
+    matrix lives in an IcebergLite table (pk = [row, bucket]) and each
+    micro-batch SUM-merges its own counter matrix into it — counters are
+    linear, so sketch-of-union == sum of per-batch sketches, the additive
+    analogue of HLL's max-merge. Point-frequency estimates for ANY
+    candidate set come from ``estimate()`` on the committed table at any
+    time, with the classic one-sided bound (never an underestimate);
+    state is at most ``depth * width`` rows forever.
+
+    Completes the maintained-sketch family: StreamingHLL answers
+    "how many distinct", StreamingTopK "which tokens are heaviest",
+    StreamingCountMin "how often does THIS token occur" for tokens chosen
+    after the fact — the query SpaceSaving cannot answer once a token is
+    evicted.
+
+    Exactly-once: sum-merge is NOT idempotent, so replay safety rests
+    entirely on ``commit_upsert(batch_id)``'s replay guard (a replayed
+    batch id is skipped before any arithmetic) — the property
+    tests/test_streaming_cm.py pins by re-feeding a committed batch.
+    """
+
+    def __init__(self, table, depth: int = 4, width: int = 1024) -> None:
+        if sorted(table.pk) != ["bucket", "row"]:
+            raise ValueError("counter table pk must be ['row', 'bucket']")
+        self.table = table
+        self.depth = int(depth)
+        self.width = int(width)
+
+    def apply_batch(self, df: DataFrame, value: str, batch_id: str) -> bool:
+        """Sum-merge one micro-batch's counter matrix into the table."""
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        batch = countmin_counters(df, value, self.depth, self.width)
+        try:
+            current = self.table.read(df.sparkSession).select(
+                "row", "bucket", F.col("counter").alias("_old")
+            )
+        except FileNotFoundError:
+            current = None
+        if current is not None:
+            batch = batch.join(current, ["row", "bucket"], "left").select(
+                "row",
+                "bucket",
+                (
+                    F.col("counter") + F.coalesce(F.col("_old"), F.lit(0))
+                ).alias("counter"),
+            )
+        return self.table.commit_upsert(batch, str(batch_id))
+
+    def start(self, stream: DataFrame, value: str, checkpoint: str, **trigger):
+        """Maintain the sketch from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, value, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def estimate(self, spark, candidates: DataFrame, value: str = "token") -> DataFrame:
+        """Frequency estimates for ``candidates`` from the committed
+        counter table: (token, est_count)."""
+        counters = self.table.read(spark).select("row", "bucket", "counter")
+        return _cm_probe(counters, candidates, value, self.depth, self.width)
 
 
 # ------------------------------------------------------- histogram quantiles
