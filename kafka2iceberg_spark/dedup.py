@@ -261,12 +261,34 @@ def minhash_lsh_pairs(
     keys, shuffle-balanced, no cartesian anywhere.
     """
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
-    mh_cols = [f"mh{i}" for i in range(N_PERMS)]
     # Candidate generation is id-only: band rows carry just (id, band,
     # digest) so the self-join shuffles 3 short columns per (doc, band)
     # instead of the full N_PERMS signature ×N_BANDS — at corpus scale the
     # signature matrix never rides the candidate shuffle.
-    bands = sig.select(
+    bands = sig_bands(sig, id_col=id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _score_pairs(cand_ids, sig, id_col, threshold)
+
+
+def sig_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bh) banded digests of a MinHash signature matrix —
+    id-only rows, shared by the batch self-join and the maintained
+    streaming index."""
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -291,23 +313,14 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(F.col(id_col), "bb.band", "bb.bh")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # Rejoin the signature matrix once per side, keyed on id — two
-    # hash joins over the surviving candidate pairs only.
+
+def _score_pairs(
+    cand_ids: DataFrame, sig: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """est_jaccard for candidate (doc_a, doc_b) pairs: rejoin the
+    signature matrix once per side, keyed on id — two hash joins over the
+    surviving candidates only."""
+    mh_cols = [f"mh{i}" for i in range(N_PERMS)]
     sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols])
     sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols])
     cand = cand_ids.join(sa, "doc_a").join(sb, "doc_b")
@@ -1221,3 +1234,148 @@ def structure_groups(
         )
         .where(F.col("n_convs") >= min_group)
     )
+
+
+class NearDupIndex:
+    """Incrementally-maintained MinHash-LSH near-dup index: ingestion-time
+    dedup the way a production corpus actually runs it at 100 TB — the
+    corpus is NEVER re-deduped; each micro-batch of new documents is
+    checked against the committed signature index and then added to it.
+
+    Two IcebergLite tables:
+
+      * ``index``  (pk=[doc_id])        — the signature matrix, one row per
+        ever-ingested doc (N_PERMS bigint columns); grows with the corpus,
+        upsert-idempotent.
+      * ``pairs``  (pk=[doc_a, doc_b])  — every near-dup pair discovered,
+        ``doc_a < doc_b``, with ``est_jaccard``.
+
+    Per batch: signatures of the incoming docs (one shuffle, map-side
+    combined) → banded digests of batch and index → candidate ids from the
+    (band, bh) join — the batch side is small, so the index scan dominates;
+    a production layout buckets the index table by band digest so the join
+    is storage-partitioned and only matching buckets are read → exact
+    est_jaccard rescoring from the union signature matrix → threshold →
+    commit. Pair set after any prefix of batches == the batch
+    ``minhash_lsh_pairs`` over the union of those batches
+    (tests/test_streaming_neardup.py pins it), because band digests are
+    deterministic functions of the text alone.
+
+    Exactly-once without a cross-table transaction: the PAIRS commit runs
+    first, computed against the PRE-batch index, then the INDEX commit —
+    both guarded by batch id. Replay after a crash between the two skips
+    the pairs commit (guard) and re-lands only the signatures, whose
+    content depends on the batch alone; and even a double-computed pair is
+    absorbed by PK upsert. The one order that would be wrong — signatures
+    first, pairs second — would re-discover the batch against itself after
+    a partial replay, which the (doc_a != doc_b) guard and PK dedup still
+    absorb; the chosen order never even computes it.
+    """
+
+    def __init__(
+        self,
+        index,
+        pairs,
+        threshold: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        if sorted(index.pk) != [id_col]:
+            raise ValueError(f"index table pk must be ['{id_col}']")
+        if sorted(pairs.pk) != ["doc_a", "doc_b"]:
+            raise ValueError("pairs table pk must be ['doc_a', 'doc_b']")
+        self.index = index
+        self.pairs = pairs
+        self.threshold = float(threshold)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _index_sigs(self, spark) -> DataFrame | None:
+        try:
+            return self.index.read(spark).select(
+                self.id_col, *[f"mh{i}" for i in range(N_PERMS)]
+            )
+        except FileNotFoundError:
+            return None
+
+    def apply_batch(self, docs: DataFrame, batch_id: str) -> bool:
+        bid = str(batch_id)
+        spark = docs.sparkSession
+        pairs_done = bid in self.pairs.committed_batches()
+        index_done = bid in self.index.committed_batches()
+        if pairs_done and index_done:
+            return False
+        sig_b = minhash_signatures(
+            docs, id_col=self.id_col, text_col=self.text_col
+        ).localCheckpoint(eager=True)  # reused by both the band join and
+        # the rescoring join; checkpoint stops double computation
+        did = False
+        if not pairs_done:
+            cur = self._index_sigs(spark)
+            bands_b = sig_bands(sig_b, id_col=self.id_col).alias("b")
+            # batch-internal candidates (a < b) ...
+            bands_a = sig_bands(sig_b, id_col=self.id_col).alias("a")
+            cond = (
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}"))
+            )
+            cand = bands_a.join(bands_b, cond).select(
+                F.col(f"a.{self.id_col}").alias("doc_a"),
+                F.col(f"b.{self.id_col}").alias("doc_b"),
+            )
+            union_sig = sig_b
+            if cur is not None:
+                # ... plus batch-vs-index candidates, normalized doc_a < doc_b
+                bands_i = sig_bands(cur, id_col=self.id_col).alias("a")
+                cross = (
+                    bands_i.join(
+                        bands_b,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bh") == F.col("b.bh"))
+                        & (
+                            F.col(f"a.{self.id_col}")
+                            != F.col(f"b.{self.id_col}")
+                        ),
+                    )
+                    .select(
+                        F.least(
+                            F.col(f"a.{self.id_col}"),
+                            F.col(f"b.{self.id_col}"),
+                        ).alias("doc_a"),
+                        F.greatest(
+                            F.col(f"a.{self.id_col}"),
+                            F.col(f"b.{self.id_col}"),
+                        ).alias("doc_b"),
+                    )
+                )
+                cand = cand.unionByName(cross)
+                # on doc_id collision the BATCH signature wins (a
+                # re-ingested doc's new text), matching the index upsert
+                # that follows — deterministic, unlike dropDuplicates
+                union_sig = cur.join(
+                    sig_b.select(self.id_col), self.id_col, "left_anti"
+                ).unionByName(sig_b)
+            new_pairs = _score_pairs(
+                cand.dropDuplicates(["doc_a", "doc_b"]),
+                union_sig,
+                self.id_col,
+                self.threshold,
+            )
+            did |= self.pairs.commit_upsert(new_pairs, bid)
+        if not index_done:
+            did |= self.index.commit_upsert(sig_b, bid)
+        return did
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Maintain the index from a streaming DataFrame of documents."""
+        from .sketches import _start_sketch_stream
+
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def all_pairs(self, spark) -> DataFrame:
+        """Every near-dup pair discovered so far, from the committed table."""
+        return self.pairs.read(spark).select("doc_a", "doc_b", "est_jaccard")
