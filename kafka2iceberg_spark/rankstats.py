@@ -1358,12 +1358,21 @@ def poisson_bootstrap_ci(
         "cast(conv(substring(md5(concat(cast(_id as string), ':',"
         " cast(b as string))), 1, 8), 16, 10) as long) % 1000000"
     )
-    rep = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(value_cents_col).alias("_v"),
-        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("b"),
-    ).select(
-        "b", "_v", F.expr(_poisson_weight_sql(u_sql)).cast("long").alias("w")
+    # materialize the draw ONCE per (row, replicate): inlining u_sql into
+    # the ladder would re-evaluate md5+conv in every CASE branch (up to 9
+    # hashes per row — measured 49.7 s vs 6 s at sf0.1, B=200)
+    rep = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(value_cents_col).alias("_v"),
+            F.explode(F.expr(f"sequence(0, {b - 1})")).alias("b"),
+        )
+        .select("b", "_v", F.expr(u_sql).alias("_u"))
+        .select(
+            "b",
+            "_v",
+            F.expr(_poisson_weight_sql("_u")).cast("long").alias("w"),
+        )
     )
     means = (
         rep.groupBy("b")
