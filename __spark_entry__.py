@@ -1063,6 +1063,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion-time near-dup dedup (dedup.NearDupIndex):
+    the corpus arrives as two batches (doc_id parity); each batch is
+    banded against the committed signature index, rescored exactly, and
+    appended — the 100 TB shape where the corpus is never re-deduped.
+    Final pair set == batch ``minhash_lsh_pairs`` over the union (prefix
+    parity, tests/test_streaming_neardup.py), so the oracle is the SAME
+    SQL as ``dedup_minhash_lsh`` — the driver gate proves the incremental
+    path lands exactly the batch answer."""
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    _utc(spark)
+    docs = _docs_aug_near(spark, sf_dir, subset=False)
+    work = tempfile.mkdtemp(prefix="neardup_idx_")
+    nd = dd.NearDupIndex(
+        IcebergLite(f"{work}/index", pk=["doc_id"], partition_field=None),
+        IcebergLite(
+            f"{work}/pairs", pk=["doc_a", "doc_b"], partition_field=None
+        ),
+        threshold=0.875,
+    )
+    nd.apply_batch(docs.where(F.col("doc_id") % 2 == 0), "0")
+    nd.apply_batch(docs.where(F.col("doc_id") % 2 == 1), "1")
+    return nd.all_pairs(spark)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     MinHash-LSH pair graph via iterative min-label propagation (Pregel
@@ -4081,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "neardup_index": q_neardup_index,
         "dedup_clusters": q_dedup_clusters,
         "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
@@ -9660,4 +9689,8 @@ LEFT JOIN np ON np.label = c.label
 LEFT JOIN tpos ON tpos.label = c.label
 """
     )
+    # the incremental NearDupIndex's final state equals the batch LSH
+    # pairs over the same corpus (prefix parity), so its oracle IS the
+    # batch SQL — the gate proves incremental == batch
+    out["neardup_index"] = out["dedup_minhash_lsh"]
     return out

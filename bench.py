@@ -162,6 +162,8 @@ HEADLINE_EXTRA = [
     "conv_truncation",
     "skew_join",
     "struct_dups",
+    # round-3 session-9 additions
+    "neardup_index",
 ]
 
 SCALE_GEN = dict(
