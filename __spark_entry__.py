@@ -1213,6 +1213,30 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH ANN index (similarity.AnnIndex): vectors arrive
+    as two batches (vec_id parity), each bucketed ONCE at ingestion and
+    upserted into the committed index; queries bucket only themselves
+    and candidate-join the stored buckets. Index answers == batch
+    ``lsh_topk`` for the same corpus (shared rerank, deterministic
+    buckets), so the oracle is the SAME SQL as ``ann_lsh_topk``."""
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    _utc(spark)
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    work = tempfile.mkdtemp(prefix="ann_idx_")
+    idx = sim.AnnIndex(
+        IcebergLite(f"{work}/index", pk=["vec_id"], partition_field=None),
+        dim=64,
+    )
+    idx.apply_batch(emb.where(F.col("vec_id") % 2 == 0), "0")
+    idx.apply_batch(emb.where(F.col("vec_id") % 2 == 1), "1")
+    out = idx.topk(spark, emb.where(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -4118,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_index_topk": q_ann_index,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "blob_meta": q_blob_meta,
@@ -9691,6 +9716,8 @@ LEFT JOIN tpos ON tpos.label = c.label
     )
     # the incremental NearDupIndex's final state equals the batch LSH
     # pairs over the same corpus (prefix parity), so its oracle IS the
-    # batch SQL — the gate proves incremental == batch
+    # batch SQL — the gate proves incremental == batch; same for the
+    # incremental AnnIndex vs the batch LSH top-k
     out["neardup_index"] = out["dedup_minhash_lsh"]
+    out["ann_index_topk"] = out["ann_lsh_topk"]
     return out

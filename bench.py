@@ -164,6 +164,7 @@ HEADLINE_EXTRA = [
     "struct_dups",
     # round-3 session-9 additions
     "neardup_index",
+    "ann_index_topk",
 ]
 
 SCALE_GEN = dict(

@@ -396,9 +396,28 @@ def lsh_topk(
             F.posexplode(buckets(F.col(f"{role}_e"))).alias("t", "b"),
         )
 
+    return _topk_from_buckets(
+        corpus_vecs,
+        bucket_ids(corpus_vecs, "neighbor"),
+        query_vecs,
+        bucket_ids(query_vecs, "query"),
+        k,
+    )
+
+
+def _topk_from_buckets(
+    corpus_vecs: DataFrame,
+    corpus_buckets: DataFrame,
+    query_vecs: DataFrame,
+    query_buckets: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Candidate join + exact rerank over precomputed (id, t, b) bucket
+    rows — shared by lsh_topk (buckets computed inline) and AnnIndex
+    (corpus buckets read back from the committed index table)."""
     cand = (
-        bucket_ids(corpus_vecs, "neighbor")
-        .join(F.broadcast(bucket_ids(query_vecs, "query")), ["t", "b"])
+        corpus_buckets
+        .join(F.broadcast(query_buckets), ["t", "b"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -436,6 +455,92 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+class AnnIndex:
+    """Incrementally-maintained LSH ANN index: the hashing cost is paid
+    ONCE per vector at ingestion time, not once per query — the batch
+    ``lsh_topk`` re-buckets the whole corpus on every call, which at
+    100 TB means a full-corpus Arrow pass per query set, while a serving
+    index buckets each micro-batch as it arrives and commits
+    (vec_id, embedding, buckets) rows to an IcebergLite table keyed on
+    vec_id (upsert-idempotent, batch-id replay-guarded).
+
+    Query path (``topk``): bucket only the query side (tiny), explode the
+    STORED corpus buckets, candidate-join on (table, bucket), exact
+    cosine rerank — identical maths to ``lsh_topk`` via the shared
+    ``_topk_from_buckets``, so index answers == batch answers for the
+    same corpus (tests/test_ann_index.py pins it, and the driver gate
+    runs the incremental path against the batch SQL oracle).
+
+    At scale, bucket the index table (IcebergLite partition/bucket
+    transforms) on a bucket-key digest so the candidate join is
+    storage-partitioned and only matching buckets are scanned.
+    """
+
+    def __init__(
+        self,
+        table,
+        dim: int = 64,
+        n_tables: int = 8,
+        n_planes: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        if sorted(table.pk) != [id_col]:
+            raise ValueError(f"index table pk must be ['{id_col}']")
+        self.table = table
+        self.dim = int(dim)
+        self.n_tables = int(n_tables)
+        self.n_planes = int(n_planes)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def apply_batch(self, vecs: DataFrame, batch_id: str) -> bool:
+        """Bucket one micro-batch of vectors and upsert into the index."""
+        bid = str(batch_id)
+        if bid in self.table.committed_batches():
+            return False
+        buckets = lsh_buckets_udf(self.dim, self.n_tables, self.n_planes)
+        rows = vecs.select(
+            self.id_col,
+            _as_double(F.col(self.vec_col)).alias(self.vec_col),
+            buckets(_as_double(F.col(self.vec_col))).alias("buckets"),
+        )
+        return self.table.commit_upsert(rows, bid)
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Maintain the index from a streaming DataFrame of vectors."""
+        from .sketches import _start_sketch_stream
+
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def topk(self, spark, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Exact-reranked approximate top-k against the committed index."""
+        idx = self.table.read(spark)
+        corpus_vecs = idx.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("neighbor_e"),
+        )
+        corpus_buckets = idx.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.posexplode("buckets").alias("t", "b"),
+        )
+        query_vecs = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            _as_double(F.col(self.vec_col)).alias("query_e"),
+        )
+        qbuckets = lsh_buckets_udf(self.dim, self.n_tables, self.n_planes)
+        query_buckets = query_vecs.select(
+            "query_id",
+            F.posexplode(qbuckets(F.col("query_e"))).alias("t", "b"),
+        )
+        return _topk_from_buckets(
+            corpus_vecs, corpus_buckets, query_vecs, query_buckets, k
+        )
 
 
 # ---------------------------------------------------------------- product
