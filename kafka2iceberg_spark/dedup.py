@@ -1236,6 +1236,61 @@ def structure_groups(
     )
 
 
+def neardup_batch_pairs(
+    sig_b: DataFrame,
+    index_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The lazy per-batch dataflow of :class:`NearDupIndex`: banded
+    candidates (batch-internal ``a < b`` plus batch-vs-index, normalized
+    ``doc_a < doc_b``) rescored exactly against the union signature
+    matrix. Module-level and un-executed so ``tools/explain_audit.py``
+    can audit the plan every ingestion micro-batch repeats —
+    ``apply_batch`` hides it behind eager table commits."""
+    bands_b = sig_bands(sig_b, id_col=id_col).alias("b")
+    bands_a = sig_bands(sig_b, id_col=id_col).alias("a")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    cand = bands_a.join(bands_b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    union_sig = sig_b
+    if index_sigs is not None:
+        # ... plus batch-vs-index candidates, normalized doc_a < doc_b
+        bands_i = sig_bands(index_sigs, id_col=id_col).alias("a")
+        cross = (
+            bands_i.join(
+                bands_b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_b"),
+            )
+        )
+        cand = cand.unionByName(cross)
+        # on doc_id collision the BATCH signature wins (a re-ingested
+        # doc's new text), matching the index upsert that follows —
+        # deterministic, unlike dropDuplicates
+        union_sig = index_sigs.join(
+            sig_b.select(id_col), id_col, "left_anti"
+        ).unionByName(sig_b)
+    return _score_pairs(
+        cand.dropDuplicates(["doc_a", "doc_b"]), union_sig, id_col, threshold
+    )
+
+
 class NearDupIndex:
     """Incrementally-maintained MinHash-LSH near-dup index: ingestion-time
     dedup the way a production corpus actually runs it at 100 TB — the
@@ -1311,56 +1366,11 @@ class NearDupIndex:
         # the rescoring join; checkpoint stops double computation
         did = False
         if not pairs_done:
-            cur = self._index_sigs(spark)
-            bands_b = sig_bands(sig_b, id_col=self.id_col).alias("b")
-            # batch-internal candidates (a < b) ...
-            bands_a = sig_bands(sig_b, id_col=self.id_col).alias("a")
-            cond = (
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}"))
-            )
-            cand = bands_a.join(bands_b, cond).select(
-                F.col(f"a.{self.id_col}").alias("doc_a"),
-                F.col(f"b.{self.id_col}").alias("doc_b"),
-            )
-            union_sig = sig_b
-            if cur is not None:
-                # ... plus batch-vs-index candidates, normalized doc_a < doc_b
-                bands_i = sig_bands(cur, id_col=self.id_col).alias("a")
-                cross = (
-                    bands_i.join(
-                        bands_b,
-                        (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.bh") == F.col("b.bh"))
-                        & (
-                            F.col(f"a.{self.id_col}")
-                            != F.col(f"b.{self.id_col}")
-                        ),
-                    )
-                    .select(
-                        F.least(
-                            F.col(f"a.{self.id_col}"),
-                            F.col(f"b.{self.id_col}"),
-                        ).alias("doc_a"),
-                        F.greatest(
-                            F.col(f"a.{self.id_col}"),
-                            F.col(f"b.{self.id_col}"),
-                        ).alias("doc_b"),
-                    )
-                )
-                cand = cand.unionByName(cross)
-                # on doc_id collision the BATCH signature wins (a
-                # re-ingested doc's new text), matching the index upsert
-                # that follows — deterministic, unlike dropDuplicates
-                union_sig = cur.join(
-                    sig_b.select(self.id_col), self.id_col, "left_anti"
-                ).unionByName(sig_b)
-            new_pairs = _score_pairs(
-                cand.dropDuplicates(["doc_a", "doc_b"]),
-                union_sig,
-                self.id_col,
-                self.threshold,
+            new_pairs = neardup_batch_pairs(
+                sig_b,
+                self._index_sigs(spark),
+                id_col=self.id_col,
+                threshold=self.threshold,
             )
             did |= self.pairs.commit_upsert(new_pairs, bid)
         if not index_done:

@@ -84,6 +84,24 @@ def _bpe_round(spark, sf_dir):
     return tx.bpe_round_plan(entry._read(spark, sf_dir, "documents"))
 
 
+def _neardup_index_batch(spark, sf_dir):
+    """neardup_index materializes through committed index/pairs tables
+    (eager per-batch upserts), so the registry result plan is a bare
+    table scan. Audit the lazy per-batch dataflow
+    (dedup.neardup_batch_pairs): batch signatures banded against the
+    committed index plus the batch-internal band join, exact-rescored —
+    the plan every ingestion micro-batch repeats."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import dedup as dd
+
+    docs = entry._docs_aug_near(spark, sf_dir, subset=False)
+    sig_b = dd.minhash_signatures(docs.where(F.col("doc_id") % 2 == 1))
+    idx = dd.minhash_signatures(docs.where(F.col("doc_id") % 2 == 0))
+    return dd.neardup_batch_pairs(sig_b, idx, threshold=0.875)
+
+
 # queries whose registry callable hides the auditable plan behind eager
 # materialization: audit a representative lazy plan instead
 PLAN_PROXY = {
@@ -91,6 +109,7 @@ PLAN_PROXY = {
     "dedup_upsert_mor": _mor_read_plan,
     "pagerank_topk": _pagerank_round,
     "bpe_train": _bpe_round,
+    "neardup_index": _neardup_index_batch,
 }
 
 
