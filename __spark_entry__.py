@@ -1145,6 +1145,37 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contamination_flags(train, bench, n=5)
 
 
+def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained uniform sample (sketches.StreamingSample): the corpus
+    arrives as three micro-batches (doc_id mod 3) and each one
+    min-merges its local bottom-k of md5 priorities into the committed
+    k-row sample table — reservoir sampling re-expressed as a mergeable
+    bottom-k sketch, k rows of state forever at any stream size. The
+    pinned draw makes the maintained table equal the one-shot batch
+    bottom-k, so the DuckDB oracle is just ORDER BY md5 LIMIT k."""
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.sketches import StreamingSample
+
+    d = _read(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="stream_sample_")
+    ss = StreamingSample(
+        IcebergLite(f"{work}/sample", pk=["doc_id"], partition_field=None),
+        k=100,
+        id_col="doc_id",
+    )
+    for b in range(3):
+        ss.apply_batch(d.where(F.col("doc_id") % 3 == b), str(b))
+    return ss.sample(spark).select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_prio").alias("prio"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sample: deterministic top-20 docs per
     predicted language in md5-hash order — balanced eval subsets, one
@@ -4137,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
+        "stream_sample": q_stream_sample,
         "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -5617,6 +5649,13 @@ SELECT t.doc_id,
        CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
        coalesce(h.n_shared, 0) > 0 AS contaminated
 FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""",
+        "stream_sample": """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       md5(CAST(doc_id AS VARCHAR)) AS prio
+FROM documents
+ORDER BY prio, doc_id
+LIMIT 100
 """,
         "stratified_sample": f"""
 WITH lang AS ({_lang_sql()}),

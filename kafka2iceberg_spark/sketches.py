@@ -1082,3 +1082,94 @@ class StreamingOHLC:
             "key", "bucket_us", "open_cents", "high_cents",
             "low_cents", "close_cents", "n",
         )
+
+
+# ------------------------------------------------------ maintained sample
+
+
+class StreamingSample:
+    """Continuously-maintained uniform k-row sample of an unbounded
+    stream — the bottom-k / priority formulation of reservoir sampling
+    (Cohen & Kaplan, "Summarizing data using bottom-k sketches"): every
+    row draws a deterministic priority ``md5(id)`` and the committed
+    table always holds the k rows with the SMALLEST priorities seen so
+    far. Bottom-k is mergeable — ``sample(A ∪ B) == bottom-k(sample(A) ∪
+    sample(B))`` — so each micro-batch takes a LOCAL TakeOrdered top-k
+    (partial per-partition heads, no global sort, no state store) and
+    min-merges it with the committed sample. State is at most k rows
+    forever; a 10^12-turn stream costs the same k rows as a toy one.
+
+    Uniformity: md5 priorities are i.i.d. uniform over distinct ids, so
+    every k-subset of the ids seen is equally likely over the hash's
+    randomness — the classic reservoir guarantee, but order-independent
+    and engine-exact: the pinned draw makes the maintained table equal
+    the one-shot batch bottom-k (and the DuckDB oracle) row for row,
+    which is what lets the driver gate grade a *sampling* operator
+    exactly.
+
+    Optional ``strata_col`` keeps k rows per stratum instead of k global
+    (held-out eval slices per language/split, maintained live); the
+    local step becomes one row_number window partitioned by the stratum
+    — a shuffle on the bounded stratum key, never on the data.
+
+    Exactly-once: bottom-k min-merge is idempotent (replaying rows can
+    never evict a smaller priority), and commits go through
+    ``commit_overwrite(batch_id, dynamic=False)`` whose replay guard
+    skips re-delivered batch ids before any work — belt and braces.
+    """
+
+    def __init__(self, table, k: int = 100, id_col: str = "doc_id",
+                 strata_col: str | None = None) -> None:
+        self.table = table
+        self.k = int(k)
+        self.id_col = id_col
+        self.strata_col = strata_col
+
+    def _bottom_k(self, df: DataFrame) -> DataFrame:
+        """k smallest priorities, globally or per stratum. Global path is
+        TakeOrdered (per-partition heads + driver merge of k·P rows);
+        stratified path is one window on the bounded stratum key."""
+        if self.strata_col is None:
+            return df.orderBy("_prio", self.id_col).limit(self.k)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.strata_col).orderBy(
+            F.asc("_prio"), F.asc(self.id_col)
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+
+    def apply_batch(self, df: DataFrame, batch_id: str) -> bool:
+        """Min-merge one micro-batch into the maintained sample."""
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        batch = self._bottom_k(
+            df.withColumn(
+                "_prio", F.md5(F.col(self.id_col).cast("string"))
+            )
+        )
+        try:
+            current = self.table.read(df.sparkSession)
+        except FileNotFoundError:
+            current = None
+        if current is not None:
+            batch = self._bottom_k(
+                batch.unionByName(current).dropDuplicates([self.id_col])
+            )
+        return self.table.commit_overwrite(
+            batch, str(batch_id), dynamic=False
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Maintain the sample from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def sample(self, spark) -> DataFrame:
+        """The committed sample (payload columns + the ``_prio`` draw)."""
+        return self.table.read(spark)
