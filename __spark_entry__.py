@@ -1128,6 +1128,62 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained fact><fact JOIN view
+    (matview.IncrementalJoinView): orders and lineitem arrive as three
+    interleaved insert batches (order keys mod 3; line rows offset by
+    linenumber so same-batch, early-left and early-right matches all
+    occur), each batch folded in with the delta rule dV = dL><R u L><dR
+    u dL><dR and committed atomically with both source appends through
+    one MultiTableTransaction. The '1-URGENT' predicate is part of the
+    view definition (filter pushed into the deltas). The DuckDB oracle
+    is the from-scratch join — the gate proves the incremental path
+    lands exactly the batch answer."""
+    import tempfile
+
+    from kafka2iceberg_spark.matview import IncrementalJoinView
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    _utc(spark)
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    lines = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="join_view_")
+    cat = CatalogLite(work)
+    cat.register("orders", IcebergLite(f"{work}/orders", pk=["orderkey"]))
+    cat.register(
+        "lines", IcebergLite(f"{work}/lines", pk=["orderkey", "l_linenumber"])
+    )
+    cat.register(
+        "v", IcebergLite(f"{work}/v", pk=["orderkey", "l_linenumber"])
+    )
+    jv = IncrementalJoinView(
+        cat,
+        "orders",
+        "lines",
+        "v",
+        on=["orderkey"],
+        left_cols=["o_orderpriority"],
+        right_cols=["l_linenumber", "revenue"],
+        filter_left="o_orderpriority = '1-URGENT'",
+    )
+    for b in range(3):
+        jv.apply_batch(
+            orders.where(F.col("orderkey") % 3 == b),
+            lines.where((F.col("orderkey") + F.col("l_linenumber")) % 3 == b),
+            str(b),
+        )
+    return jv.read(spark)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word-5-gram
     with the pseudo-benchmark set (originals whose near-dup variants are in
@@ -4165,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
         "neardup_index": q_neardup_index,
+        "join_view": q_join_view,
         "dedup_clusters": q_dedup_clusters,
         "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
@@ -5987,6 +6044,15 @@ SELECT p_brand,
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "join_view": """
+SELECT o_orderkey AS orderkey,
+       l_linenumber,
+       o_orderpriority,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
 """,
         "cumulative_spend": """
 SELECT o_custkey,
