@@ -1184,6 +1184,28 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jv.read(spark)
 
 
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP per-language document counts (dq.dp_group_counts): Laplace
+    mechanism with per-entity contribution bounding — each source
+    contributes at most 8 rows per language and 4 languages, so global
+    sensitivity is exactly 32; Laplace(32/eps) noise comes from a pinned
+    inverse-CDF draw keyed by the (secret in production) release id, which
+    is what lets the DuckDB oracle replay the release bit-for-bit. Dwork
+    et al. 2006; bounded-contribution SQL shape per Wilson et al. 2020."""
+    from kafka2iceberg_spark import dq as dqm
+
+    return dqm.dp_group_counts(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        "source",
+        "doc_id",
+        epsilon_ppm=1_000_000,
+        row_cap=8,
+        group_cap=4,
+        release_id="dp-docs-v1",
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word-5-gram
     with the pseudo-benchmark set (originals whose near-dup variants are in
@@ -4222,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "neardup_index": q_neardup_index,
         "join_view": q_join_view,
+        "dp_release": q_dp_release,
         "dedup_clusters": q_dedup_clusters,
         "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
@@ -6044,6 +6067,43 @@ SELECT p_brand,
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+        "dp_release": """
+WITH ranked AS (
+  SELECT lang, source,
+         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+capped AS (SELECT lang, source FROM ranked WHERE rn <= 8),
+gk AS (
+  SELECT source, lang FROM (
+    SELECT source, lang,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST(concat('0x', substr(md5(lang), 1, 15)) AS BIGINT),
+                      lang
+           ) AS gr
+    FROM (SELECT DISTINCT source, lang FROM capped)
+  ) t WHERE gr <= 4
+),
+bcnt AS (
+  SELECT c.lang, CAST(count(*) AS DOUBLE) AS n
+  FROM capped c JOIN gk USING (source, lang)
+  GROUP BY c.lang
+),
+dom AS (SELECT DISTINCT lang FROM documents),
+withu AS (
+  SELECT dom.lang,
+         COALESCE(bcnt.n, 0.0) AS n,
+         (CAST(concat('0x', substr(md5(concat('dp-docs-v1', ':', dom.lang)),
+                                   1, 15)) AS BIGINT)
+          + 0.5) / 1152921504606846976.0 AS u
+  FROM dom LEFT JOIN bcnt USING (lang)
+)
+SELECT lang,
+       n + (-32.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+         AS released_count
+FROM withu
 """,
         "join_view": """
 SELECT o_orderkey AS orderkey,

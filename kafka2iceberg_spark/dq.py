@@ -272,3 +272,95 @@ def l_diversity(
         "n_sensitive",
         (F.col("n_sensitive") < F.lit(l)).alias("at_risk"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    order_col: str,
+    epsilon_ppm: int = 1_000_000,
+    row_cap: int = 8,
+    group_cap: int = 4,
+    release_id: str = "release-1",
+) -> DataFrame:
+    """Differentially-private per-group counts: the Laplace mechanism with
+    per-entity contribution bounding (Dwork et al. 2006; the SQL shape
+    follows Wilson et al. 2020, "Differentially Private SQL with Bounded
+    User Contribution").
+
+    A raw ``GROUP BY lang`` count over a crawled corpus leaks membership:
+    adding one contributor's documents moves a published count by an
+    unbounded amount. The release becomes eps-DP by (1) bounding what any
+    one entity can contribute — at most ``row_cap`` rows per group
+    (row_number per (entity, group), stable order) and at most
+    ``group_cap`` distinct groups per entity (rank groups per entity by a
+    stable hash) — so global sensitivity is exactly ``row_cap *
+    group_cap`` — and (2) adding Laplace(sensitivity/eps) noise to each
+    bounded count.
+
+    The noise draw is PINNED: u = (h60(release_id || ':' || group) + 0.5)
+    / 2^60 in (0,1), X = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|) — the
+    exact inverse-CDF Laplace transform, reproducible in any engine. DP
+    holds against consumers of the release when ``release_id`` is a
+    secret high-entropy seed (it plays the PRNG-seed role); pinning is
+    what lets an independent oracle replay the release bit-for-bit and
+    lets a re-run publish identical numbers instead of burning privacy
+    budget twice.
+
+    Scale shape: two windows partitioned by entity (bounding), one
+    partial-agg groupBy(group) (counting), noise as a literal expression
+    per output row — output is |groups| rows, no collect, no second scan.
+
+    Output: (group_col, released_count double). True counts never leave
+    the plan. epsilon_ppm is exact-integer ppm (1_000_000 = eps 1.0).
+    """
+    from .textops import hash64 as _h60
+
+    # 1. bound rows per (entity, group)
+    w_rows = Window.partitionBy(entity_col, group_col).orderBy(order_col)
+    bounded = (
+        df.select(entity_col, group_col, order_col)
+        .withColumn("_rn", F.row_number().over(w_rows))
+        .where(F.col("_rn") <= row_cap)
+    )
+    # 2. bound groups per entity: keep the group_cap smallest group hashes
+    #    (stable, data-independent order so the bound itself leaks nothing)
+    w_groups = Window.partitionBy(entity_col).orderBy(
+        _h60(F.col(group_col).cast("string")), F.col(group_col)
+    )
+    kept_groups = (
+        bounded.select(entity_col, group_col)
+        .distinct()
+        .withColumn("_gr", F.row_number().over(w_groups))
+        .where(F.col("_gr") <= group_cap)
+        .select(entity_col, group_col)
+    )
+    bounded = bounded.join(
+        F.broadcast(kept_groups), [entity_col, group_col], "left_semi"
+    )
+    # 3. bounded count per group + 4. pinned Laplace noise. The release
+    #    covers the table's full group domain (treated as public — for a
+    #    language/country code column it is): a group all of whose rows
+    #    fell to the caps still publishes its noise-only row, so absence
+    #    never signals a bounded-to-zero group.
+    domain = df.select(group_col).distinct()
+    counts = domain.join(
+        bounded.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("double").alias("_b")
+        ),
+        group_col,
+        "left",
+    ).select(group_col, F.coalesce(F.col("_b"), F.lit(0.0)).alias("_n"))
+    b = F.lit(float(row_cap * group_cap) * 1_000_000.0 / float(epsilon_ppm))
+    u = (
+        _h60(F.concat_ws(":", F.lit(release_id), F.col(group_col).cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    noise = -b * F.signum(u - F.lit(0.5)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    )
+    return counts.select(
+        group_col, (F.col("_n") + noise).alias("released_count")
+    )
