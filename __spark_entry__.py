@@ -3920,6 +3920,20 @@ def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.capped_sessions(tx, gap_seconds=1800, cap_seconds=7200)
 
 
+def q_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic admission control (windows.quota_admit): per
+    (conv_id, 1-day tumbling window) the 4 earliest turns by
+    (event time, turn_idx) are admitted and the rest rejected — the
+    per-conversation rate cap an ingestion pipeline applies before
+    expensive downstream work. Event-time order, so the verdict set is
+    replay/reorder-stable. One shuffle on (conv_id, window) + one rank
+    window. ``windows.quota_stream`` is the live twin — bounded
+    O(quota) state per open window with eager rejection verdicts —
+    pinned stream==batch in tests/test_quota_stream.py."""
+    df = _tx(spark, sf_dir)
+    return win.quota_admit(df, "conv_id", "ts", "1 day", 4, "turn_idx")
+
+
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (weekly season, dyadic smoothing) over
     daily revenue per event type (timeseries.holt_winters): the
@@ -4394,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "minhash_calibration": q_minhash_calibration,
         "capped_sessions": q_capped_sessions,
+        "quota_admit": q_quota_admit,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
@@ -9273,6 +9288,17 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "quota_admit": f"""
+WITH {_TX}
+SELECT conv_id, turn_idx,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST((epoch_us(ts) // {DAY_US}) * {DAY_US} AS BIGINT) AS window_us,
+       (row_number() OVER (
+          PARTITION BY conv_id, epoch_us(ts) // {DAY_US}
+          ORDER BY epoch_us(ts), turn_idx
+        ) <= 4) AS admitted
+FROM transcripts
 """,
         "holt_winters": f"""
 WITH RECURSIVE b AS (

@@ -759,3 +759,174 @@ def capped_sessions(
         "end_us",
         (F.col("end_us") - F.col("start_us")).cast("long").alias("dur_us"),
     )
+
+
+def quota_admit(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window: str,
+    quota: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Deterministic admission control: per (key, tumbling window), ADMIT
+    the ``quota`` earliest rows by (event time, tiebreak) and reject the
+    rest — the per-conversation / per-source rate cap an ingestion
+    pipeline enforces before expensive downstream work (a runaway agent
+    loop or a crawler hammering one domain must not monopolize the
+    corpus). Event-time order, not arrival order, so the verdict is a
+    pure function of the data: replays, reordering and backfills admit
+    exactly the same rows.
+
+    One shuffle on (key, window bucket) + one rank window — the same
+    partitioning every per-conversation op in this repo reuses; at 100 TB
+    the quota windows are embarrassingly parallel across keys.
+
+    Output: every input row's (key, tiebreak, ts_us, window_us,
+    admitted). ``quota_stream`` is the live twin (bounded state,
+    finalize-on-watermark) and matches this row-for-row.
+    """
+    from .timeseries import _bucket_us
+
+    dur_us = _interval_us(window)
+    out = df.select(
+        key,
+        tiebreak,
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        _bucket_us(F.col(ts_col), dur_us).alias("window_us"),
+    )
+    w = Window.partitionBy(key, "window_us").orderBy("ts_us", tiebreak)
+    return out.select(
+        key,
+        tiebreak,
+        "ts_us",
+        "window_us",
+        (F.row_number().over(w) <= quota).alias("admitted"),
+    )
+
+
+def _interval_us(spec: str) -> int:
+    """'1 day' / '6 hours' / '15 minutes' / '30 seconds' -> microseconds."""
+    n, unit = spec.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult
+
+
+def quota_stream(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    window: str,
+    quota: int,
+    tiebreak: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``quota_admit``: live admission control with
+    state bounded at ``quota`` rows per open window, regardless of how
+    hard a hot key floods it.
+
+    The trick is that rejection is MONOTONE: a row is rejected exactly
+    when ``quota`` rows with smaller (ts, tiebreak) exist in its window,
+    and that set only ever grows — so the operator keeps just the
+    ``quota`` smallest rows buffered per open window, emits an eager
+    ``admitted=false`` verdict the moment a row arrives (or is evicted
+    by a smaller-ts arrival) past the cutoff, and emits the buffered
+    survivors as ``admitted=true`` when the watermark passes the window
+    end (from then on nothing in-watermark can evict them). A flood of
+    N rows into one window costs O(N) verdicts but holds O(quota) state
+    — the degenerate hot key is exactly the case the cap exists for.
+
+    Late-beyond-watermark rows are dropped (the repo's shared policy);
+    on in-watermark data the emitted verdicts equal ``quota_admit``
+    row-for-row (pytest-pinned). Output schema matches the batch twin.
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    dur_us = _interval_us(window)
+    events = with_watermark(events, ts_col, watermark_delay)
+    key_field = [f for f in events.schema.fields if f.name == key][0]
+    tie_field = [f for f in events.schema.fields if f.name == tiebreak][0]
+    out_schema = StructType(
+        [
+            StructField(key, key_field.dataType),
+            StructField(tiebreak, tie_field.dataType),
+            StructField("ts_us", LongType()),
+            StructField("window_us", LongType()),
+            StructField("admitted", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("buf_json", StringType())])
+
+    import json as _json
+
+    def fn(kt, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        bufs: dict = (
+            _json.loads(state.get[0]) if state.exists else {}
+        )  # window_us(str) -> sorted [[ts_us, tiebreak], ...] capped at quota
+        out = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                us = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                ).tolist()
+                for u, t in zip(us, pdf[tiebreak].tolist()):
+                    if u <= wm_us:
+                        continue  # late-beyond-watermark: dropped
+                    wus = u - u % dur_us
+                    buf = bufs.setdefault(str(wus), [])
+                    bisect.insort(buf, [u, t])
+                    if len(buf) > quota:
+                        eu, et = buf.pop()  # evicted: rejected forever
+                        out.append((et, eu, wus, False))
+        closed = [
+            w for w in bufs if int(w) + dur_us <= wm_us
+        ]
+        for wus in closed:
+            for u, t in bufs.pop(wus):
+                out.append((t, u, int(wus), True))
+        state.update((_json.dumps(bufs),))
+        if bufs:
+            next_close = min(int(w) + dur_us for w in bufs)
+            state.setTimeoutTimestamp(
+                max(next_close // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                {
+                    key: [kt[0]] * len(out),
+                    tiebreak: [t for t, *_ in out],
+                    "ts_us": [u for _, u, _, _ in out],
+                    "window_us": [w for _, _, w, _ in out],
+                    "admitted": [a for *_, a in out],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
