@@ -3920,6 +3920,83 @@ def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.capped_sessions(tx, gap_seconds=1800, cap_seconds=7200)
 
 
+def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal join view (scd.TemporalEnrich) — Flink's
+    ``FOR SYSTEM_TIME AS OF`` over exactly-once tables: purchases
+    enriched with the user-state dimension version valid at each
+    purchase's EVENT time. The dim change log (one surviving change per
+    (user, ts); tombstones on 'error') arrives in three time-ordered
+    batches with explicit watermarks; the purchases arrive OUT OF ORDER
+    (event_id mod 3) — facts ahead of the dim watermark are held in the
+    fact log and released exactly once when a later watermark passes
+    them, so the final table is independent of arrival interleaving.
+    The DuckDB oracle is the from-scratch SCD2 + interval join over the
+    full logs — the gate proves the held-back incremental path lands
+    exactly the batch answer."""
+    import tempfile
+
+    from kafka2iceberg_spark.scd import TemporalEnrich
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    one = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    dim = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            (F.col("event_type") == "error").alias("is_del"),
+        )
+        .withColumn("_rn", F.row_number().over(one))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"), "user_id", "ts"
+    )
+    t1 = 1_704_931_200_000_000  # 2024-01-11
+    t2 = 1_705_795_200_000_000  # 2024-01-21
+    t3 = 1_707_955_200_000_000  # 2024-02-15 (past everything)
+    work = tempfile.mkdtemp(prefix="temporal_enrich_")
+    cat = CatalogLite(f"{work}/cat")
+    cat.register(
+        "facts", IcebergLite(f"{work}/facts", pk=[], partition_field=None)
+    )
+    cat.register(
+        "out", IcebergLite(f"{work}/out", pk=[], partition_field=None)
+    )
+    cat.register(
+        "meta", IcebergLite(f"{work}/meta", pk=["k"], partition_field=None)
+    )
+    hist = IcebergLite(
+        f"{work}/hist", pk=["user_id", "valid_from_us"], partition_field=None
+    )
+    te = TemporalEnrich(
+        cat, hist, key=["user_id"], tracked=["event_type"],
+        dim_order=["ts", "event_id"], dim_delete="is_del",
+    )
+    us = F.unix_micros(F.col("ts"))
+    cuts = [t1, t2, t3]
+    lo = None
+    for b, hi in enumerate(cuts):
+        dim_b = dim.where(
+            (us <= F.lit(hi)) & ((us > F.lit(lo)) if lo else F.lit(True))
+        )
+        te.apply_batch(
+            dim_b,
+            facts.where(F.col("fact_id") % 3 == b),
+            str(b),
+            wm_us=hi,
+        )
+        lo = hi
+    return te.read(spark).select(
+        "fact_id", "user_id", "ts_us",
+        F.col("dim_event_type").alias("state_at_purchase"),
+    )
+
+
 def q_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic admission control (windows.quota_admit): per
     (conv_id, 1-day tumbling window) the 4 earliest turns by
@@ -4409,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "capped_sessions": q_capped_sessions,
         "quota_admit": q_quota_admit,
+        "temporal_enrich": q_temporal_enrich,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
@@ -9288,6 +9366,44 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "temporal_enrich": """
+WITH d0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         (event_type = 'error') AS is_del,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+),
+d AS (SELECT user_id, ts, event_id, event_type, is_del FROM d0 WHERE rn = 1),
+m AS (
+  SELECT *,
+         CASE WHEN is_del THEN '<deleted>' ELSE event_type END AS ak,
+         lag(CASE WHEN is_del THEN '<deleted>' ELSE event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pak
+  FROM d
+),
+s AS (SELECT * FROM m WHERE pak IS NULL OR ak <> pak),
+v AS (
+  SELECT *,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM s
+),
+hist AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS vf_us, epoch_us(nts) AS vt_us
+  FROM v WHERE NOT is_del
+),
+purch AS (
+  SELECT event_id AS fact_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.fact_id, p.user_id, p.ts_us,
+       h.state AS state_at_purchase
+FROM purch p
+LEFT JOIN hist h ON h.user_id = p.user_id
+  AND h.vf_us <= p.ts_us
+  AND (h.vt_us IS NULL OR p.ts_us < h.vt_us)
 """,
         "quota_admit": f"""
 WITH {_TX}

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2", "scd2_apply_batch", "scd2_from_changelog"]
+__all__ = [
+    "TemporalEnrich",
+    "scd2",
+    "scd2_apply_batch",
+    "scd2_from_changelog",
+]
 
 _DEL_SENTINEL = "\x00<deleted>"
 
@@ -267,3 +272,253 @@ def scd2_apply_batch(
         ch.unpersist()
         if open_rows is not None:
             open_rows.unpersist()
+
+
+class TemporalEnrich:
+    """Event-time temporal join view — Flink's ``FOR SYSTEM_TIME AS OF
+    fact.ts`` re-expressed Spark-first over exactly-once tables.
+
+    ``start_enriched_sink`` (pipeline.py) gives PROCESSING-time temporal
+    semantics: each fact takes whatever dimension version is committed
+    when its micro-batch runs, so the answer depends on arrival timing.
+    This operator gives the deterministic EVENT-time form the Flink SQL
+    surface calls a temporal (versioned-table) join: every fact is
+    enriched with the dimension version whose SCD2 validity interval
+    contains the fact's event timestamp — regardless of which arrived
+    first — by holding facts back until the dimension stream's watermark
+    passes their timestamp (before that instant, an out-of-order dim
+    update could still rewrite the version their instant falls in).
+
+    State layout (all exactly-once):
+      * ``hist``  — standalone :class:`IcebergLite` SCD2 dimension
+        history, maintained by :func:`scd2_apply_batch` (its own
+        batch-id replay guard);
+      * catalog tables ``facts`` (raw fact append log), ``out``
+        (released enriched facts), ``meta`` (single-row released
+        watermark) — advanced together in ONE
+        :class:`MultiTableTransaction` per micro-batch.
+
+    Per batch: fold dim changes into ``hist`` FIRST, advance the dim
+    watermark monotonically, append the new facts, then release (a) this
+    batch's facts already inside the watermark — including late facts
+    below it, whose history is final the moment they arrive — plus (b)
+    committed held facts in the band ``prev_wm < ts_us <= new_wm`` (each
+    fact releases exactly once: the watermark is monotone and the band
+    edges are the committed watermarks), AS-OF join the release set against
+    ``hist`` (windows.asof_join — union + one ordered window, no
+    interval theta-join; facts inside a tombstone gap or before the
+    first version get NULL enrichment), and commit facts+out+meta
+    atomically. Crash between the hist commit and the catalog commit
+    leaves hist one batch ahead — harmless (enrichment only ever needs
+    hist AT or beyond the fact watermark) and healed on replay, where
+    both guards make the redelivered batch a no-op.
+
+    At 100 TB: the fact log is partitioned on event-time days, so the
+    release band prunes to the watermark-frontier partitions; the dim
+    side shuffles at dimension cardinality (key-partitioned window),
+    never at fact scale; nothing driver-side but the watermark scalar.
+    """
+
+    def __init__(
+        self,
+        catalog,
+        hist,
+        key: list[str],
+        tracked: list[str],
+        facts: str = "facts",
+        out: str = "out",
+        meta: str = "meta",
+        dim_ts: str = "ts",
+        dim_order: list[str] | None = None,
+        dim_delete: str | None = None,
+        fact_ts: str = "ts",
+        prefix: str = "dim_",
+    ) -> None:
+        self.catalog = catalog
+        self.hist = hist
+        self.key = key
+        self.tracked = tracked
+        self.facts = facts
+        self.out = out
+        self.meta = meta
+        self.dim_ts = dim_ts
+        self.dim_order = dim_order or [dim_ts]
+        self.dim_delete = dim_delete
+        self.fact_ts = fact_ts
+        self.prefix = prefix
+
+    # -- committed state ------------------------------------------------------
+
+    def released_wm_us(self, spark: SparkSession) -> int | None:
+        """Committed released-watermark, or None before the first batch."""
+        try:
+            rows = self.catalog.read(spark, self.meta).collect()
+        except FileNotFoundError:
+            return None
+        return rows[0]["wm_us"] if rows else None
+
+    def _hist_df(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return self.hist.read(spark)
+        except FileNotFoundError:
+            return None
+
+    # -- enrichment plan ------------------------------------------------------
+
+    def _enrich(self, band: DataFrame, hist_df: DataFrame | None) -> DataFrame:
+        from .windows import asof_join
+
+        if hist_df is None:
+            return band.select(
+                "*",
+                *[F.lit(None).cast("string").alias(f"{self.prefix}{c}")
+                  for c in self.tracked],
+            )
+        j = asof_join(
+            band,
+            hist_df.select(*self.key, *self.tracked, "valid_from_us",
+                           "valid_to_us"),
+            on=self.key,
+            left_ts="ts_us",
+            right_ts="valid_from_us",
+            right_cols=[*self.tracked, "valid_to_us"],
+        )
+        # interval containment: [valid_from, valid_to) — a fact inside a
+        # tombstone gap (matched interval already closed before the fact)
+        # gets NULL enrichment, never the stale pre-delete version
+        in_iv = F.col("_asof_ts").isNotNull() & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        )
+        return j.select(
+            *band.columns,
+            *[F.when(in_iv, F.col(c)).alias(f"{self.prefix}{c}")
+              for c in self.tracked],
+        )
+
+    # -- merge ----------------------------------------------------------------
+
+    def apply_batch(
+        self,
+        dim_batch: DataFrame | None,
+        fact_batch: DataFrame,
+        batch_id: str,
+        wm_us: int | None = None,
+    ) -> bool:
+        """Fold one micro-batch of dim changes + facts. Idempotent per
+        batch_id. ``wm_us`` overrides the dim watermark (default: the
+        max dim event time seen so far — correct when the dim source is
+        in event-time order across batches; pass the stream's real
+        watermark otherwise)."""
+        spark = fact_batch.sparkSession
+        txn_id = f"te:{self.out}:{batch_id}"
+        if txn_id in self.catalog.committed_txns():
+            return False
+        if dim_batch is not None:
+            scd2_apply_batch(
+                spark,
+                self.hist,
+                dim_batch,
+                f"te-dim:{self.out}:{batch_id}",
+                key=self.key,
+                order=self.dim_order,
+                tracked=self.tracked,
+                ts_col=self.dim_ts,
+                delete_col=self.dim_delete,
+            )
+            if wm_us is None:
+                row = dim_batch.agg(
+                    F.max(F.unix_micros(F.col(self.dim_ts).cast("timestamp")))
+                    .alias("m")
+                ).collect()[0]
+                wm_us = row["m"]
+        prev = self.released_wm_us(spark)
+        lo = prev if prev is not None else -(1 << 62)
+        new_wm = max(lo, wm_us) if wm_us is not None else lo
+
+        fact_cols = [c for c in fact_batch.columns if c != self.fact_ts]
+        staged_facts = fact_batch.select(
+            *fact_cols,
+            F.unix_micros(F.col(self.fact_ts).cast("timestamp"))
+            .alias("ts_us"),
+        )
+        hist_df = self._hist_df(spark)
+        if hist_df is None:
+            # no dim history yet ⇒ nothing can be versioned-joined; hold the
+            # watermark so no fact is released un-enriched (and ``out`` is
+            # never created with placeholder-typed columns)
+            new_wm = lo
+        txn = self.catalog.transaction(txn_id)
+        txn.append(self.facts, staged_facts)
+        if hist_df is not None:
+            # release = this batch's facts already inside the watermark
+            # (incl. LATE facts below the released watermark — their
+            # history is final, so they enrich immediately rather than
+            # being dropped) ∪ previously-committed facts the advancing
+            # watermark just passed. Exactly-once: the two parts cannot
+            # overlap (part 2 reads the PRE-txn committed log), and a
+            # committed fact's ts lies in at most one (wm, wm'] band
+            # because the watermark is monotone.
+            band = staged_facts.where(F.col("ts_us") <= F.lit(new_wm))
+            if new_wm > lo:
+                try:
+                    prev_facts = self.catalog.read(spark, self.facts)
+                except FileNotFoundError:
+                    prev_facts = None
+                if prev_facts is not None:
+                    band = band.unionByName(
+                        prev_facts.where(
+                            (F.col("ts_us") > F.lit(lo))
+                            & (F.col("ts_us") <= F.lit(new_wm))
+                        )
+                    )
+            txn.append(self.out, self._enrich(band, hist_df))
+        txn.upsert(
+            self.meta,
+            spark.createDataFrame([(0, new_wm)], "k int, wm_us long"),
+        )
+        return txn.commit()
+
+    # -- wiring ---------------------------------------------------------------
+
+    def start(self, stream: DataFrame, split, checkpoint: str, **trigger):
+        """Maintain from ONE tagged stream (``split(df) -> (dim, facts)``)
+        — the same single-stream shape as IncrementalJoinView: two
+        independent queries could not share the catalog transaction."""
+        if not trigger:
+            trigger = {"availableNow": True}
+
+        def _one(df: DataFrame, bid) -> None:
+            dim, facts = split(df)
+            self.apply_batch(dim, facts, str(bid))
+
+        return (
+            stream.writeStream.foreachBatch(_one)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Released enriched facts, at the catalog's pinned version."""
+        return self.catalog.read(spark, self.out)
+
+    def pending(self, spark: SparkSession) -> DataFrame:
+        """Facts beyond the released watermark — held, not yet enriched."""
+        wm = self.released_wm_us(spark)
+        lo = wm if wm is not None else -(1 << 62)
+        return self.catalog.read(spark, self.facts).where(
+            F.col("ts_us") > F.lit(lo)
+        )
+
+    def recompute(self, spark: SparkSession) -> DataFrame:
+        """Batch parity twin: the same enrichment, from scratch, over
+        every released fact against the full committed history."""
+        wm = self.released_wm_us(spark)
+        lo = wm if wm is not None else -(1 << 62)
+        released = self.catalog.read(spark, self.facts).where(
+            F.col("ts_us") <= F.lit(lo)
+        )
+        return self._enrich(released, self._hist_df(spark))
