@@ -515,3 +515,60 @@ def run_ingest_once(
         strategy=strategy,
     )
     q.awaitTermination()
+
+
+def start_fanout_sink(
+    raw: DataFrame,
+    specs: list[TaskSpec],
+    catalog,
+    names: list[str],
+    checkpoint: str,
+    trigger: dict | None = None,
+    from_kafka: bool = False,
+):
+    """One CDC stream → every routed table, in ONE atomic commit per batch.
+
+    A real CDC topic multiplexes many source tables; the reference runs
+    one job per (database, table) (task.json routes a single pair), so N
+    sink tables cost N scans of the same topic. At 100 TB of broker
+    traffic the scan IS the bottleneck — this sink fans a SINGLE pass
+    out to all routed tables: each spec's P1-P15 parse is a narrow
+    projection of the shared micro-batch (Catalyst prunes each branch's
+    envelope fields independently), per-spec rows land via the spec's
+    own upsert/append semantics, and all tables plus their replay guard
+    advance through one ``MultiTableTransaction`` catalog CAS — a crash
+    can never commit table A's slice of a batch without table B's.
+
+    ``names[i]`` is the catalog registration for ``specs[i]``'s sink
+    (pk'd registrations upsert, pk-less ones append). Replayed batch ids
+    are committed no-ops, exactly like the single-table sinks.
+    """
+    from kafka2iceberg_spark import ingest as _ingest
+
+    kafka_cols = (
+        dict(offset_col="offset", partition_col="partition")
+        if from_kafka
+        else {}
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        txn_id = f"fanout:{batch_id}"
+        if txn_id in catalog.committed_txns():
+            return
+        txn = catalog.transaction(txn_id)
+        for spec, name in zip(specs, names):
+            rows = _ingest.parse(batch_df, spec, **kafka_cols)
+            if catalog.table(name).pk:
+                txn.upsert(name, rows)
+            else:
+                txn.append(name, rows)
+        txn.commit()
+
+    writer = (
+        raw.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
