@@ -3997,6 +3997,54 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate ladder (timeseries.RollupLadder): hour→day
+    rollup tiers maintained across three OUT-OF-ORDER arrival slices
+    (event_id mod 3) with day-boundary watermarks; late rows re-fold
+    their dirty day buckets (invalidation semantics), so the committed
+    day tier is bit-identical to the from-scratch daily aggregate the
+    DuckDB oracle computes — regardless of batching or arrival order.
+    Values ride as exact micro-unit BIGINTs."""
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.timeseries import RollupLadder
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v"),
+        "event_id",
+    )
+    work = tempfile.mkdtemp(prefix="rollup_")
+    cat = CatalogLite(f"{work}/cat")
+    for name in ("hour", "day"):
+        cat.register(
+            name,
+            IcebergLite(
+                f"{work}/{name}", pk=["bucket_us"], partition_field=None
+            ),
+        )
+    cat.register(
+        "rollup_meta",
+        IcebergLite(f"{work}/meta", pk=["tier"], partition_field=None),
+    )
+    rl = RollupLadder(cat, [("hour", HOUR_US), ("day", DAY_US)])
+    cuts = [
+        1_704_931_200_000_000,  # 2024-01-11
+        1_705_795_200_000_000,  # 2024-01-21
+        1_706_745_600_000_000,  # 2024-02-01 (past everything)
+    ]
+    for b, hi in enumerate(cuts):
+        rl.apply_batch(
+            ev.where(F.col("event_id") % 3 == b).drop("event_id"),
+            str(b),
+            wm_us=hi,
+        )
+    return rl.read(spark, "day").select("bucket_us", "n", "s")
+
+
 def q_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic admission control (windows.quota_admit): per
     (conv_id, 1-day tumbling window) the 4 earliest turns by
@@ -4487,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sessions": q_capped_sessions,
         "quota_admit": q_quota_admit,
         "temporal_enrich": q_temporal_enrich,
+        "rollup_ladder": q_rollup_ladder,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
@@ -9366,6 +9415,13 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "rollup_ladder": f"""
+SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+FROM events
+GROUP BY 1
 """,
         "temporal_enrich": """
 WITH d0 AS (

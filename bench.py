@@ -165,6 +165,12 @@ HEADLINE_EXTRA = [
     # round-3 session-9 additions
     "neardup_index",
     "ann_index_topk",
+    # round-3 session-10..12 additions
+    "stream_sample",
+    "join_view",
+    "dp_release",
+    "quota_admit",
+    "temporal_enrich",
 ]
 
 SCALE_GEN = dict(

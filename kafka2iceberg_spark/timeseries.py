@@ -1370,3 +1370,205 @@ def burstiness(
             F.round(var / mean, 4),
         ).alias("fano"),
     )
+
+
+class RollupLadder:
+    """Hypertable-style continuous-aggregate ladder: one committed table
+    per resolution tier (e.g. hour → day → week), the finest tier merged
+    from each micro-batch and every coarser tier folded ONLY from closed
+    buckets of the tier beneath it — the TimescaleDB/Druid rollup shape
+    re-expressed over exactly-once IcebergLite tables.
+
+    Why a ladder instead of one windowed aggregate: at 10^12 rows a
+    dashboard's month-long range scan must not touch raw data, and a
+    coarse tier folded from the finer tier costs O(buckets), not O(rows)
+    — each row is aggregated exactly once at the finest resolution, and
+    every higher tier is built from ~step-ratio× fewer rows.
+
+    Late data: rather than dropping rows whose coarse buckets already
+    folded (the lossy fold-once policy), late rows merge into the finest
+    tier normally and mark their coarse buckets DIRTY; the batch re-folds
+    dirty buckets from the (staged) finer tier and PK-upserts them — the
+    invalidation-log design of continuous aggregates. All tiers therefore
+    stay exact for ALL arrived data at every commit; nothing is lost.
+
+    Exactly-once: every tier plus the per-tier fold watermark advance in
+    ONE MultiTableTransaction per batch (replayed batch ids are committed
+    no-ops). Sums ride as exact BIGINTs (quantize upstream), so ladder
+    contents are bit-identical to a from-scratch aggregation regardless
+    of batching/arrival order — which is exactly what the oracle checks.
+
+    At 100 TB: the finest-tier merge shuffles per-batch rows once on
+    bucket ids; fold inputs are bucket-range scans of the tier below
+    (partition-prunable); the only driver-side values are bucket
+    boundaries and the small distinct dirty-bucket list (commit
+    coordination, not data).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        tiers: list[tuple[str, int]],
+        meta: str = "rollup_meta",
+    ) -> None:
+        if sorted(tiers, key=lambda t: t[1]) != tiers:
+            raise ValueError("tiers must be ascending by step_us")
+        for (_, a), (_, b) in zip(tiers, tiers[1:]):
+            if b % a:
+                raise ValueError("each tier step must divide the next")
+        self.catalog = catalog
+        self.tiers = tiers
+        self.meta = meta
+
+    # -- committed state ------------------------------------------------------
+
+    def fold_his(self, spark) -> dict[str, int]:
+        """Per-tier fold watermark (buckets strictly below are folded)."""
+        try:
+            rows = self.catalog.read(spark, self.meta).collect()
+        except FileNotFoundError:
+            return {}
+        return {r["tier"]: r["fold_hi_us"] for r in rows}
+
+    # -- merge ----------------------------------------------------------------
+
+    def apply_batch(
+        self, df: DataFrame, batch_id: str, wm_us: int
+    ) -> bool:
+        """Fold one micro-batch (columns ``ts_us`` BIGINT, ``v`` BIGINT)
+        into every tier. Idempotent per batch_id."""
+        spark = df.sparkSession
+        txn_id = f"rollup:{self.meta}:{batch_id}"
+        if txn_id in self.catalog.committed_txns():
+            return False
+        prev = self.fold_his(spark)
+        txn = self.catalog.transaction(txn_id)
+
+        name0, step0 = self.tiers[0]
+        b0 = (F.col("ts_us") - F.col("ts_us") % F.lit(step0)).alias(
+            "bucket_us"
+        )
+        batch0 = df.groupBy(b0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+        try:
+            cur = self.catalog.read(spark, name0).select(
+                "bucket_us",
+                F.col("n").alias("_n0"),
+                F.col("s").alias("_s0"),
+            )
+        except FileNotFoundError:
+            cur = None
+        if cur is not None:
+            batch0 = (
+                batch0.join(cur, "bucket_us", "left")
+                .select(
+                    "bucket_us",
+                    (F.col("n") + F.coalesce(F.col("_n0"), F.lit(0)))
+                    .alias("n"),
+                    (F.col("s") + F.coalesce(F.col("_s0"), F.lit(0)))
+                    .alias("s"),
+                )
+            )
+        txn.upsert(name0, batch0)
+
+        # the batch's distinct buckets per coarser tier — the dirty set
+        # candidates (small: bounded by the batch's time spread, not rows)
+        meta_rows = []
+        for k in range(1, len(self.tiers)):
+            name, step = self.tiers[k]
+            fname, _ = self.tiers[k - 1]
+            prev_hi = prev.get(name)
+            new_hi = max(wm_us - wm_us % step, prev_hi or -(1 << 62))
+            dirty = [
+                r["b"]
+                for r in df.select(
+                    (F.col("ts_us") - F.col("ts_us") % F.lit(step))
+                    .alias("b")
+                )
+                .where(
+                    F.col("b") < F.lit(prev_hi if prev_hi is not None
+                                       else -(1 << 62))
+                )
+                .distinct()
+                .collect()
+            ]
+            lo = prev_hi if prev_hi is not None else -(1 << 62)
+            fine = txn.read(spark, fname).withColumn(
+                "bucket_k",
+                F.col("bucket_us") - F.col("bucket_us") % F.lit(step),
+            )
+            cond = (F.col("bucket_k") >= F.lit(lo)) & (
+                F.col("bucket_k") < F.lit(new_hi)
+            )
+            if dirty:
+                cond = cond | F.col("bucket_k").isin(dirty)
+            folded = (
+                fine.where(cond)
+                .groupBy(F.col("bucket_k").alias("bucket_us"))
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+            txn.upsert(name, folded)
+            meta_rows.append((name, new_hi))
+        if meta_rows:
+            txn.upsert(
+                self.meta,
+                spark.createDataFrame(
+                    meta_rows, "tier string, fold_hi_us long"
+                ),
+            )
+        return txn.commit()
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, spark, tier: str) -> DataFrame:
+        return self.catalog.read(spark, tier)
+
+    def stitch_plan(
+        self, spark, lo_us: int, hi_us: int
+    ) -> list[tuple[str, int, int]]:
+        """Tile decomposition of ``[lo_us, hi_us)``: interior spans served
+        by the coarsest folded tier, edges recursing to finer tiers —
+        the range-scan shape that keeps a month-long query off the raw
+        (and even the finest) data. Bounds must be finest-step-aligned."""
+        _, step0 = self.tiers[0]
+        if lo_us % step0 or hi_us % step0:
+            raise ValueError("stitch bounds must align to the finest step")
+        his = self.fold_his(spark)
+        plan: list[tuple[str, int, int]] = []
+
+        def cover(k: int, lo: int, hi: int) -> None:
+            if lo >= hi:
+                return
+            name, step = self.tiers[k]
+            if k == 0:
+                plan.append((name, lo, hi))
+                return
+            a_lo = -(-lo // step) * step  # ceil-align
+            a_hi = min((hi // step) * step, his.get(name, lo))
+            if a_lo < a_hi:
+                cover(k - 1, lo, a_lo)
+                plan.append((name, a_lo, a_hi))
+                cover(k - 1, a_hi, hi)
+            else:
+                cover(k - 1, lo, hi)
+
+        cover(len(self.tiers) - 1, lo_us, hi_us)
+        return plan
+
+    def stitch(self, spark, lo_us: int, hi_us: int) -> DataFrame:
+        """Total (n, s) over ``[lo_us, hi_us)`` from the tile plan —
+        equals the raw-data aggregate for all arrived rows."""
+        parts = None
+        for name, lo, hi in self.stitch_plan(spark, lo_us, hi_us):
+            p = self.read(spark, name).where(
+                (F.col("bucket_us") >= F.lit(lo))
+                & (F.col("bucket_us") < F.lit(hi))
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        if parts is None:
+            raise ValueError("empty stitch range")
+        return parts.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("s"), F.lit(0)).alias("s"),
+        )
