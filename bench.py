@@ -171,6 +171,7 @@ HEADLINE_EXTRA = [
     "dp_release",
     "quota_admit",
     "temporal_enrich",
+    "rollup_ladder",
 ]
 
 SCALE_GEN = dict(

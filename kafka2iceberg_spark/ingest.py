@@ -426,3 +426,100 @@ def field_drift(
         )
     )
     return seen.unionByName(never)
+
+
+# ---------------------------------------------------------------------------
+# P5 closed: DDL application (beyond the reference's TODO)
+
+#: MySQL column type → task-spec type (schema.spark_type vocabulary).
+#: Conservative: anything absent is unsupported and leaves the DDL as a
+#: recognized-but-unapplied side event (never a guess).
+MYSQL_TYPE_MAP = {
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+    "date": "date",
+    "varchar": "string",
+    "char": "string",
+    "text": "string",
+    "tinytext": "string",
+    "mediumtext": "string",
+    "longtext": "string",
+    "json": "string",
+    "int": "int",
+    "integer": "int",
+    "tinyint": "int",
+    "smallint": "int",
+    "mediumint": "int",
+    "bigint": "bigint",
+    "float": "double",
+    "double": "double",
+    "decimal": "double",
+    "numeric": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+}
+
+_ADD_COLUMN_RE = None
+
+
+def parse_add_columns(sql: str) -> list[tuple[str, str]]:
+    """``ALTER TABLE … ADD [COLUMN] <name> <type> …`` → [(name, spec_type)].
+
+    Handles exactly the MySQL shape the reference's mock emits
+    (ConnectionUtils.java:57-58: ``alter table test.t_busi_detail add
+    sign_time datetime null comment '签收时间' after is_valid``):
+    optional COLUMN keyword, backticks, a type with optional length
+    args, and trailing NULL/COMMENT/AFTER noise. Statements that are
+    not a supported single-column ADD (drops, renames, modifies, exotic
+    types) return [] — recognized, surfaced in the DDL side table, never
+    half-applied.
+    """
+    import re
+
+    global _ADD_COLUMN_RE
+    if _ADD_COLUMN_RE is None:
+        _ADD_COLUMN_RE = re.compile(
+            r"alter\s+table\s+[`\w.]+\s+add\s+(?:column\s+)?"
+            r"`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\s*\(\s*[\d,\s]*\s*\))?",
+            re.IGNORECASE,
+        )
+    m = _ADD_COLUMN_RE.match((sql or "").strip())
+    if not m:
+        return []
+    spec_type = MYSQL_TYPE_MAP.get(m.group("type").lower())
+    if spec_type is None:
+        return []
+    return [(m.group("col"), spec_type)]
+
+
+def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
+    """Apply a supported ADD COLUMN statement to the task spec.
+
+    Returns a NEW spec with the column appended (nullable, next seq) —
+    or the spec unchanged when the statement is unsupported or the
+    column already exists (idempotent, so journal replay and duplicate
+    DDL delivery are no-ops). The reference leaves this branch a TODO
+    (DeserializedSchema.java:114-116) and silently drops the new field
+    until the job's field config is redeployed; applying the DDL closes
+    that window without a restart.
+    """
+    from dataclasses import replace
+
+    from .config import FieldSpec
+
+    cols = parse_add_columns(ddl_sql)
+    if not cols:
+        return spec
+    existing = {f.name for f in spec.fields}
+    new_fields = list(spec.fields)
+    next_seq = max((f.seq for f in spec.fields), default=0)
+    changed = False
+    for name, spec_type in cols:
+        if name in existing:
+            continue
+        next_seq += 1
+        new_fields.append(FieldSpec(name, next_seq, spec_type))
+        changed = True
+    if not changed:
+        return spec
+    return replace(spec, fields=new_fields)

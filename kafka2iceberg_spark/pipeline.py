@@ -572,3 +572,78 @@ def start_fanout_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_dynamic_sink(
+    raw: DataFrame,
+    spec: TaskSpec,
+    table: IcebergLite,
+    checkpoint: str,
+    spec_journal: str,
+    trigger: dict | None = None,
+    ddl_table: IcebergLite | None = None,
+):
+    """Upsert sink with LIVE schema evolution driven by the DDL stream.
+
+    The reference recognizes ``isDdl`` envelopes but TODOs them
+    (DeserializedSchema.java:114-116): after an upstream ``ALTER TABLE …
+    ADD COLUMN`` its job silently drops the new field until someone
+    redeploys the field config. This sink closes that window inside one
+    continuous query: each micro-batch first applies its routed DDL
+    events (supported ADD COLUMNs, in broker-offset order) to the task
+    spec via ``ingest.evolve_spec``, journals the applied statements,
+    and THEN parses the batch with the evolved spec — so data envelopes
+    carrying the new field flow through P7-P9 typed from the very batch
+    the ALTER arrives in, and the sink's add-column evolution lands the
+    new column NULL-backfilled for history. Unsupported DDL is never
+    half-applied — it stays a recognized side event (``ddl_table``).
+
+    A static streaming plan cannot re-resolve mid-query, so the parse
+    runs per-batch over the RAW stream inside foreachBatch — same
+    exactly-once guard as every sink here. ``spec_journal`` (a JSON file
+    next to the checkpoint) replays applied DDL on restart BEFORE new
+    batches parse; journal replay and duplicate DDL delivery are no-ops
+    because ``evolve_spec`` is idempotent on column presence. The
+    journal is written before the table commit: a crash between the two
+    re-applies the DDL harmlessly on redelivery.
+    """
+    import json
+    import os
+
+    current = spec
+    if os.path.exists(spec_journal):
+        with open(spec_journal) as fh:
+            for line in fh:
+                current = ingest.evolve_spec(current, json.loads(line)["sql"])
+    state = {"spec": current}
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        ddls = (
+            ingest.ddl_events(batch_df, state["spec"])
+            .orderBy("partition_idx", "offset")
+            .collect()
+        )
+        for row in ddls:
+            evolved = ingest.evolve_spec(state["spec"], row["ddl_sql"])
+            if evolved is not state["spec"]:
+                with open(spec_journal, "a") as fh:
+                    fh.write(json.dumps({"sql": row["ddl_sql"]}) + "\n")
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                state["spec"] = evolved
+        if ddl_table is not None and ddls:
+            ddl_table.commit_append(
+                batch_df.sparkSession.createDataFrame(ddls),
+                f"ddl:{batch_id}",
+            )
+        rows = ingest.parse(batch_df, state["spec"])
+        table.commit_upsert(rows, str(batch_id))
+
+    writer = (
+        raw.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -102,6 +102,177 @@ def _neardup_index_batch(spark, sf_dir):
     return dd.neardup_batch_pairs(sig_b, idx, threshold=0.875)
 
 
+def _join_view_delta(spark, sf_dir):
+    """join_view materializes through committed tables; audit one
+    un-executed delta fold (matview.IncrementalJoinView._delta_view):
+    the dL><R ∪ L><dR ∪ dL><dR plan every micro-batch repeats, with the
+    committed sides probed via delta-broadcast joins."""
+    import tempfile
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark.matview import IncrementalJoinView
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    orders = entry._read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    lines = entry._read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber",
+        F.col("l_extendedprice").alias("revenue"),
+    )
+    work = tempfile.mkdtemp(prefix="jv_audit_")
+    cat = CatalogLite(work)
+    cat.register("o", IcebergLite(f"{work}/o", pk=["orderkey"],
+                                  partition_field=None))
+    cat.register("l", IcebergLite(
+        f"{work}/l", pk=["orderkey", "l_linenumber"], partition_field=None))
+    cat.register("v", IcebergLite(
+        f"{work}/v", pk=["orderkey", "l_linenumber"], partition_field=None))
+    jv = IncrementalJoinView(
+        cat, "o", "l", "v", on=["orderkey"],
+        left_cols=["o_orderpriority"],
+        right_cols=["l_linenumber", "revenue"],
+        filter_left="o_orderpriority = '1-URGENT'",
+    )
+    jv.apply_batch(
+        orders.where(F.col("orderkey") % 3 == 0),
+        lines.where(F.col("orderkey") % 3 == 0), "0",
+    )
+    return jv._delta_view(
+        spark,
+        orders.where(F.col("orderkey") % 3 == 1),
+        lines.where(F.col("orderkey") % 3 == 1),
+    )
+
+
+def _stream_sample_batch(spark, sf_dir):
+    """stream_sample materializes through a committed k-row table; audit
+    one un-executed min-merge (sketches.StreamingSample): local bottom-k
+    of the batch unioned with the committed sample, re-bottom-k'd."""
+    import tempfile
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.sketches import StreamingSample
+
+    d = entry._read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="ss_audit_")
+    ss = StreamingSample(
+        IcebergLite(f"{work}/sample", pk=["doc_id"], partition_field=None),
+        k=100, id_col="doc_id",
+    )
+    ss.apply_batch(d.where(F.col("doc_id") % 3 == 0), "0")
+    batch = ss._bottom_k(
+        d.where(F.col("doc_id") % 3 == 1)
+        .withColumn("_prio", F.md5(F.col("doc_id").cast("string")))
+    )
+    return ss._bottom_k(
+        batch.unionByName(ss.table.read(spark)).dropDuplicates(["doc_id"])
+    )
+
+
+def _temporal_enrich_batch(spark, sf_dir):
+    """temporal_enrich materializes through committed catalog tables;
+    audit one un-executed release (scd.TemporalEnrich._enrich): the
+    watermark band AS-OF joined against the SCD2 history — the plan
+    every micro-batch repeats."""
+    import tempfile
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark.scd import TemporalEnrich
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    ev = entry._read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.col("event_type") == "error").alias("is_del"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"), "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    work = tempfile.mkdtemp(prefix="te_audit_")
+    cat = CatalogLite(f"{work}/cat")
+    cat.register("facts", IcebergLite(f"{work}/facts", pk=[],
+                                      partition_field=None))
+    cat.register("out", IcebergLite(f"{work}/out", pk=[],
+                                    partition_field=None))
+    cat.register("meta", IcebergLite(f"{work}/meta", pk=["k"],
+                                     partition_field=None))
+    hist = IcebergLite(f"{work}/hist", pk=["user_id", "valid_from_us"],
+                       partition_field=None)
+    te = TemporalEnrich(
+        cat, hist, key=["user_id"], tracked=["event_type"],
+        dim_order=["ts", "event_id"], dim_delete="is_del",
+    )
+    from kafka2iceberg_spark.scd import scd2_apply_batch
+
+    scd2_apply_batch(
+        spark, hist, dim, "audit0", key=["user_id"],
+        order=["ts", "event_id"], tracked=["event_type"],
+        ts_col="ts", delete_col="is_del",
+    )
+    return te._enrich(facts, te._hist_df(spark))
+
+
+def _rollup_fold(spark, sf_dir):
+    """rollup_ladder materializes through committed tier tables; audit
+    one un-executed batch fold (timeseries.RollupLadder): the finest-tier
+    merge (batch agg + committed-tier add) unioned conceptually with the
+    day fold — the merge plan dominates, so that is the audited plan."""
+    import tempfile
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.timeseries import RollupLadder
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+    ev = entry._read(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v"),
+        "event_id",
+    )
+    work = tempfile.mkdtemp(prefix="rl_audit_")
+    cat = CatalogLite(f"{work}/cat")
+    for name in ("hour", "day"):
+        cat.register(name, IcebergLite(f"{work}/{name}", pk=["bucket_us"],
+                                       partition_field=None))
+    cat.register("rollup_meta", IcebergLite(f"{work}/meta", pk=["tier"],
+                                            partition_field=None))
+    rl = RollupLadder(cat, [("hour", HOUR), ("day", DAY)])
+    rl.apply_batch(
+        ev.where(F.col("event_id") % 2 == 0).drop("event_id"), "0",
+        wm_us=1_705_795_200_000_000,
+    )
+    batch = ev.where(F.col("event_id") % 2 == 1).groupBy(
+        (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR)).alias("bucket_us")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    cur = rl.read(spark, "hour").select(
+        "bucket_us", F.col("n").alias("_n0"), F.col("s").alias("_s0")
+    )
+    return batch.join(cur, "bucket_us", "left").select(
+        "bucket_us",
+        (F.col("n") + F.coalesce(F.col("_n0"), F.lit(0))).alias("n"),
+        (F.col("s") + F.coalesce(F.col("_s0"), F.lit(0))).alias("s"),
+    )
+
+
 # queries whose registry callable hides the auditable plan behind eager
 # materialization: audit a representative lazy plan instead
 PLAN_PROXY = {
@@ -110,6 +281,10 @@ PLAN_PROXY = {
     "pagerank_topk": _pagerank_round,
     "bpe_train": _bpe_round,
     "neardup_index": _neardup_index_batch,
+    "join_view": _join_view_delta,
+    "stream_sample": _stream_sample_batch,
+    "temporal_enrich": _temporal_enrich_batch,
+    "rollup_ladder": _rollup_fold,
 }
 
 
