@@ -9424,12 +9424,13 @@ FROM events
 GROUP BY 1
 """,
         "temporal_enrich": """
-WITH d0 AS (
+WITH ev3 AS (SELECT * FROM events),
+d0 AS (
   SELECT user_id, ts, event_id, event_type,
          (event_type = 'error') AS is_del,
          row_number() OVER (PARTITION BY user_id, ts
                             ORDER BY event_id DESC) AS rn
-  FROM events
+  FROM ev3
 ),
 d AS (SELECT user_id, ts, event_id, event_type, is_del FROM d0 WHERE rn = 1),
 m AS (
@@ -9452,7 +9453,7 @@ hist AS (
 ),
 purch AS (
   SELECT event_id AS fact_id, user_id, epoch_us(ts) AS ts_us
-  FROM events WHERE event_type = 'purchase'
+  FROM ev3 WHERE event_type = 'purchase'
 )
 SELECT p.fact_id, p.user_id, p.ts_us,
        h.state AS state_at_purchase

@@ -382,6 +382,15 @@ def main() -> None:
         "(graph.pagerank_round_plan) for the same reason as "
         "dedup_clusters: the executed loop checkpoints each iteration, "
         "and the per-round join+partial-sum is the plan that repeats.",
+        "",
+        "`join_view`, `stream_sample`, `temporal_enrich`, and "
+        "`rollup_ladder` materialize through committed exactly-once "
+        "tables, so their registry result plans are bare table scans; "
+        "each is audited as ONE un-executed micro-batch fold instead — "
+        "the delta-rule join (IncrementalJoinView._delta_view), the "
+        "bottom-k min-merge (StreamingSample), the watermark-band AS-OF "
+        "release (TemporalEnrich._enrich), and the finest-tier merge "
+        "(RollupLadder) respectively — the plan every batch repeats.",
     ]
     if only:
         for r in rows:
