@@ -1289,6 +1289,19 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query
+    vector, the 5 most-similar DIFFERENT-label vectors — the near-miss
+    impostors contrastive training needs (vs trivially-far random
+    negatives). Broadcast query side, label inequality in the join
+    condition, one per-query rank window; the oracle replays the exact
+    cosine and tie rules."""
+    emb = _read(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 8)
+    out = sim.hard_negatives(emb, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: probe the 2 nearest cells per query, exact cosine rerank —
     the third ANN strategy (scanned fraction ≈ n_probe/|cells| at scale).
@@ -4392,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
+        "hard_negatives": q_hard_negatives,
         "ann_lsh_topk": q_ann_lsh,
         "ann_index_topk": q_ann_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -6075,6 +6089,19 @@ s AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
+""",
+        "hard_negatives": f"""
+WITH {_EMB_D},
+q AS (SELECT * FROM d WHERE vec_id < 8),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         round({_cos_sql('q', 'c')}, 6) AS cosine
+  FROM q JOIN d c ON c.vec_id <> q.vec_id AND c.label <> q.label
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, neg_label, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 5
 """,
         "blob_meta": """
 SELECT doc_id,

@@ -172,6 +172,7 @@ HEADLINE_EXTRA = [
     "quota_admit",
     "temporal_enrich",
     "rollup_ladder",
+    "hard_negatives",
 ]
 
 SCALE_GEN = dict(

@@ -1308,3 +1308,58 @@ def pca_power_scores(
         lambda acc, x: acc + x,
     )
     return emb.select(F.col(id_col).alias("vec_id"), score.alias("score"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each query vector, the ``k`` most-cosine-similar vectors with a
+    DIFFERENT label — the near-miss impostors whose gradients train the
+    margin, versus random negatives that are already trivially far
+    (Schroff et al. 2015 semi-hard mining; DPR's hard negatives).
+
+    Same 100 TB shape as :func:`brute_topk`: the (small) query side is
+    broadcast so the corpus never shuffles; the label inequality rides
+    the join condition so same-label rows are dropped at the probe, not
+    post-ranked; ranking is one per-query window. For web-scale corpora
+    swap the probe side through :func:`ivf_topk`'s cell routing and
+    rerank the union — the mining semantics stay identical.
+
+    Output: (query_id, neighbor_id, neg_label, rank, cosine).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("ce"),
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_q_label"),
+        _as_double(F.col(vec_col)).alias("qe"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_q_label") != F.col("neg_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        F.round(
+            _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
+    )
