@@ -268,6 +268,15 @@ class IcebergLiteDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "_TableBatchReader":
         version, branch = self._batch_snapshot_args()
+        if self._changelog():
+            # the batch reader scans snapshots, not per-commit events; a
+            # silent fallthrough would emit rows missing the two changelog
+            # columns the declared schema promises (runtime mismatch)
+            raise ValueError(
+                "changelog reads are streaming-only: use "
+                "table_stream(spark, location, starting_version=0, "
+                "changelog=True) and drain with trigger(availableNow=True)"
+            )
         if version is not None and branch is not None:
             raise ValueError("pass version OR branch, not both")
         cls = _TableBatchReader
