@@ -20,8 +20,8 @@ re-emits its envelopes (file writes are not transactional), and that is
 fine BY CONSTRUCTION because the ingest side is PK-upsert idempotent
 with batch-id commit guards — the same reason the reference tolerates
 Canal redelivery. Offsets are synthesized monotone per partition
-(version·10^6 + row rank) so downstream lineage stays ordered across
-egress restarts.
+(version·10^9 + rank within the version) so downstream lineage stays
+ordered across egress restarts and stable under replay.
 """
 
 from __future__ import annotations
@@ -67,8 +67,9 @@ def changelog_envelopes(
 
     Output: (value: string, partition: int, offset: long) — the broker
     triple. Partition = pk-hash mod ``n_partitions`` (keyed-producer
-    layout, same keys always same partition); offset = version·10^6 +
-    per-partition rank, monotone across egress batches.
+    layout, same keys always same partition); offset = version·10^9 + rank
+    within (partition, version), monotone across egress batches and a
+    pure function of the change itself (replay-stable).
     """
     is_ins = F.col(CHANGE_TYPE_COL) == F.lit("insert")
     dtypes = dict(changes.dtypes)
@@ -99,11 +100,17 @@ def changelog_envelopes(
     part = F.pmod(
         F.hash(*[F.col(c) for c in pk]), F.lit(n_partitions)
     ).cast("int")
-    w = Window.partitionBy(part).orderBy(
-        COMMIT_VERSION_COL, *[F.col(c) for c in pk]
+    # rank WITHIN (partition, version): a version's events are atomic in
+    # the changelog, so each change's offset is a pure function of its
+    # version + pk — stable across batch composition and checkpoint
+    # rebuilds (a batch-spanning rank would renumber on replay and break
+    # offset-based downstream dedup). 10^9 slots per (version, partition)
+    # before collision with the next version's range.
+    w = Window.partitionBy(part, F.col(COMMIT_VERSION_COL)).orderBy(
+        *[F.col(c) for c in pk]
     )
     off = (
-        F.col(COMMIT_VERSION_COL).cast("long") * F.lit(1_000_000)
+        F.col(COMMIT_VERSION_COL).cast("long") * F.lit(1_000_000_000)
         + F.row_number().over(w)
     ).cast("long")
     ts_ms = F.col(COMMIT_VERSION_COL).cast("long") * F.lit(1000)
@@ -155,15 +162,18 @@ def start_egress_sink(
         envs = changelog_envelopes(
             batch_df, database, table, pk, fields, n_partitions
         )
-        # distributed write — nothing collects to the driver; the text
-        # writer's _temporary→rename protocol keeps readers off partial
-        # files. On a real cluster this whole branch is
-        # envs.write.format("kafka") with the same value column.
+        # distributed write — nothing collects to the driver and no
+        # global sort: one shuffle on the broker partition key, order
+        # within each partition only (Kafka's own contract — order is
+        # per-partition, never global). The text writer's
+        # _temporary→rename protocol keeps readers off partial files. On
+        # a real cluster this whole branch is envs.write.format("kafka")
+        # with the same value column.
         os.makedirs(out_dir, exist_ok=True)
         (
-            envs.orderBy("partition", "offset")
+            envs.repartition(n_partitions, F.col("partition"))
+            .sortWithinPartitions("partition", "offset")
             .select("value")
-            .coalesce(1)
             .write.mode("append")
             .format("text")
             .save(out_dir)

@@ -459,37 +459,78 @@ MYSQL_TYPE_MAP = {
     "boolean": "boolean",
 }
 
-_ADD_COLUMN_RE = None
+_ALTER_HEAD_RE = None
+_ADD_CLAUSE_RE = None
+
+
+def _split_clauses(rest: str) -> list[str]:
+    """Split an ALTER body on top-level commas — commas inside parens
+    (``decimal(10,2)``) or single-quoted strings (``comment 'a,b'``)
+    never split."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in rest:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    return [c.strip() for c in out if c.strip()]
 
 
 def parse_add_columns(sql: str) -> list[tuple[str, str]]:
     """``ALTER TABLE … ADD [COLUMN] <name> <type> …`` → [(name, spec_type)].
 
-    Handles exactly the MySQL shape the reference's mock emits
+    Handles the MySQL shape the reference's mock emits
     (ConnectionUtils.java:57-58: ``alter table test.t_busi_detail add
     sign_time datetime null comment '签收时间' after is_valid``):
     optional COLUMN keyword, backticks, a type with optional length
-    args, and trailing NULL/COMMENT/AFTER noise. Statements that are
-    not a supported single-column ADD (drops, renames, modifies, exotic
-    types) return [] — recognized, surfaced in the DDL side table, never
-    half-applied.
+    args, trailing NULL/COMMENT/AFTER noise — and the multi-clause form
+    ``add a int, add column b text``. ALL-OR-NOTHING: if ANY clause of
+    the statement is not a supported ADD COLUMN (a drop/modify/rename
+    mixed in, an exotic type), the whole statement returns [] —
+    recognized, surfaced in the DDL side table, never HALF-applied
+    (applying one clause of a multi-add and journaling the statement as
+    done would silently drop the other columns forever).
     """
     import re
 
-    global _ADD_COLUMN_RE
-    if _ADD_COLUMN_RE is None:
-        _ADD_COLUMN_RE = re.compile(
-            r"alter\s+table\s+[`\w.]+\s+add\s+(?:column\s+)?"
-            r"`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\s*\(\s*[\d,\s]*\s*\))?",
+    global _ALTER_HEAD_RE, _ADD_CLAUSE_RE
+    if _ALTER_HEAD_RE is None:
+        _ALTER_HEAD_RE = re.compile(
+            r"alter\s+table\s+[`\w.]+\s+", re.IGNORECASE
+        )
+        _ADD_CLAUSE_RE = re.compile(
+            r"add\s+(?:column\s+)?"
+            r"`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\s*\(\s*[\d,\s]*\s*\))?"
+            r"(?:\s|$)",
             re.IGNORECASE,
         )
-    m = _ADD_COLUMN_RE.match((sql or "").strip())
+    stmt = (sql or "").strip().rstrip(";")
+    m = _ALTER_HEAD_RE.match(stmt)
     if not m:
         return []
-    spec_type = MYSQL_TYPE_MAP.get(m.group("type").lower())
-    if spec_type is None:
-        return []
-    return [(m.group("col"), spec_type)]
+    cols: list[tuple[str, str]] = []
+    for clause in _split_clauses(stmt[m.end():]):
+        cm = _ADD_CLAUSE_RE.match(clause)
+        if not cm:
+            return []  # any non-ADD clause poisons the whole statement
+        spec_type = MYSQL_TYPE_MAP.get(cm.group("type").lower())
+        if spec_type is None:
+            return []
+        cols.append((cm.group("col"), spec_type))
+    return cols
 
 
 def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:

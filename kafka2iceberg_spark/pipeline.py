@@ -552,7 +552,10 @@ def start_fanout_sink(
     )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        txn_id = f"fanout:{batch_id}"
+        # namespaced per sink (the table set), like every other committer:
+        # two fan-out queries sharing one catalog must not collide on
+        # bare batch ids and silently skip each other's batches
+        txn_id = f"fanout:{':'.join(names)}:{batch_id}"
         if txn_id in catalog.committed_txns():
             return
         txn = catalog.transaction(txn_id)

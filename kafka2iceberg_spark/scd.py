@@ -300,11 +300,13 @@ class TemporalEnrich:
 
     Per batch: fold dim changes into ``hist`` FIRST, advance the dim
     watermark monotonically, append the new facts, then release (a) this
-    batch's facts already inside the watermark — including late facts
-    below it, whose history is final the moment they arrive — plus (b)
-    committed held facts in the band ``prev_wm < ts_us <= new_wm`` (each
-    fact releases exactly once: the watermark is monotone and the band
-    edges are the committed watermarks), AS-OF join the release set against
+    batch's facts strictly inside the watermark (``ts_us < wm`` — a dim
+    change AT the watermark instant may still arrive and rewrite that
+    instant's version) — including late facts below it, whose history is
+    final the moment they arrive — plus (b) committed held facts in the
+    band ``prev_wm <= ts_us < new_wm`` (each fact releases exactly once:
+    the watermark is monotone and the band edges are the committed
+    watermarks), AS-OF join the release set against
     ``hist`` (windows.asof_join — union + one ordered window, no
     interval theta-join; facts inside a tombstone gap or before the
     first version get NULL enrichment), and commit facts+out+meta
@@ -455,11 +457,15 @@ class TemporalEnrich:
             # (incl. LATE facts below the released watermark — their
             # history is final, so they enrich immediately rather than
             # being dropped) ∪ previously-committed facts the advancing
-            # watermark just passed. Exactly-once: the two parts cannot
-            # overlap (part 2 reads the PRE-txn committed log), and a
-            # committed fact's ts lies in at most one (wm, wm'] band
-            # because the watermark is monotone.
-            band = staged_facts.where(F.col("ts_us") <= F.lit(new_wm))
+            # watermark just passed. Release is STRICT (ts_us < wm): a dim
+            # change AT the watermark instant may still arrive (watermark
+            # = "nothing EARLIER than wm comes later"), and under scd2's
+            # tiebreak it could rewrite the version valid at exactly wm —
+            # releasing at == would freeze the wrong enrichment.
+            # Exactly-once: the two parts cannot overlap (part 2 reads the
+            # PRE-txn committed log), and a committed fact's ts lies in at
+            # most one [wm, wm') band because the watermark is monotone.
+            band = staged_facts.where(F.col("ts_us") < F.lit(new_wm))
             if new_wm > lo:
                 try:
                     prev_facts = self.catalog.read(spark, self.facts)
@@ -468,8 +474,8 @@ class TemporalEnrich:
                 if prev_facts is not None:
                     band = band.unionByName(
                         prev_facts.where(
-                            (F.col("ts_us") > F.lit(lo))
-                            & (F.col("ts_us") <= F.lit(new_wm))
+                            (F.col("ts_us") >= F.lit(lo))
+                            & (F.col("ts_us") < F.lit(new_wm))
                         )
                     )
             txn.append(self.out, self._enrich(band, hist_df))
@@ -510,7 +516,7 @@ class TemporalEnrich:
         wm = self.released_wm_us(spark)
         lo = wm if wm is not None else -(1 << 62)
         return self.catalog.read(spark, self.facts).where(
-            F.col("ts_us") > F.lit(lo)
+            F.col("ts_us") >= F.lit(lo)
         )
 
     def recompute(self, spark: SparkSession) -> DataFrame:
@@ -519,6 +525,6 @@ class TemporalEnrich:
         wm = self.released_wm_us(spark)
         lo = wm if wm is not None else -(1 << 62)
         released = self.catalog.read(spark, self.facts).where(
-            F.col("ts_us") <= F.lit(lo)
+            F.col("ts_us") < F.lit(lo)
         )
         return self._enrich(released, self._hist_df(spark))

@@ -44,6 +44,34 @@ def cosine(x: Column, y: Column) -> Column:
     return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
 
 
+def _cosine_topk(
+    c: DataFrame, q: DataFrame, k: int, carry: list[str], cond
+) -> DataFrame:
+    """Shared exact-cosine top-k core (brute_topk / hard_negatives).
+
+    ``c``: (neighbor_id, <carry...>, ce, cn); ``q``: (query_id,
+    [predicate cols], qe, qn); ``cond`` is the full join predicate. The
+    query side is broadcast — no shuffle of the corpus; ranking is one
+    window per query id. Ties break on neighbor_id (deterministic).
+    """
+    scored = c.join(F.broadcast(q), cond).select(
+        "query_id",
+        "neighbor_id",
+        *carry,
+        F.round(
+            _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", *carry, "rank", "cosine")
+    )
+
+
 def brute_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,11 +79,7 @@ def brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
-
-    The query side is broadcast — no shuffle of the corpus; ranking is one
-    window per query id. Ties break on neighbor_id (deterministic).
-    """
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
     # norms are per-ROW, not per-pair: folding dot(x,x) inside the pair
     # loop would triple the interpreted-lambda work (ArrayAggregate has no
     # codegen); precomputing them keeps the identical doubles (same fold
@@ -66,25 +90,8 @@ def brute_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
     ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qe"), F.col("ce"))
-                / (F.col("qn") * F.col("cn")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    return _cosine_topk(
+        c, q, k, [], F.col("query_id") != F.col("neighbor_id")
     )
 
 
@@ -1324,42 +1331,43 @@ def hard_negatives(
     margin, versus random negatives that are already trivially far
     (Schroff et al. 2015 semi-hard mining; DPR's hard negatives).
 
-    Same 100 TB shape as :func:`brute_topk`: the (small) query side is
-    broadcast so the corpus never shuffles; the label inequality rides
-    the join condition so same-label rows are dropped at the probe, not
-    post-ranked; ranking is one per-query window. For web-scale corpora
-    swap the probe side through :func:`ivf_topk`'s cell routing and
-    rerank the union — the mining semantics stay identical.
+    Same 100 TB shape as :func:`brute_topk` (shared ``_cosine_topk``
+    core): the (small) query side is broadcast so the corpus never
+    shuffles; the label inequality rides the join condition so
+    same-label rows are dropped at the probe, not post-ranked; ranking
+    is one per-query window. For web-scale corpora swap the probe side
+    through :func:`ivf_topk`'s cell routing and rerank the union — the
+    mining semantics stay identical.
+
+    Rows with a NULL label are EXCLUDED explicitly, on both sides:
+    "unlabeled" is not a label, and leaving it to the join predicate's
+    three-valued logic would drop them silently instead of by policy.
 
     Output: (query_id, neighbor_id, neg_label, rank, cosine).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neg_label"),
-        _as_double(F.col(vec_col)).alias("ce"),
-    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("_q_label"),
-        _as_double(F.col(vec_col)).alias("qe"),
-    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
-    scored = c.join(
-        F.broadcast(q),
+    c = (
+        corpus.where(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neg_label"),
+            _as_double(F.col(vec_col)).alias("ce"),
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    q = (
+        queries.where(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("_q_label"),
+            _as_double(F.col(vec_col)).alias("qe"),
+        )
+        .withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
+    return _cosine_topk(
+        c,
+        q,
+        k,
+        ["neg_label"],
         (F.col("query_id") != F.col("neighbor_id"))
         & (F.col("_q_label") != F.col("neg_label")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "neg_label",
-        F.round(
-            _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
     )

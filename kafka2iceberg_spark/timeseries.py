@@ -1479,7 +1479,10 @@ class RollupLadder:
             name, step = self.tiers[k]
             fname, _ = self.tiers[k - 1]
             prev_hi = prev.get(name)
-            new_hi = max(wm_us - wm_us % step, prev_hi or -(1 << 62))
+            new_hi = max(
+                wm_us - wm_us % step,
+                prev_hi if prev_hi is not None else -(1 << 62),
+            )
             dirty = [
                 r["b"]
                 for r in df.select(

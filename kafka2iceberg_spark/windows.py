@@ -906,12 +906,18 @@ def quota_stream(
         for wus in closed:
             for u, t in bufs.pop(wus):
                 out.append((t, u, int(wus), True))
-        state.update((_json.dumps(bufs),))
         if bufs:
+            state.update((_json.dumps(bufs),))
             next_close = min(int(w) + dur_us for w in bufs)
             state.setTimeoutTimestamp(
                 max(next_close // 1000, state.getCurrentWatermarkMs() + 1)
             )
+        elif state.exists:
+            # all windows closed: drop the key's state row entirely —
+            # otherwise every key ever seen leaves an empty '{}' entry in
+            # the store forever (state must be O(open windows), not
+            # O(distinct keys ever))
+            state.remove()
         if out:
             yield pd.DataFrame(
                 {

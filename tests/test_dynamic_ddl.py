@@ -187,3 +187,24 @@ def test_unsupported_ddl_surfaced_not_applied(spark, tmp_path):
     side = ddl_side.read(spark).collect()
     assert len(side) == 1 and "drop column" in side[0]["ddl_sql"]
     assert not os.path.exists(str(tmp_path / "spec_journal.jsonl"))
+
+
+def test_parse_add_columns_multi_clause_all_or_nothing():
+    assert ingest.parse_add_columns(
+        "alter table t add a int, add column b text"
+    ) == [("a", "int"), ("b", "string")]
+    assert ingest.parse_add_columns(
+        "alter table t add n decimal(10,2), add m datetime"
+    ) == [("n", "double"), ("m", "timestamp")]
+    # a comma inside a comment string must not split clauses
+    assert ingest.parse_add_columns(
+        "alter table t add a int comment 'has, comma', add b text"
+    ) == [("a", "int"), ("b", "string")]
+    # ANY unsupported clause poisons the whole statement — never
+    # half-applied
+    assert ingest.parse_add_columns(
+        "alter table t add a int, drop column c"
+    ) == []
+    assert ingest.parse_add_columns(
+        "alter table t add a int, add b sometype"
+    ) == []
