@@ -4010,6 +4010,60 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (metadata_tables.snapshot_row_diff): the
+    CDC-replication auditor — which user states were added / removed /
+    changed between two committed versions. Version 1 = each user's
+    first January-1..15 event; version 2 upserts each user's last
+    Jan-16+ event and CDC-deletes users whose last event is an 'error'.
+    One full-outer PK hash join of two time-travel reads, non-PK attrs
+    compared as one canonical struct (NULL-safe). The DuckDB oracle
+    replays both snapshot definitions and the set algebra directly."""
+    import tempfile
+
+    from kafka2iceberg_spark import metadata_tables as mt
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    t_cut = F.lit(1_705_363_200_000_000)  # 2024-01-16
+    us = F.unix_micros(F.col("ts"))
+    first_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b0 = (
+        ev.where(us < t_cut)
+        .withColumn("_rn", F.row_number().over(first_w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.lit(False).alias("is_cdc_delete"),
+        )
+    )
+    last_w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    b1 = (
+        ev.where(us >= t_cut)
+        .withColumn("_rn", F.row_number().over(last_w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            (F.col("event_type") == "error").alias("is_cdc_delete"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="rowdiff_")
+    t = IcebergLite(f"{work}/t", pk=["user_id"], partition_field=None)
+    t.commit_upsert(b0, "0")
+    v0 = t.current_version()
+    t.commit_upsert(b1, "1")
+    v1 = t.current_version()
+    return mt.snapshot_row_diff(t, spark, v0, v1)
+
+
 def q_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate ladder (timeseries.RollupLadder): hour→day
     rollup tiers maintained across three OUT-OF-ORDER arrival slices
@@ -4550,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_admit": q_quota_admit,
         "temporal_enrich": q_temporal_enrich,
         "rollup_ladder": q_rollup_ladder,
+        "snapshot_row_diff": q_snapshot_row_diff,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
@@ -9442,6 +9497,41 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "snapshot_row_diff": """
+WITH b0 AS (
+  SELECT user_id, event_type AS state FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE epoch_us(ts) < 1705363200000000
+  ) WHERE rn = 1
+),
+b1 AS (
+  SELECT user_id, event_type AS state,
+         (event_type = 'error') AS is_del FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE epoch_us(ts) >= 1705363200000000
+  ) WHERE rn = 1
+),
+v1 AS (
+  SELECT COALESCE(b1.user_id, b0.user_id) AS user_id,
+         COALESCE(b1.state, b0.state) AS state
+  FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id
+  WHERE NOT COALESCE(b1.is_del, FALSE)
+)
+SELECT COALESCE(v1.user_id, b0.user_id) AS user_id,
+       CASE WHEN b0.user_id IS NULL THEN 'added'
+            WHEN v1.user_id IS NULL THEN 'removed'
+            WHEN v1.state IS DISTINCT FROM b0.state THEN 'changed'
+       END AS change
+FROM b0 FULL OUTER JOIN v1 ON b0.user_id = v1.user_id
+WHERE CASE WHEN b0.user_id IS NULL THEN 'added'
+           WHEN v1.user_id IS NULL THEN 'removed'
+           WHEN v1.state IS DISTINCT FROM b0.state THEN 'changed'
+      END IS NOT NULL
 """,
         "rollup_ladder": f"""
 SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS bucket_us,

@@ -173,6 +173,7 @@ HEADLINE_EXTRA = [
     "temporal_enrich",
     "rollup_ladder",
     "hard_negatives",
+    "snapshot_row_diff",
 ]
 
 SCALE_GEN = dict(

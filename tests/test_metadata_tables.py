@@ -131,3 +131,36 @@ def test_snapshot_diffs_empty_for_fresh_table(spark, tmp_path):
     t.create()
     assert snapshot_diffs(t, spark).count() == 0
     t.drop()
+
+
+def test_snapshot_row_diff_classifies(spark, tmp_path):
+    """added / removed / changed (NULL-safe struct compare); unchanged
+    rows are not emitted."""
+    from kafka2iceberg_spark.metadata_tables import snapshot_row_diff
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    t = IcebergLite(str(tmp_path / "t"), pk=["k"], partition_field=None)
+    t.commit_upsert(
+        spark.createDataFrame(
+            [(1, "a", False), (2, None, False), (3, "c", False),
+             (4, "d", False)],
+            "k int, v string, is_cdc_delete boolean",
+        ),
+        "0",
+    )
+    v0 = t.current_version()
+    t.commit_upsert(
+        spark.createDataFrame(
+            # 1 unchanged, 2 NULL→value (changed), 3 deleted, 5 added
+            [(1, "a", False), (2, "b", False), (3, None, True),
+             (5, "e", False)],
+            "k int, v string, is_cdc_delete boolean",
+        ),
+        "1",
+    )
+    v1 = t.current_version()
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_row_diff(t, spark, v0, v1).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 5: "added"}
