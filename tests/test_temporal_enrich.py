@@ -249,3 +249,47 @@ def test_late_fact_releases_immediately(spark, tmp_path):
     te.apply_batch(None, _df(spark, FACTS[:1], FACT_SCHEMA), "b1")
     assert _out_map(spark, te) == {1: "A", 2: "B"}
     assert te.pending(spark).count() == 0
+
+
+def test_random_arrival_orders_converge(spark, tmp_path):
+    """Dim in time-ordered batches (the watermark contract), facts split
+    ARBITRARILY across seeds/batches: every arrival interleaving lands
+    the identical released table — arrival order is not an input."""
+    import random
+
+    outs = []
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        base = tmp_path / f"s{seed}"
+        base.mkdir()
+        te = _mk(spark, base)
+        assign = {fid: rng.randrange(3) for fid, *_ in FACTS}
+        cuts = [
+            ("2024-01-01 06:00:00", 1_704_088_800_000_000),
+            ("2024-01-01 09:00:00", 1_704_099_600_000_000),
+            ("2024-01-01 12:00:00", 1_704_110_400_000_000),
+        ]
+        lo = None
+        for b, (hi_str, hi_us) in enumerate(cuts):
+            dim_b = [
+                d for d in DIM
+                if (lo is None or d[3] > lo) and d[3] <= hi_str
+            ]
+            fact_b = [f for f in FACTS if assign[f[0]] == b]
+            te.apply_batch(
+                _df(spark, dim_b, DIM_SCHEMA) if dim_b else None,
+                _df(spark, fact_b, FACT_SCHEMA),
+                str(b),
+                wm_us=hi_us,
+            )
+            lo = hi_str
+        got = sorted(
+            (r["fact_id"], r["dim_plan"]) for r in te.read(spark).collect()
+        )
+        want = sorted(
+            (r["fact_id"], r["dim_plan"])
+            for r in te.recompute(spark).collect()
+        )
+        assert got == want and len(got) == len(FACTS)
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
