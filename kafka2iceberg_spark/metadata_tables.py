@@ -344,7 +344,15 @@ def snapshot_row_diff(
             F.lit(True).alias(f"_in_{tag}"),
         )
 
-    j = side(a, "a").join(side(b, "b"), on=pk, how="full_outer")
+    # shuffle-hash hint: a full outer preserves both sides so broadcast
+    # is off the table, and Spark's default is a sort-merge; per-partition
+    # hash build over the PK shuffle does the same work without the sort
+    # (suite convention: zero SMJ)
+    j = (
+        side(a, "a")
+        .hint("shuffle_hash")
+        .join(side(b, "b").hint("shuffle_hash"), on=pk, how="full_outer")
+    )
     change = (
         F.when(F.col("_in_a").isNull(), F.lit("added"))
         .when(F.col("_in_b").isNull(), F.lit("removed"))
