@@ -4010,6 +4010,37 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forget_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (privacy.forget_entity): three users' rows
+    erased from an events table via replay-guarded CoW point deletes
+    (manifest-stats planning — disjoint files carried by reference), then
+    the per-event-type survivor counts. The DuckDB oracle simply excludes
+    the erased users — the gate proves the file-surgery delete path drops
+    exactly the requested entities and nothing else."""
+    import tempfile
+
+    from kafka2iceberg_spark.privacy import forget_entity
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    t = IcebergLite(
+        tempfile.mkdtemp(prefix="forget_") + "/t",
+        pk=[],
+        partition_field=None,
+    )
+    t.commit_append(ev, "0")
+    for u in (7, 21, 42):
+        forget_entity(spark, {"events": t}, "user_id", u, f"req-{u}")
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff (metadata_tables.snapshot_row_diff): the
     CDC-replication auditor — which user states were added / removed /
@@ -4605,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_enrich": q_temporal_enrich,
         "rollup_ladder": q_rollup_ladder,
         "snapshot_row_diff": q_snapshot_row_diff,
+        "forget_entity": q_forget_entity,
         "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
@@ -9497,6 +9529,12 @@ SELECT conv_id,
        n_turns, start_us, end_us,
        CAST(end_us - start_us AS BIGINT) AS dur_us
 FROM a
+""",
+        "forget_entity": """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE user_id NOT IN (7, 21, 42)
+GROUP BY 1
 """,
         "snapshot_row_diff": """
 WITH b0 AS (

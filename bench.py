@@ -174,6 +174,7 @@ HEADLINE_EXTRA = [
     "rollup_ladder",
     "hard_negatives",
     "snapshot_row_diff",
+    "forget_entity",
 ]
 
 SCALE_GEN = dict(
