@@ -108,8 +108,9 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
+    apply_ddl = params.get("ddl.apply", "").lower() in _TRUE
     side_queries = []
-    if "ddl.location" in params:
+    if "ddl.location" in params and not apply_ddl:
         # side query: isDdl=true envelopes -> queryable DDL event table
         # (closes the reference's P5 TODO, DeserializedSchema.java:114-116)
         from .pipeline import start_ddl_sink
@@ -136,7 +137,32 @@ def main(argv: list[str] | None = None) -> None:
                 trigger=trigger,
             )
         )
-    if spec.primary_keys:
+    if apply_ddl:
+        # ddl.apply=true: upstream ADD COLUMN statements evolve the task
+        # spec mid-stream (P5 fully closed); the spec journal replays
+        # applied DDL on restart. Unsupported DDL lands in ddl.location
+        # (if given) instead of being half-applied.
+        from .pipeline import start_dynamic_sink
+
+        if not spec.primary_keys:
+            raise ValueError("ddl.apply requires primary keys (upsert sink)")
+        q = start_dynamic_sink(
+            raw,
+            spec,
+            table,
+            checkpoint,
+            params.get("ddl.spec-journal", checkpoint + "_spec.jsonl"),
+            trigger=trigger,
+            ddl_table=(
+                IcebergLite(
+                    params["ddl.location"], pk=[], partition_field=None
+                )
+                if "ddl.location" in params
+                else None
+            ),
+            from_kafka=KAFKA_BOOTSTRAP in params,
+        )
+    elif spec.primary_keys:
         maint = params.get("maintenance.every-batches")
         q = start_upsert_sink(
             parsed,

@@ -585,6 +585,7 @@ def start_dynamic_sink(
     spec_journal: str,
     trigger: dict | None = None,
     ddl_table: IcebergLite | None = None,
+    from_kafka: bool = False,
 ):
     """Upsert sink with LIVE schema evolution driven by the DDL stream.
 
@@ -619,10 +620,15 @@ def start_dynamic_sink(
             for line in fh:
                 current = ingest.evolve_spec(current, json.loads(line)["sql"])
     state = {"spec": current}
+    kafka_cols = (
+        dict(offset_col="offset", partition_col="partition")
+        if from_kafka
+        else {}
+    )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         ddls = (
-            ingest.ddl_events(batch_df, state["spec"])
+            ingest.ddl_events(batch_df, state["spec"], **kafka_cols)
             .orderBy("partition_idx", "offset")
             .collect()
         )
@@ -639,7 +645,7 @@ def start_dynamic_sink(
                 batch_df.sparkSession.createDataFrame(ddls),
                 f"ddl:{batch_id}",
             )
-        rows = ingest.parse(batch_df, state["spec"])
+        rows = ingest.parse(batch_df, state["spec"], **kafka_cols)
         table.commit_upsert(rows, str(batch_id))
 
     writer = (

@@ -94,3 +94,56 @@ def test_cli_dlq_drained_before_exit(spark, tmp_path):
         .count()
         > 0
     )
+
+
+def test_cli_ddl_apply_evolves_mid_stream(spark, tmp_path):
+    """ddl.apply=true: an ALTER ADD COLUMN envelope in the broker evolves
+    the spec inside the run; post-ALTER rows land the typed column."""
+    import json
+    import os
+
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+
+    def env(idx, sign_time=None, offset=0):
+        data = {"conv_id": "c1", "turn_idx": str(idx),
+                "text": f"t{idx}", "ts": f"2024-09-01 10:0{idx}:00"}
+        if sign_time:
+            data["sign_time"] = sign_time
+        return {"data": [data], "database": "chat", "table": "transcripts",
+                "type": "INSERT", "isDdl": False, "ts": 1725184800000,
+                "es": 1725184799500, "old": None,
+                "pkNames": ["conv_id", "turn_idx"], "sql": "",
+                "_offset": offset, "_partition": 0}
+
+    ddl = {"data": None, "database": "chat", "table": "transcripts",
+           "type": "ALTER", "isDdl": True, "ts": 1725184800000,
+           "es": 1725184799500, "old": None, "pkNames": [],
+           "sql": "alter table chat.transcripts add sign_time datetime",
+           "_offset": 2, "_partition": 0}
+    with open(f"{broker}/b0.jsonl", "w") as fh:
+        for e in (env(0, offset=0), env(1, offset=1)):
+            fh.write(json.dumps(e) + "\n")
+    with open(f"{broker}/b1.jsonl", "w") as fh:
+        fh.write(json.dumps(ddl) + "\n")
+        fh.write(json.dumps(
+            env(2, sign_time="2024-09-01 11:00:00", offset=3)) + "\n")
+    os.utime(f"{broker}/b0.jsonl", (1_000_000, 1_000_000))
+    os.utime(f"{broker}/b1.jsonl", (1_000_100, 1_000_100))
+
+    main(
+        [
+            "source-database=chat",
+            "source-table=transcripts",
+            f"broker.dir={broker}",
+            "broker.max-files-per-trigger=1",
+            f"table.location={tmp_path}/tbl",
+            f"checkpoint.location={tmp_path}/ckpt",
+            "ddl.apply=true",
+            "mode=availableNow",
+        ]
+    )
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    rows = {r.turn_idx: r for r in t.read(spark).collect()}
+    assert len(rows) == 3
+    assert rows[0].sign_time is None and rows[2].sign_time is not None
