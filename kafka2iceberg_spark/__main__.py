@@ -137,7 +137,39 @@ def main(argv: list[str] | None = None) -> None:
                 trigger=trigger,
             )
         )
-    if apply_ddl:
+    if "fanout.tables" in params:
+        # fanout.tables=transcripts,audit: one topic scan lands every
+        # routed source table atomically (the reference runs one job per
+        # (db, table) — N scans of the same topic)
+        from .pipeline import start_fanout_sink
+        from .transactions import CatalogLite
+
+        names = [
+            t.strip()
+            for t in params["fanout.tables"].split(",")
+            if t.strip()
+        ]
+        db = params.get("source-database", "chat")
+        specs = [transcript_task(db, t) for t in names]
+        cat = CatalogLite(params["table.location"])
+        for name, fo_spec in zip(names, specs):
+            cat.register(
+                name,
+                IcebergLite(
+                    f"{params['table.location']}/{name}",
+                    pk=fo_spec.primary_keys,
+                ),
+            )
+        q = start_fanout_sink(
+            raw,
+            specs,
+            cat,
+            names,
+            checkpoint,
+            trigger=trigger,
+            from_kafka=KAFKA_BOOTSTRAP in params,
+        )
+    elif apply_ddl:
         # ddl.apply=true: upstream ADD COLUMN statements evolve the task
         # spec mid-stream (P5 fully closed); the spec journal replays
         # applied DDL on restart. Unsupported DDL lands in ddl.location

@@ -147,3 +147,49 @@ def test_cli_ddl_apply_evolves_mid_stream(spark, tmp_path):
     rows = {r.turn_idx: r for r in t.read(spark).collect()}
     assert len(rows) == 3
     assert rows[0].sign_time is None and rows[2].sign_time is not None
+
+
+def test_cli_fanout_lands_both_tables(spark, tmp_path):
+    """fanout.tables=a,b: one mixed broker feed lands each routed table
+    atomically under a shared catalog at table.location."""
+    import json
+    import os
+
+    from kafka2iceberg_spark import gen
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    envs = gen.envelopes(
+        gen.GenConfig(n_convs=4, turns_per_conv=4, mega_convs=0, seed=3,
+                      table="transcripts")
+    ) + gen.envelopes(
+        gen.GenConfig(n_convs=3, turns_per_conv=3, mega_convs=0, seed=9,
+                      table="audit")
+    )
+    with open(f"{broker}/b0.jsonl", "w") as fh:
+        for e in envs:
+            fh.write(json.dumps(e) + "\n")
+
+    main(
+        [
+            "source-database=chat",
+            f"broker.dir={broker}",
+            f"table.location={tmp_path}/wh",
+            f"checkpoint.location={tmp_path}/ckpt",
+            "fanout.tables=transcripts,audit",
+            "mode=availableNow",
+        ]
+    )
+    cat = CatalogLite(str(tmp_path / "wh"))
+    cat.register(
+        "transcripts",
+        IcebergLite(str(tmp_path / "wh/transcripts"),
+                    pk=["conv_id", "turn_idx"]),
+    )
+    cat.register(
+        "audit",
+        IcebergLite(str(tmp_path / "wh/audit"), pk=["conv_id", "turn_idx"]),
+    )
+    assert cat.read(spark, "transcripts").count() > 10
+    assert cat.read(spark, "audit").count() > 5
