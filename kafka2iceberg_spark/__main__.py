@@ -81,6 +81,40 @@ def main(argv: list[str] | None = None) -> None:
     )
     spark = build_session(params)
 
+    if "egress.dir" in params:
+        # table-as-topic job: re-emit table.location's changelog as
+        # Canal-JSON envelope files (no broker source involved) — the
+        # reverse direction of every other mode
+        from .egress import start_egress_sink
+        from .table_stream import table_stream
+
+        trigger = (
+            {"availableNow": True}
+            if params.get("mode", "availableNow") == "availableNow"
+            else {
+                "processingTime": params.get("trigger.interval", "10 seconds")
+            }
+        )
+        q = start_egress_sink(
+            table_stream(
+                spark,
+                params["table.location"],
+                starting_version=int(
+                    params.get("egress.starting-version", "0")
+                ),
+                changelog=True,
+            ),
+            params["egress.dir"],
+            params.get("source-database", "chat"),
+            spec.source_table,
+            pk=spec.primary_keys,
+            fields=[f.name for f in spec.ordered_fields],
+            checkpoint=params["checkpoint.location"],
+            trigger=trigger,
+        )
+        q.awaitTermination()
+        return
+
     if KAFKA_BOOTSTRAP in params:
         raw = kafka_stream(
             spark,

@@ -193,3 +193,47 @@ def test_cli_fanout_lands_both_tables(spark, tmp_path):
     )
     assert cat.read(spark, "transcripts").count() > 10
     assert cat.read(spark, "audit").count() > 5
+
+
+def test_cli_egress_roundtrip(spark, tmp_path):
+    """mode chain: ingest a broker into a MOR table, egress it as a CDC
+    feed with the egress.dir job, re-ingest the feed — equal tables."""
+    write_stream_files(
+        GenConfig(n_convs=5, turns_per_conv=4, mega_convs=0, seed=13),
+        str(tmp_path / "brokerA"), files=2,
+    )
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"broker.dir={tmp_path}/brokerA",
+            f"table.location={tmp_path}/a",
+            f"checkpoint.location={tmp_path}/cka",
+            "upsert.strategy=mor",
+            "mode=availableNow",
+        ]
+    )
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"table.location={tmp_path}/a",
+            f"checkpoint.location={tmp_path}/cke",
+            f"egress.dir={tmp_path}/brokerB",
+            "mode=availableNow",
+        ]
+    )
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"broker.dir={tmp_path}/brokerB",
+            f"table.location={tmp_path}/b",
+            f"checkpoint.location={tmp_path}/ckb",
+            "mode=availableNow",
+        ]
+    )
+    a = IcebergLite(str(tmp_path / "a"), pk=["conv_id", "turn_idx"])
+    b = IcebergLite(str(tmp_path / "b"), pk=["conv_id", "turn_idx"])
+    biz = lambda t: {  # noqa: E731
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.read(spark).collect()
+    }
+    assert biz(a) == biz(b) and len(biz(a)) > 10
