@@ -967,6 +967,20 @@ def q_countmin_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.join(est, "token").select("token", "exact_n", "est_count")
 
 
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters without shuffling the token domain: per-partition
+    Misra-Gries candidate pass (bounded memory, provably no false
+    negatives at capacity > n/threshold), then a broadcast-semi-join exact
+    verify that kills MG's false positives. Deterministic regardless of
+    partition layout — the oracle is a plain GROUP BY ... HAVING."""
+    d = _read(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    n = toks.count()
+    return sk.heavy_hitters_exact(toks, max(n // 30, 1))
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF codebook build + nearest-centroid assignment (exact integer L2)."""
     emb = _read(spark, sf_dir, "embeddings", spread=True)
@@ -4473,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kmv_distinct": q_kmv_distinct,
         "countmin_hitters": q_countmin_hitters,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_prefix_join": q_dedup_prefix,
@@ -5711,6 +5726,16 @@ SELECT kth_hash, sketch_size,
                   ELSE 255.0 * 1152921504606846976.0
                        / CAST(kth_hash AS DOUBLE) END, 3) AS estimate
 FROM a
+""",
+        "heavy_hitters_exact": f"""
+WITH normd AS (SELECT {_NORM} AS n FROM documents),
+tok0 AS (SELECT unnest(string_split(n, ' ')) AS token FROM normd),
+toks AS (SELECT token FROM tok0 WHERE token <> ''),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, count(*) AS cnt
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING count(*) >= greatest(n // 30, 1)
 """,
         "countmin_hitters": f"""
 WITH normd AS (SELECT {_NORM} AS n FROM documents),

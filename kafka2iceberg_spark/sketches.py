@@ -1173,3 +1173,101 @@ class StreamingSample:
     def sample(self, spark) -> DataFrame:
         """The committed sample (payload columns + the ``_prio`` draw)."""
         return self.table.read(spark)
+
+
+# ------------------------------------------------------ exact heavy hitters
+
+
+def misra_gries_candidates(
+    tokens: DataFrame, capacity: int, value: str = "token"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982): each
+    partition is scanned once with AT MOST ``capacity`` live counters and
+    emits its surviving tokens. Union-of-survivors guarantee: any token
+    whose CORPUS-wide count exceeds n/(capacity+1) survives in at least
+    one partition (if it survived nowhere, its count in every partition p
+    was <= decrements_p <= n_p/(capacity+1), and those sum to at most
+    n/(capacity+1)) — so with capacity >= n/threshold the survivor union
+    is a superset of every token with count >= threshold.
+
+    Arrow-vectorized (pandas ``value_counts`` per batch — no per-row
+    Python); the decrement step is the batched form: subtracting the
+    (capacity+1)-th largest counter from all counters removes at least
+    ``len - capacity`` of them, and each unit of subtraction hits
+    >= capacity+1 counters at once, which is exactly the classic bound.
+    Memory is O(capacity) per partition forever; NOTHING shuffles — the
+    output is the tiny survivor list per partition.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[value].dropna().value_counts()
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                dec = vals[capacity]  # (capacity+1)-th largest
+                counts = {
+                    t: c - dec for t, c in counts.items() if c - dec > 0
+                }
+        if counts:
+            yield pd.DataFrame({value: list(counts.keys())})
+
+    return tokens.select(value).mapInPandas(mg, schema=f"{value} string")
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame,
+    threshold: int,
+    value: str = "token",
+    max_capacity: int = 1 << 18,
+) -> DataFrame:
+    """EXACT heavy hitters at unbounded cardinality in two scans and one
+    tiny shuffle: every token with count >= threshold, with its exact
+    count — no estimates, no sketch error, bounded executor memory.
+
+    The naive exact answer (groupBy(token).count()) shuffles every
+    distinct token; at 10^12 tokens that is the dominant exchange. This
+    operator never shuffles the corpus at all:
+
+      1. candidate pass — per-partition Misra-Gries with capacity
+         floor(n/threshold)+1 (``misra_gries_candidates``): one scan,
+         O(n/threshold) memory, survivor union PROVABLY contains every
+         true heavy hitter (no false negatives);
+      2. exact pass — broadcast the tiny candidate set, hash-semi-join the
+         corpus against it (false positives from MG's overestimates are
+         eliminated here), and count only the matching rows: the shuffle
+         carries at most |candidates| * partitions partially-aggregated
+         rows instead of the full distinct-token domain.
+
+    The result is deterministic and partitioning-independent: candidates
+    vary with the partition layout, but the exact filter makes the final
+    relation exactly {token : count(token) >= threshold}. ``threshold``
+    must keep the MG capacity under ``max_capacity`` (i.e. threshold >=
+    n/max_capacity) so per-partition memory stays bounded; raise the
+    threshold or the cap for extreme ratios.
+    """
+    toks = tokens.select(F.col(value).alias(value)).where(
+        F.col(value).isNotNull()
+    )
+    n = toks.count()
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    capacity = int(n // threshold) + 1
+    if capacity > max_capacity:
+        raise ValueError(
+            f"MG capacity {capacity} (n={n}, threshold={threshold}) exceeds "
+            f"max_capacity={max_capacity}; raise the threshold"
+        )
+    cands = misra_gries_candidates(toks, capacity, value).distinct()
+    return (
+        toks.join(F.broadcast(cands), value)
+        .groupBy(value)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )

@@ -244,3 +244,73 @@ class TestAMS:
         a = sorted(map(tuple, sk.ams_counters(df, F.col("k")).collect()))
         b = sorted(map(tuple, sk.ams_counters(df, F.col("k")).collect()))
         assert a == b
+
+
+# ---------------------------------------------------- exact heavy hitters
+
+
+def _zipf_tokens(spark, reps):
+    """Deterministic skewed token bag: token t_i repeated reps[i] times."""
+    rows = [(f"t{i}",) for i, r in enumerate(reps) for _ in range(r)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    reps = [500, 300, 120, 60, 30, 14, 7, 3, 1, 1]
+    toks = _zipf_tokens(spark, reps)
+    for parts in (1, 3, 11):
+        got = {
+            (r.token, r.cnt)
+            for r in sk.heavy_hitters_exact(
+                toks.repartition(parts), threshold=30
+            ).collect()
+        }
+        want = {
+            (f"t{i}", r) for i, r in enumerate(reps) if r >= 30
+        }
+        assert got == want, (parts, got)
+
+
+def test_heavy_hitters_exact_adversarial_near_threshold(spark):
+    # many tokens JUST below the threshold must not appear; the two at the
+    # threshold exactly must. MG candidates overestimate but the exact
+    # verify pass kills every false positive.
+    reps = [40, 40] + [39] * 20
+    toks = _zipf_tokens(spark, reps).repartition(7)
+    got = sorted(
+        (r.token, r.cnt)
+        for r in sk.heavy_hitters_exact(toks, threshold=40).collect()
+    )
+    assert got == [("t0", 40), ("t1", 40)]
+
+
+def test_heavy_hitters_exact_ignores_nulls_and_caps_capacity(spark):
+    toks = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "token string"
+    )
+    got = sorted(
+        (r.token, r.cnt)
+        for r in sk.heavy_hitters_exact(toks, threshold=2).collect()
+    )
+    assert got == [("a", 2)]
+    with pytest.raises(ValueError, match="capacity"):
+        sk.heavy_hitters_exact(toks, threshold=1, max_capacity=2)
+
+
+def test_misra_gries_candidates_superset_guarantee(spark):
+    # every token with global count >= threshold must survive the
+    # per-partition MG pass for capacity > n/threshold, under any layout.
+    reps = [100, 80, 50, 25, 10, 5] + [2] * 50
+    toks = _zipf_tokens(spark, reps)
+    n = sum(reps)
+    threshold = 25
+    cap = n // threshold + 1
+    for parts in (1, 4, 13):
+        survivors = {
+            r.token
+            for r in sk.misra_gries_candidates(
+                toks.repartition(parts), cap
+            ).collect()
+        }
+        heavy = {f"t{i}" for i, r in enumerate(reps) if r >= threshold}
+        assert heavy <= survivors, (parts, heavy - survivors)
