@@ -115,7 +115,23 @@ def main(argv: list[str] | None = None) -> None:
         q.awaitTermination()
         return
 
-    if KAFKA_BOOTSTRAP in params:
+    # kafka_shaped: the raw stream carries offset/partition metadata
+    # columns (real Kafka, or the fan-in twin that namespaces per-topic
+    # partitions into the same shape)
+    kafka_shaped = KAFKA_BOOTSTRAP in params or "fanin.dirs" in params
+    if "fanin.dirs" in params:
+        # multi-topic fan-in: N broker dirs -> one query / one checkpoint /
+        # one exactly-once commit path, partition ids namespaced per topic
+        from .pipeline import fanin_broker_stream
+
+        raw = fanin_broker_stream(
+            spark,
+            [d.strip() for d in params["fanin.dirs"].split(",") if d.strip()],
+            int(params.get("broker.max-files-per-trigger", "8")),
+            stride=int(params.get("fanin.partition-stride", "1024")),
+        )
+        parsed = parsed_stream(raw, spec, from_kafka=True)
+    elif KAFKA_BOOTSTRAP in params:
         raw = kafka_stream(
             spark,
             params[KAFKA_BOOTSTRAP],
@@ -156,7 +172,7 @@ def main(argv: list[str] | None = None) -> None:
                 params.get("ddl.checkpoint", checkpoint + "_ddl"),
                 spec=spec,
                 trigger=trigger,
-                from_kafka=KAFKA_BOOTSTRAP in params,
+                from_kafka=kafka_shaped,
             )
         )
     if "dlq.location" in params:
@@ -201,7 +217,7 @@ def main(argv: list[str] | None = None) -> None:
             names,
             checkpoint,
             trigger=trigger,
-            from_kafka=KAFKA_BOOTSTRAP in params,
+            from_kafka=kafka_shaped,
         )
     elif apply_ddl:
         # ddl.apply=true: upstream ADD COLUMN statements evolve the task
@@ -226,7 +242,7 @@ def main(argv: list[str] | None = None) -> None:
                 if "ddl.location" in params
                 else None
             ),
-            from_kafka=KAFKA_BOOTSTRAP in params,
+            from_kafka=kafka_shaped,
         )
     elif spec.primary_keys:
         maint = params.get("maintenance.every-batches")

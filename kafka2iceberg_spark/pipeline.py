@@ -55,6 +55,49 @@ def file_broker_stream(
 KAFKA_SELECT_COLS = ["value", "offset", "partition"]
 
 
+def fanin_broker_stream(
+    spark: SparkSession,
+    dirs: list[str],
+    max_files_per_trigger: int = 1,
+    stride: int | None = None,
+) -> DataFrame:
+    """Multi-topic FAN-IN over the file-simulated broker: N topic dirs →
+    ONE Kafka-shaped stream (value/offset/partition columns, consumed via
+    ``parse(..., offset_col='offset', partition_col='partition')``).
+
+    Mirrors the multi-topic ``kafka_stream`` path: every topic's envelope
+    partition ids are lifted into a disjoint range (topic_rank * stride +
+    partition, rank from the SORTED dir list — stable across restarts), so
+    the (partition, offset) dedup key (K3), per-partition lineage, and the
+    replay guard stay per-topic sound while ONE query / ONE checkpoint /
+    ONE exactly-once commit path serves all topics. The reference runs one
+    Flink job per topic (Kafka2IcebergApp.java:60-64 subscribes a single
+    topic) — N jobs racing commits when topics share a sink table.
+    """
+    if not dirs:
+        raise ValueError("fanin_broker_stream needs at least one dir")
+    stride = FANIN_PARTITION_STRIDE if stride is None else stride
+    out = None
+    for rank, d in enumerate(sorted(dirs)):
+        s = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(d)
+            .select(
+                F.col("value"),
+                F.get_json_object("value", "$._offset")
+                .cast("long")
+                .alias("offset"),
+                (
+                    F.get_json_object("value", "$._partition").cast("int")
+                    + F.lit(rank * stride)
+                ).alias("partition"),
+            )
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
 def kafka_reader_options(
     bootstrap: str, topics: str, starting: str = "earliest"
 ) -> dict[str, str]:
@@ -69,15 +112,55 @@ def kafka_reader_options(
     }
 
 
+#: Per-topic partition-id stride for multi-topic fan-in. Kafka partition
+#: numbers restart at 0 in EVERY topic, so a job subscribed to several
+#: topics would collide distinct (topic-a,0,offset) / (topic-b,0,offset)
+#: records in the (partition, offset) dedup key (K3), the lineage ranges,
+#: and the replay guard. Namespacing partition_idx = topic_rank * stride +
+#: partition keeps all three disjoint per topic with no schema change.
+FANIN_PARTITION_STRIDE = 1024
+
+
+def namespace_topic_partitions(
+    df: DataFrame,
+    topics: list[str],
+    topic_col: str = "topic",
+    stride: int = FANIN_PARTITION_STRIDE,
+) -> DataFrame:
+    """Rewrite ``partition`` to a per-topic disjoint id space (see
+    FANIN_PARTITION_STRIDE). Topic ranks come from the SORTED topic list —
+    stable across restarts regardless of subscribe-string order. Pure
+    column logic (a literal map lookup), usable on batch or streaming."""
+    ranks: list = []
+    for i, t in enumerate(sorted(topics)):
+        ranks += [F.lit(t), F.lit(i)]
+    rank = F.element_at(F.create_map(*ranks), F.col(topic_col))
+    return df.withColumn(
+        "partition",
+        (rank * stride + F.col("partition")).cast("int"),
+    ).drop(topic_col)
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest"
 ) -> DataFrame:
     """Real Kafka source (S1) — requires spark-sql-kafka on the classpath.
-    Fails fast with install guidance when the jar is absent."""
+    Fails fast with install guidance when the jar is absent.
+
+    A comma-separated ``topics`` list is a multi-topic FAN-IN: one query,
+    one checkpoint, one exactly-once commit path for every topic (the
+    reference runs one Flink job per topic — N jobs racing commits when
+    they share a sink table). Partition ids are then namespaced per topic
+    (``namespace_topic_partitions``) so the offset-dedup key stays sound."""
+    topic_list = [t.strip() for t in topics.split(",") if t.strip()]
     reader = spark.readStream.format("kafka")
     for k, v in kafka_reader_options(bootstrap, topics, starting).items():
         reader = reader.option(k, v)
     try:
+        if len(topic_list) > 1:
+            return namespace_topic_partitions(
+                reader.load().select("topic", *KAFKA_SELECT_COLS), topic_list
+            ).select(*KAFKA_SELECT_COLS)
         return reader.load().select(*KAFKA_SELECT_COLS)
     except Exception as exc:  # noqa: BLE001 — surface an actionable message
         # Only the missing-data-source signature means "jar absent";

@@ -237,3 +237,85 @@ def test_cli_egress_roundtrip(spark, tmp_path):
         for r in t.read(spark).collect()
     }
     assert biz(a) == biz(b) and len(biz(a)) > 10
+
+
+def _rename_convs(broker_dir, old="c0", new="d0"):
+    """Give a copied topic its own conversation-id domain (c* -> d*)."""
+    import os
+
+    for fn in sorted(os.listdir(broker_dir)):
+        p = os.path.join(broker_dir, fn)
+        with open(p) as fh:
+            body = fh.read()
+        with open(p, "w") as fh:
+            fh.write(body.replace(f'"{old}', f'"{new}').replace(f"[{old}", f"[{new}"))
+
+
+def test_cli_fanin_two_topics_one_commit_path(spark, tmp_path):
+    """fanin.dirs=N broker dirs -> ONE query/checkpoint/table: rows from
+    every topic land, per-topic partition namespacing keeps the offset
+    dedup key and lineage disjoint, and replay is a no-op."""
+    cfg = GenConfig(n_convs=6, turns_per_conv=6, mega_convs=0)
+    write_stream_files(cfg, str(tmp_path / "brokerA"), files=2)
+    write_stream_files(cfg, str(tmp_path / "brokerB"), files=2)
+    _rename_convs(str(tmp_path / "brokerB"))
+
+    # single-topic reference run (same data shape) for the expected count
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"broker.dir={tmp_path}/brokerA",
+            f"table.location={tmp_path}/ref",
+            f"checkpoint.location={tmp_path}/ckref",
+            "mode=availableNow",
+        ]
+    )
+    single = IcebergLite(str(tmp_path / "ref"), pk=["conv_id", "turn_idx"])
+    n_single = single.read(spark).count()
+    assert n_single > 0
+
+    args = [
+        "source-database=chat", "source-table=transcripts",
+        f"fanin.dirs={tmp_path}/brokerA,{tmp_path}/brokerB",
+        f"table.location={tmp_path}/tbl",
+        f"checkpoint.location={tmp_path}/ck",
+        "mode=availableNow",
+    ]
+    main(args)
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    df = t.read(spark)
+    # topic B is topic A with conv ids renamed -> exactly 2x the rows,
+    # both id domains present (no cross-topic offset-dedup casualties)
+    assert df.count() == 2 * n_single
+    prefixes = {r[0][0] for r in df.select("conv_id").distinct().collect()}
+    assert prefixes == {"c", "d"}
+    # lineage partitions are namespaced: topic A (rank 0) keeps 0..3,
+    # topic B (rank 1) lands at 1024..1027
+    parts = set()
+    for rec in t.lineage():
+        parts |= {int(p) for p in rec.get("offsets", {})}
+    assert parts & {0, 1, 2, 3}
+    assert parts & {1024, 1025, 1026, 1027}
+    v = t.current_version()
+
+    # replay with the same checkpoint: no new rows, no new version
+    main(args)
+    assert t.read(spark).count() == 2 * n_single
+    assert t.current_version() == v
+
+
+def test_namespace_topic_partitions_pure(spark):
+    """Sorted-rank per-topic partition remap: collision-free and stable
+    regardless of the subscribe-string order."""
+    from kafka2iceberg_spark.pipeline import namespace_topic_partitions
+
+    df = spark.createDataFrame(
+        [("tb", 0, 7), ("ta", 0, 9), ("ta", 1, 9), ("tb", 1, 7)],
+        "topic string, partition int, offset long",
+    )
+    out = namespace_topic_partitions(df, ["tb", "ta"]).collect()
+    remapped = {(r.partition, r.offset) for r in out}
+    assert remapped == {(1024, 7), (0, 9), (1, 9), (1025, 7)}
+    assert "topic" not in namespace_topic_partitions(
+        df, ["tb", "ta"]
+    ).columns
