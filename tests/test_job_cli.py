@@ -319,3 +319,61 @@ def test_namespace_topic_partitions_pure(spark):
     assert "topic" not in namespace_topic_partitions(
         df, ["tb", "ta"]
     ).columns
+
+
+def test_cli_fanin_with_ddl_and_dlq_side_tables(spark, tmp_path):
+    """Job-shape composition: fan-in over two topics while the DDL and DLQ
+    side queries tap the SAME namespaced union — DDL envelopes and corrupt
+    lines from either topic land in their side tables, data rows upsert."""
+    import json
+    import os
+
+    def env(conv, idx, offset):
+        return {
+            "data": [{"conv_id": conv, "turn_idx": str(idx),
+                      "text": f"{conv}-t{idx}",
+                      "ts": f"2024-09-01 10:0{idx}:00"}],
+            "database": "chat", "table": "transcripts", "type": "INSERT",
+            "isDdl": False, "ts": 1725184800000, "es": 1725184799500,
+            "old": None, "pkNames": ["conv_id", "turn_idx"], "sql": "",
+            "_offset": offset, "_partition": 0,
+        }
+
+    ddl = {"data": None, "database": "chat", "table": "transcripts",
+           "type": "ALTER", "isDdl": True, "ts": 1725184800000,
+           "es": 1725184799500, "old": None, "pkNames": [],
+           "sql": "alter table chat.transcripts add sign_time datetime",
+           "_offset": 2, "_partition": 0}
+
+    ta, tb = str(tmp_path / "topicA"), str(tmp_path / "topicB")
+    os.makedirs(ta)
+    os.makedirs(tb)
+    with open(f"{ta}/a0.jsonl", "w") as fh:
+        for e in (env("c1", 0, 0), env("c1", 1, 1), ddl):
+            fh.write(json.dumps(e) + "\n")
+    with open(f"{tb}/b0.jsonl", "w") as fh:
+        fh.write(json.dumps(env("d1", 0, 0)) + "\n")
+        fh.write("{definitely not json\n")
+
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"fanin.dirs={ta},{tb}",
+            f"table.location={tmp_path}/tbl",
+            f"checkpoint.location={tmp_path}/ck",
+            f"ddl.location={tmp_path}/ddl",
+            f"dlq.location={tmp_path}/dlq",
+            "mode=availableNow",
+        ]
+    )
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    rows = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert rows == {("c1", 0), ("c1", 1), ("d1", 0)}
+    ddl_rows = IcebergLite(str(tmp_path / "ddl"), pk=[]).read(spark).collect()
+    assert len(ddl_rows) == 1 and "add sign_time" in ddl_rows[0].ddl_sql
+    dlq_rows = IcebergLite(str(tmp_path / "dlq"), pk=[]).read(spark).collect()
+    assert len(dlq_rows) == 1 and "definitely not json" in dlq_rows[0].raw_value
+    parts = set()
+    for rec in t.lineage():
+        parts |= {int(p) for p in rec.get("offsets", {})}
+    assert 0 in parts and 1024 in parts
