@@ -115,6 +115,46 @@ def main(argv: list[str] | None = None) -> None:
         q.awaitTermination()
         return
 
+    if params.get("maintenance.run", "").lower() in _TRUE:
+        # standalone table-maintenance job (Iceberg rewrite_data_files +
+        # expire_snapshots + remove_orphan_files procedures analogue):
+        # compact small files (optionally SORT/Z-order clustered), then
+        # expire old snapshots. Runs against the table alone — no broker
+        # source — so it can be scheduled independently of the ingest job.
+        table = IcebergLite(
+            params["table.location"],
+            pk=spec.primary_keys,
+            partition_field=(
+                "ts" if "ts" in [f.name for f in spec.fields] else None
+            ),
+        )
+        sort_by = [
+            c.strip()
+            for c in params.get("maintenance.sort-by", "").split(",")
+            if c.strip()
+        ] or None
+        zorder_by = [
+            c.strip()
+            for c in params.get("maintenance.zorder-by", "").split(",")
+            if c.strip()
+        ] or None
+        rewritten = table.compact(
+            spark,
+            min_files_per_partition=int(
+                params.get("maintenance.min-files", "2")
+            ),
+            sort_by=sort_by,
+            target_files=int(params.get("maintenance.target-files", "1")),
+            zorder_by=zorder_by,
+        )
+        report = {"partitions_rewritten": rewritten}
+        if "maintenance.expire-keep" in params:
+            report["expired"] = table.expire_snapshots(
+                keep_last=int(params["maintenance.expire-keep"])
+            )
+        print(f"maintenance: {report}")
+        return
+
     # kafka_shaped: the raw stream carries offset/partition metadata
     # columns (real Kafka, or the fan-in twin that namespaces per-topic
     # partitions into the same shape)

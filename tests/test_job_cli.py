@@ -377,3 +377,48 @@ def test_cli_fanin_with_ddl_and_dlq_side_tables(spark, tmp_path):
     for rec in t.lineage():
         parts |= {int(p) for p in rec.get("offsets", {})}
     assert 0 in parts and 1024 in parts
+
+
+def test_cli_maintenance_job(spark, tmp_path):
+    """maintenance.run=true: standalone compaction + snapshot-expiration
+    job (rewrite_data_files / expire_snapshots procedures from
+    spark-submit) — file counts drop, rows/versions stay sound, and the
+    replay guard survives expiration."""
+    write_stream_files(
+        GenConfig(n_convs=6, turns_per_conv=6, mega_convs=0),
+        str(tmp_path / "broker"),
+        files=4,
+    )
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"broker.dir={tmp_path}/broker",
+            "broker.max-files-per-trigger=1",  # several batches -> small files
+            f"table.location={tmp_path}/tbl",
+            f"checkpoint.location={tmp_path}/ck",
+            "mode=availableNow",
+        ]
+    )
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    rows_before = {
+        (r.conv_id, r.turn_idx) for r in t.read(spark).collect()
+    }
+    v_before = t.current_version()
+    assert v_before >= 2  # multiple ingest commits
+
+    main(
+        [
+            "source-database=chat", "source-table=transcripts",
+            f"table.location={tmp_path}/tbl",
+            "maintenance.run=true",
+            "maintenance.min-files=2",
+            "maintenance.expire-keep=1",
+        ]
+    )
+    assert {
+        (r.conv_id, r.turn_idx) for r in t.read(spark).collect()
+    } == rows_before
+    assert t.current_version() >= v_before  # compaction commits a snapshot
+    # expiration kept the replay guard: every ingest batch id still replays
+    # as a no-op even though its snapshot metadata is gone
+    assert len(t.committed_batches()) >= v_before
