@@ -198,6 +198,50 @@ def main(argv: list[str] | None = None) -> None:
         if params.get("mode", "availableNow") == "availableNow"
         else {"processingTime": params.get("trigger.interval", "10 seconds")}
     )
+    if "backfill.parquet" in params:
+        # kappa-style bootstrap: land a bounded historical dump (typed rows
+        # parquet, spec columns) through the SAME idempotent commit path
+        # before tailing the stream. Replay-guarded under a batch id
+        # derived from the dump path, so restarting the job never
+        # duplicates the backfill; stream rows arriving later for the same
+        # PKs simply upsert over the historical image. Rows get synthetic
+        # lineage (partition_idx -1, unique in-batch offsets) so the
+        # (partition, offset) replay-dedup never collapses them and real
+        # broker lineage stays disjoint. Contract (the same one Iceberg's
+        # upsert mode enforces by requiring partition fields ⊆ identifier
+        # fields): the dump must carry the TRUE event ts per PK — upserts
+        # are partition-scoped, so a PK whose backfill ts lands in a
+        # different day-partition than its live stream ts would survive as
+        # a second image instead of being replaced.
+        if "fanout.tables" in params:
+            raise ValueError("backfill.parquet is single-table; not fanout")
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from .schema import spark_type
+
+        src_path = params["backfill.parquet"]
+        hist = spark.read.parquet(src_path)
+        cols = [
+            F.col(f.name).cast(spark_type(f.type)).alias(f.name)
+            for f in spec.ordered_fields
+        ]
+        cols += [
+            F.monotonically_increasing_id().alias("offset"),
+            F.lit(-1).cast("int").alias("partition_idx"),
+            F.lit(False).alias("is_cdc_delete"),
+        ]
+        bid = "backfill:" + hashlib.md5(src_path.encode()).hexdigest()[:12]
+        if spec.primary_keys:
+            did = table.commit_upsert(hist.select(cols), bid)
+        else:
+            did = table.commit_append(hist.select(cols), bid)
+        print(
+            f"backfill: {'committed' if did else 'replayed no-op'}"
+            f" ({src_path})"
+        )
+
     apply_ddl = params.get("ddl.apply", "").lower() in _TRUE
     side_queries = []
     if "ddl.location" in params and not apply_ddl:

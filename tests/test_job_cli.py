@@ -422,3 +422,68 @@ def test_cli_maintenance_job(spark, tmp_path):
     # expiration kept the replay guard: every ingest batch id still replays
     # as a no-op even though its snapshot metadata is gone
     assert len(t.committed_batches()) >= v_before
+
+
+def test_cli_backfill_then_tail(spark, tmp_path):
+    """backfill.parquet: a bounded historical dump lands through the same
+    replay-guarded commit path before the stream tails — union of both,
+    stream upserts win on shared PKs, re-running never duplicates."""
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import gen
+
+    # historical dump: typed rows for convs the broker does NOT carry,
+    # plus one PK the stream will overwrite. The shared PK carries its TRUE
+    # event ts (the upsert contract: partition fields are a function of the
+    # PK, as Iceberg's upsert mode requires) so the live row replaces it
+    # in place.
+    cfg = GenConfig(n_convs=3, turns_per_conv=4, mega_convs=0)
+    shared_ts = next(
+        r["ts"] for r in gen.turns(cfg)
+        if r["conv_id"] == "c00000" and r["turn_idx"] == 0
+    )
+    hist = spark.createDataFrame(
+        [
+            ("h1", 0, "user", "old h1-0", None, "2024-01-01 00:00:00"),
+            ("h1", 1, "assistant", "old h1-1", None, "2024-01-01 00:01:00"),
+            ("c00000", 0, "user", "HISTORICAL IMAGE", None,
+             shared_ts.strftime("%Y-%m-%d %H:%M:%S")),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist.write.parquet(str(tmp_path / "dump"))
+
+    write_stream_files(cfg, str(tmp_path / "broker"), files=1)
+    args = [
+        "source-database=chat", "source-table=transcripts",
+        f"broker.dir={tmp_path}/broker",
+        f"backfill.parquet={tmp_path}/dump",
+        f"table.location={tmp_path}/tbl",
+        f"checkpoint.location={tmp_path}/ck",
+        "mode=availableNow",
+    ]
+    main(args)
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    rows = {(r.conv_id, r.turn_idx): r for r in t.read(spark).collect()}
+    # backfill-only convs present, with BOTH their rows (the synthetic
+    # offsets must not collapse in the (partition, offset) dedup)
+    assert ("h1", 0) in rows and ("h1", 1) in rows
+    # the stream's live image wins over the historical one for shared PKs
+    assert rows[("c00000", 0)].text != "HISTORICAL IMAGE"
+    n = len(rows)
+    v = t.current_version()
+
+    # re-run: backfill replays as a no-op, stream replays as a no-op
+    main(args)
+    assert len(t.read(spark).collect()) == n
+    assert t.current_version() == v
+
+    deleted = {
+        (e["data"][0]["conv_id"], int(e["data"][0]["turn_idx"]))
+        for e in gen.envelopes(cfg) if e["type"] == "DELETE" and e["data"]
+    }
+    ground = {
+        (r["conv_id"], r["turn_idx"]) for r in gen.turns(cfg)
+    } - deleted
+    assert set(rows) >= ground  # every surviving live PK landed too
