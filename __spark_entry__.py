@@ -3785,6 +3785,23 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_pmi_topk(d, min_count=5, top_k=50)
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (dq.t_closeness): per (source, len_bucket) class,
+    exact-ppm total-variation distance of the lang distribution vs the
+    corpus — the skewness follow-up to k-anonymity/l-diversity. Two cell
+    aggs + a broadcast domain cross; integer arithmetic throughout."""
+    from kafka2iceberg_spark import dq as dqm
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+        "lang",
+    )
+    return dqm.t_closeness(d, ["source", "len_bucket"], "lang",
+                           t_ppm=150_000)
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over (source, lang, n_chars decile bucket)
     quasi-identifiers (dq.k_anonymity): one hash agg + tiny rollup; the
@@ -4636,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "bigram_pmi": q_bigram_pmi,
         "k_anonymity": q_k_anonymity,
+        "t_closeness": q_t_closeness,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "transition_entropy": q_transition_entropy,
         "ngram_novelty": q_ngram_novelty,
@@ -9379,6 +9397,37 @@ point AS (
   FROM v
 )
 SELECT n, b_reps, mean_milli, ci_lo_milli, ci_hi_milli FROM point, ci
+""",
+        "t_closeness": """
+WITH q AS (
+  SELECT source,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+         lang
+  FROM documents
+),
+cells AS (
+  SELECT source, len_bucket, lang, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2, 3
+),
+cl AS (
+  SELECT source, len_bucket, CAST(sum(n) AS BIGINT) AS class_size
+  FROM cells GROUP BY 1, 2
+),
+g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(gn) AS BIGINT) AS total FROM g),
+dom AS (SELECT lang, CAST(gn * 1000000 // t.total AS BIGINT) AS gp FROM g, t),
+ex AS (
+  SELECT cl.source, cl.len_bucket, cl.class_size,
+         abs(COALESCE(cells.n, 0) * 1000000 // cl.class_size - dom.gp) AS d
+  FROM cl CROSS JOIN dom
+  LEFT JOIN cells ON cells.source = cl.source
+                 AND cells.len_bucket = cl.len_bucket
+                 AND cells.lang = dom.lang
+)
+SELECT source, len_bucket, class_size,
+       CAST(sum(d) // 2 AS BIGINT) AS tvd_ppm,
+       (CAST(sum(d) // 2 AS BIGINT) > 150000) AS at_risk
+FROM ex GROUP BY 1, 2, 3
 """,
         "l_diversity": """
 WITH d AS (

@@ -274,6 +274,70 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 200_000,
+):
+    """t-closeness audit — the l-diversity follow-up (Li, Li &
+    Venkatasubramanian 2007): a class can hold l distinct sensitive values
+    and still leak if its distribution is SKEWED relative to the corpus
+    (a class that is 95% one language reveals language membership even
+    with 3 languages present). Each quasi-identifier class is graded by
+    the total-variation distance between its sensitive-value distribution
+    and the global one, in exact integer ppm (TVD is the canonical
+    categorical instantiation of the paper's EMD).
+
+    Scale shape: two hash aggregates over the (quasi, sensitive) cell
+    relation (map-side combined — the only data-volume pass), a broadcast
+    of the |sensitive-domain|-sized global distribution crossed onto the
+    classes (TVD must count domain values ABSENT from a class), and one
+    cell-level left join. The sensitive attribute is categorical by
+    contract — the domain is small, so |classes| x |domain| stays the
+    same order as the cell relation.
+
+    Output: one row per equivalence class — (quasi cols..., class_size,
+    tvd_ppm, at_risk = tvd_ppm > t_ppm). All arithmetic is exact integer
+    (ppm shares via integer division), engine-portable.
+    """
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("_n").cast("long").alias("class_size")
+    )
+    glob = cells.groupBy(sensitive_col).agg(
+        F.sum("_n").cast("long").alias("_gn")
+    )
+    total = glob.agg(F.sum("_gn").cast("long").alias("_total"))
+    domain = glob.crossJoin(F.broadcast(total)).select(
+        sensitive_col,
+        F.expr("_gn * 1000000 div _total").cast("long").alias("_gp"),
+    )
+    # every class x every domain value; absent cells contribute p_class=0
+    expanded = classes.crossJoin(F.broadcast(domain)).join(
+        cells, [*quasi_cols, sensitive_col], "left"
+    )
+    per_value = expanded.select(
+        *quasi_cols,
+        "class_size",
+        F.abs(
+            F.expr("coalesce(_n, 0) * 1000000 div class_size") - F.col("_gp")
+        ).cast("long").alias("_d"),
+    )
+    return per_value.groupBy(*quasi_cols, "class_size").agg(
+        F.expr("sum(_d) div 2").cast("long").alias("tvd_ppm"),
+    ).select(
+        *quasi_cols,
+        "class_size",
+        "tvd_ppm",
+        (F.col("tvd_ppm") > F.lit(t_ppm)).alias("at_risk"),
+    )
+
+
 def dp_group_counts(
     df: DataFrame,
     group_col: str,

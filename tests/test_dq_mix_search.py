@@ -342,3 +342,24 @@ class TestKeySkew:
         out = dqm.key_skew(df, "k", top_k=2).collect()
         # equal counts -> lexicographic key order decides, both engines
         assert [r["k"] for r in out] == ["x", "y"]
+
+
+def test_t_closeness_flags_skewed_classes(spark):
+    from kafka2iceberg_spark import dq as dqm
+
+    # global: 50/50 en-de. class q1 mirrors it (tvd 0); class q2 is all-en
+    # (tvd = 500000 ppm); class q3 lacks 'de' entirely — the absent domain
+    # value must still count.
+    rows = (
+        [("q1", "en")] * 2 + [("q1", "de")] * 2
+        + [("q2", "en")] * 4
+        + [("q3", "de")] * 4
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in dqm.t_closeness(
+        df, ["qi"], "s", t_ppm=200_000
+    ).collect()}
+    assert out["q1"].tvd_ppm == 0 and not out["q1"].at_risk
+    assert out["q2"].tvd_ppm == 500_000 and out["q2"].at_risk
+    assert out["q3"].tvd_ppm == 500_000 and out["q3"].at_risk
+    assert all(r.class_size == 4 for r in out.values())
