@@ -372,6 +372,66 @@ class StreamingCountMin:
         return _cm_probe(counters, candidates, value, self.depth, self.width)
 
 
+class StreamingHist:
+    """Continuously-maintained quantile sketch: a ``hist_registers``
+    fixed-width histogram lives in an IcebergLite table (pk = [bin]) and
+    each micro-batch SUM-merges its own bins into it — bins are linear
+    like Count-Min counters, so histogram-of-union == sum of per-batch
+    histograms. ``quantiles()`` serves percentile estimates (p50/p95/p99
+    latency-style readouts) from the committed table at any time, with
+    ``hist_quantiles``'s one-bin-width error bound; state is at most
+    (value range / bin width) rows forever, independent of stream volume.
+
+    Completes the maintained-sketch family on the "how is this value
+    DISTRIBUTED" axis, which none of HLL (distincts), SpaceSaving (top
+    tokens), or Count-Min (point frequencies) answers.
+
+    Exactly-once: sum-merge is not idempotent; replay safety rests on
+    ``commit_upsert(batch_id)``'s replay guard, exactly like
+    StreamingCountMin.
+    """
+
+    def __init__(self, table, bin_cents: int = 100) -> None:
+        if sorted(table.pk) != ["bin"]:
+            raise ValueError("histogram table pk must be ['bin']")
+        self.table = table
+        self.bin_cents = int(bin_cents)
+
+    def apply_batch(self, df: DataFrame, value_cents, batch_id: str) -> bool:
+        """Sum-merge one micro-batch's histogram into the table."""
+        if str(batch_id) in self.table.committed_batches():
+            return False
+        batch = hist_registers(df, value_cents, None, self.bin_cents)
+        try:
+            current = self.table.read(df.sparkSession).select(
+                "bin", F.col("c").alias("_old")
+            )
+        except FileNotFoundError:
+            current = None
+        if current is not None:
+            batch = batch.join(current, ["bin"], "left").select(
+                "bin",
+                (F.col("c") + F.coalesce(F.col("_old"), F.lit(0))).alias("c"),
+            )
+        return self.table.commit_upsert(batch, str(batch_id))
+
+    def start(self, stream: DataFrame, value_cents, checkpoint: str, **trigger):
+        """Maintain the histogram from a streaming DataFrame."""
+        return _start_sketch_stream(
+            lambda df, bid: self.apply_batch(df, value_cents, str(bid)),
+            stream, checkpoint, **trigger,
+        )
+
+    def quantiles(self, spark, percents: list[int]) -> DataFrame:
+        """Percentile estimates from the committed histogram table."""
+        return hist_quantiles(
+            self.table.read(spark).select("bin", "c"),
+            None,
+            self.bin_cents,
+            percents,
+        )
+
+
 # ------------------------------------------------------- histogram quantiles
 
 
