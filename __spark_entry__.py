@@ -3802,6 +3802,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                            t_ppm=150_000)
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (privacy.pseudonymize): conv_id replaced by
+    a stable salted-md5 surrogate, then grouped — surrogate stability
+    means per-conversation structure (turn counts) survives
+    de-identification intact. Pure codegen'd expressions, zero extra
+    shuffle beyond the group-by."""
+    from kafka2iceberg_spark import privacy as pv
+
+    t = _tx(spark, sf_dir)
+    p = pv.pseudonymize(t, ["conv_id"], salt="rel-2026-08")
+    return (
+        p.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .withColumnRenamed("conv_id", "pconv")
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over (source, lang, n_chars decile bucket)
     quasi-identifiers (dq.k_anonymity): one hash agg + tiny rollup; the
@@ -4653,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "bigram_pmi": q_bigram_pmi,
         "k_anonymity": q_k_anonymity,
+        "pseudonymize": q_pseudonymize,
         "t_closeness": q_t_closeness,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "transition_entropy": q_transition_entropy,
@@ -9397,6 +9415,12 @@ point AS (
   FROM v
 )
 SELECT n, b_reps, mean_milli, ci_lo_milli, ci_hi_milli FROM point, ci
+""",
+        "pseudonymize": f"""
+WITH {_TX}
+SELECT substr(md5('rel-2026-08:' || conv_id), 1, 16) AS pconv,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY 1
 """,
         "t_closeness": """
 WITH q AS (

@@ -24,7 +24,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["forget_entity", "verify_forgotten"]
+__all__ = [
+    "forget_entity",
+    "verify_forgotten",
+    "pseudonymize",
+    "pseudonym_map",
+]
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str, id_len: int = 16
+) -> DataFrame:
+    """Keyed pseudonymization of identifier columns: every value is
+    replaced by the stable surrogate ``md5(salt || ':' || value)`` (hex
+    prefix). Same entity → same surrogate within a release, so joins,
+    groupBys, and session keys keep working on the pseudonymized data; a
+    different salt makes two releases unlinkable. NULL stays NULL (concat
+    propagates it). Pure codegen'd column expressions — zero shuffle, and
+    the surrogate is engine-portable (DuckDB replays it verbatim).
+
+    This is the middle rung of the privacy ladder: redact_pii removes
+    free-text identifiers, pseudonymize de-identifies the KEY columns
+    while keeping the data analytically intact, forget_entity erases, and
+    k/l/t audits grade what remains.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(c).cast("string"))),
+                1,
+                id_len,
+            ),
+        )
+    return out
+
+
+def pseudonym_map(
+    df: DataFrame, col: str, salt: str, id_len: int = 16
+) -> DataFrame:
+    """Escrow table for keyed re-identification: the distinct
+    (surrogate, original) mapping for one identifier column. Stored
+    SEPARATELY from the released data (holder of the salt or this table
+    can reverse the pseudonymization; holders of the release alone
+    cannot). One distinct-aggregate shuffle over the identifier domain —
+    O(entities), never O(rows)."""
+    return (
+        df.select(F.col(col).cast("string").alias("original"))
+        .where(F.col("original").isNotNull())
+        .distinct()
+        .select(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("original"))),
+                1,
+                id_len,
+            ).alias("surrogate"),
+            "original",
+        )
+    )
 
 
 def forget_entity(

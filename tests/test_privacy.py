@@ -82,3 +82,39 @@ def test_time_travel_nuance_and_true_erasure(spark, tmp_path):
     with pytest.raises(Exception):
         t.read(spark, version=v_before).collect()
     assert t.read(spark).where(F.col("user_id") == 1).count() == 0
+
+
+def test_pseudonymize_stable_null_safe_and_unlinkable(spark):
+    from kafka2iceberg_spark import privacy as pv
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 3), (None, 4)],
+        "user string, v int",
+    )
+    a = pv.pseudonymize(df, ["user"], salt="s1").collect()
+    by_v = {r.v: r.user for r in a}
+    assert by_v[1] == by_v[2]                 # same entity, same surrogate
+    assert by_v[1] != by_v[3]                 # distinct entities distinct
+    assert by_v[4] is None                    # NULL stays NULL
+    assert all(
+        r.user is None or len(r.user) == 16 for r in a
+    )
+    b = {r.v: r.user for r in pv.pseudonymize(df, ["user"], salt="s2").collect()}
+    assert b[1] != by_v[1]                    # different salt -> unlinkable
+
+
+def test_pseudonym_map_roundtrip(spark):
+    from kafka2iceberg_spark import privacy as pv
+
+    df = spark.createDataFrame(
+        [("u1",), ("u2",), ("u1",), (None,)], "user string"
+    )
+    m = {r.surrogate: r.original for r in pv.pseudonym_map(
+        df, "user", salt="s1"
+    ).collect()}
+    assert set(m.values()) == {"u1", "u2"}    # escrow covers every entity once
+    p = pv.pseudonymize(df, ["user"], salt="s1").collect()
+    for r in p:
+        if r.user is not None:
+            assert m[r.user] in {"u1", "u2"}  # surrogate reverses via escrow
