@@ -175,6 +175,10 @@ HEADLINE_EXTRA = [
     "hard_negatives",
     "snapshot_row_diff",
     "forget_entity",
+    # round-3 session-13 additions
+    "heavy_hitters_exact",
+    "t_closeness",
+    "pseudonymize",
 ]
 
 SCALE_GEN = dict(
