@@ -978,7 +978,7 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tx.tokens(F.col("text"))).alias("token")
     ).where(F.col("token") != "")
     n = toks.count()
-    return sk.heavy_hitters_exact(toks, max(n // 30, 1))
+    return sk.heavy_hitters_exact(toks, max(n // 30, 1), n=n)
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,11 @@ from .sink import IcebergLite
 _TRUE = {"true", "1", "yes"}
 
 
+def _csv(params: dict[str, str], key: str) -> list[str]:
+    """Comma-separated list param → stripped non-empty items."""
+    return [x.strip() for x in params.get(key, "").split(",") if x.strip()]
+
+
 def build_session(params: dict[str, str]) -> SparkSession:
     b = SparkSession.builder.appName(
         params.get("app.name", "kafka2iceberg_spark")
@@ -115,37 +120,31 @@ def main(argv: list[str] | None = None) -> None:
         q.awaitTermination()
         return
 
+    table = IcebergLite(
+        params["table.location"],
+        pk=spec.primary_keys,
+        partition_field="ts" if "ts" in [f.name for f in spec.fields] else None,
+    )
+
     if params.get("maintenance.run", "").lower() in _TRUE:
         # standalone table-maintenance job (Iceberg rewrite_data_files +
         # expire_snapshots + remove_orphan_files procedures analogue):
         # compact small files (optionally SORT/Z-order clustered), then
         # expire old snapshots. Runs against the table alone — no broker
-        # source — so it can be scheduled independently of the ingest job.
-        table = IcebergLite(
-            params["table.location"],
-            pk=spec.primary_keys,
-            partition_field=(
-                "ts" if "ts" in [f.name for f in spec.fields] else None
-            ),
-        )
-        sort_by = [
-            c.strip()
-            for c in params.get("maintenance.sort-by", "").split(",")
-            if c.strip()
-        ] or None
-        zorder_by = [
-            c.strip()
-            for c in params.get("maintenance.zorder-by", "").split(",")
-            if c.strip()
-        ] or None
+        # source. Scheduling contract: the COMPACTION commit is CAS-
+        # protected (a racing ingest commit surfaces as CommitConflict,
+        # loudly), but EXPIRATION physically deletes files and must not
+        # run concurrently with a live writer — schedule expire-keep runs
+        # in the ingest job's maintenance.every-batches slot or while the
+        # ingest job is stopped (sink.expire_snapshots docstring).
         rewritten = table.compact(
             spark,
             min_files_per_partition=int(
                 params.get("maintenance.min-files", "2")
             ),
-            sort_by=sort_by,
+            sort_by=_csv(params, "maintenance.sort-by") or None,
             target_files=int(params.get("maintenance.target-files", "1")),
-            zorder_by=zorder_by,
+            zorder_by=_csv(params, "maintenance.zorder-by") or None,
         )
         report = {"partitions_rewritten": rewritten}
         if "maintenance.expire-keep" in params:
@@ -166,7 +165,7 @@ def main(argv: list[str] | None = None) -> None:
 
         raw = fanin_broker_stream(
             spark,
-            [d.strip() for d in params["fanin.dirs"].split(",") if d.strip()],
+            _csv(params, "fanin.dirs"),
             int(params.get("broker.max-files-per-trigger", "8")),
             stride=int(params.get("fanin.partition-stride", "1024")),
         )
@@ -187,11 +186,6 @@ def main(argv: list[str] | None = None) -> None:
         )
         parsed = parsed_stream(raw, spec)
 
-    table = IcebergLite(
-        params["table.location"],
-        pk=spec.primary_keys,
-        partition_field="ts" if "ts" in [f.name for f in spec.fields] else None,
-    )
     checkpoint = params["checkpoint.location"]
     trigger = (
         {"availableNow": True}
@@ -222,6 +216,26 @@ def main(argv: list[str] | None = None) -> None:
         from .schema import spark_type
 
         src_path = params["backfill.parquet"]
+        # the batch id defaults to a path digest (restart-safe) —
+        # REGENERATING the dump in place therefore replays as a no-op;
+        # pass backfill.id=<new id> to land a new dump at the same path
+        bid = "backfill:" + params.get(
+            "backfill.id", hashlib.md5(src_path.encode()).hexdigest()[:12]
+        )
+        cur_v = table.current_version()
+        already = str(bid) in table.committed_batches() if cur_v else False
+        if cur_v and not already and params.get(
+            "backfill.force", ""
+        ).lower() not in _TRUE:
+            # the table already holds live commits: an unconditional upsert
+            # would overwrite NEWER live rows with the historical image
+            # (upsert is last-commit-wins, no event-time comparison).
+            # Bootstrap runs hit an empty table; anything else must opt in.
+            raise ValueError(
+                f"table at version {cur_v} already has data; backfilling "
+                "now would overwrite newer live rows with the historical "
+                "image — pass backfill.force=true to do it anyway"
+            )
         hist = spark.read.parquet(src_path)
         cols = [
             F.col(f.name).cast(spark_type(f.type)).alias(f.name)
@@ -232,7 +246,6 @@ def main(argv: list[str] | None = None) -> None:
             F.lit(-1).cast("int").alias("partition_idx"),
             F.lit(False).alias("is_cdc_delete"),
         ]
-        bid = "backfill:" + hashlib.md5(src_path.encode()).hexdigest()[:12]
         if spec.primary_keys:
             did = table.commit_upsert(hist.select(cols), bid)
         else:

@@ -67,10 +67,12 @@ def fanin_broker_stream(
 
     Mirrors the multi-topic ``kafka_stream`` path: every topic's envelope
     partition ids are lifted into a disjoint range (topic_rank * stride +
-    partition, rank from the SORTED dir list — stable across restarts), so
-    the (partition, offset) dedup key (K3), per-partition lineage, and the
-    replay guard stay per-topic sound while ONE query / ONE checkpoint /
-    ONE exactly-once commit path serves all topics. The reference runs one
+    partition, rank from the SORTED dir list — stable across restarts; the
+    dir SET is part of the checkpoint contract, see
+    ``namespace_topic_partitions``), so the (partition, offset) dedup key
+    (K3), per-partition lineage, and the replay guard stay per-topic sound
+    while ONE query / ONE checkpoint / ONE exactly-once commit path serves
+    all topics. The reference runs one
     Flink job per topic (Kafka2IcebergApp.java:60-64 subscribes a single
     topic) — N jobs racing commits when topics share a sink table.
     """
@@ -89,7 +91,12 @@ def fanin_broker_stream(
                 .cast("long")
                 .alias("offset"),
                 (
-                    F.get_json_object("value", "$._partition").cast("int")
+                    _guard_stride(
+                        F.get_json_object("value", "$._partition").cast(
+                            "int"
+                        ),
+                        stride,
+                    )
                     + F.lit(rank * stride)
                 ).alias("partition"),
             )
@@ -129,16 +136,43 @@ def namespace_topic_partitions(
 ) -> DataFrame:
     """Rewrite ``partition`` to a per-topic disjoint id space (see
     FANIN_PARTITION_STRIDE). Topic ranks come from the SORTED topic list —
-    stable across restarts regardless of subscribe-string order. Pure
-    column logic (a literal map lookup), usable on batch or streaming."""
+    stable across restarts regardless of subscribe-string order. The topic
+    SET itself is part of the checkpoint contract: adding or removing a
+    topic renumbers the other topics' ranks, so a set change requires a
+    fresh checkpoint + sink table (exactly like changing a Kafka
+    subscription pattern under a Spark checkpoint). Pure column logic (a
+    literal map lookup), usable on batch or streaming; partitions >=
+    stride raise rather than silently colliding across namespaces."""
     ranks: list = []
     for i, t in enumerate(sorted(topics)):
         ranks += [F.lit(t), F.lit(i)]
     rank = F.element_at(F.create_map(*ranks), F.col(topic_col))
     return df.withColumn(
         "partition",
-        (rank * stride + F.col("partition")).cast("int"),
+        (rank * stride + _guard_stride(F.col("partition"), stride)).cast(
+            "int"
+        ),
     ).drop(topic_col)
+
+
+def _guard_stride(partition: Column, stride: int) -> Column:
+    """Fail LOUDLY if a topic has >= stride partitions: id spaces would
+    overlap across topics and the (partition, offset) dedup key would
+    silently drop distinct records — the one failure mode the namespacing
+    exists to prevent. Codegen'd raise_error, zero cost on the good path."""
+    return F.when(
+        partition >= F.lit(stride),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fan-in partition >= stride ({stride}): raise "
+                    "fanin.partition-stride above the largest topic's "
+                    "partition count; got partition "
+                ),
+                partition.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(partition)
 
 
 def kafka_stream(

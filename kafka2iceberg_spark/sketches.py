@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textops import hash64 as h60
 
@@ -1278,7 +1279,11 @@ def misra_gries_candidates(
         if counts:
             yield pd.DataFrame({value: list(counts.keys())})
 
-    return tokens.select(value).mapInPandas(mg, schema=f"{value} string")
+    proj = tokens.select(value)
+    # output schema mirrors the input column's type — the candidate set
+    # must join back against the original column without a cast mismatch
+    out_schema = T.StructType([proj.schema[value]])
+    return proj.mapInPandas(mg, schema=out_schema)
 
 
 def heavy_hitters_exact(
@@ -1286,6 +1291,7 @@ def heavy_hitters_exact(
     threshold: int,
     value: str = "token",
     max_capacity: int = 1 << 18,
+    n: int | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters at unbounded cardinality in two scans and one
     tiny shuffle: every token with count >= threshold, with its exact
@@ -1315,7 +1321,9 @@ def heavy_hitters_exact(
     toks = tokens.select(F.col(value).alias(value)).where(
         F.col(value).isNotNull()
     )
-    n = toks.count()
+    if n is None:
+        # pass n when the caller already counted (saves a corpus scan)
+        n = toks.count()
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
     capacity = int(n // threshold) + 1

@@ -487,3 +487,57 @@ def test_cli_backfill_then_tail(spark, tmp_path):
         (r["conv_id"], r["turn_idx"]) for r in gen.turns(cfg)
     } - deleted
     assert set(rows) >= ground  # every surviving live PK landed too
+
+
+def test_namespace_partitions_stride_overflow_raises(spark):
+    """A topic with >= stride partitions must fail loudly — silent
+    cross-namespace collision is the failure the mechanism prevents."""
+    import pytest
+
+    from kafka2iceberg_spark.pipeline import namespace_topic_partitions
+
+    df = spark.createDataFrame(
+        [("ta", 5, 1)], "topic string, partition int, offset long"
+    )
+    with pytest.raises(Exception, match="stride"):
+        namespace_topic_partitions(df, ["ta", "tb"], stride=4).collect()
+
+
+def test_cli_backfill_refuses_live_table_without_force(spark, tmp_path):
+    """Backfilling a table that already holds live commits would overwrite
+    newer rows with the historical image — must require backfill.force."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    write_stream_files(
+        GenConfig(n_convs=3, turns_per_conv=3, mega_convs=0),
+        str(tmp_path / "broker"), files=1,
+    )
+    base = [
+        "source-database=chat", "source-table=transcripts",
+        f"broker.dir={tmp_path}/broker",
+        f"table.location={tmp_path}/tbl",
+    ]
+    main(base + [f"checkpoint.location={tmp_path}/ck1", "mode=availableNow"])
+
+    hist = spark.createDataFrame(
+        [("z1", 0, "user", "old", None, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist.write.parquet(str(tmp_path / "dump"))
+
+    late = base + [
+        f"checkpoint.location={tmp_path}/ck2",
+        f"backfill.parquet={tmp_path}/dump",
+        "mode=availableNow",
+    ]
+    with pytest.raises(ValueError, match="backfill.force"):
+        main(late)
+    # explicit opt-in lands it
+    main(late + ["backfill.force=true"])
+    t = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    assert ("z1", 0) in {
+        (r.conv_id, r.turn_idx) for r in t.read(spark).collect()
+    }

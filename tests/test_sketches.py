@@ -314,3 +314,18 @@ def test_misra_gries_candidates_superset_guarantee(spark):
         }
         heavy = {f"t{i}" for i, r in enumerate(reps) if r >= threshold}
         assert heavy <= survivors, (parts, heavy - survivors)
+
+
+def test_heavy_hitters_exact_non_string_column(spark):
+    # API is generic over the value column type: the candidate set must
+    # join back against a BIGINT column without a cast mismatch.
+    toks = spark.createDataFrame(
+        [(7,)] * 5 + [(8,)] * 2 + [(9,)], "user_id long"
+    ).repartition(3)
+    got = sorted(
+        (r.user_id, r.cnt)
+        for r in sk.heavy_hitters_exact(
+            toks, threshold=2, value="user_id"
+        ).collect()
+    )
+    assert got == [(7, 5), (8, 2)]
