@@ -3819,6 +3819,17 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap sensitivity sweep (windows.gap_sensitivity): session
+    counts/sizes for four candidate gaps from ONE ordered-lag pass — the
+    hyperparameter-tuning companion to session_window (whose 4h gap this
+    sweep brackets)."""
+    t = _tx(spark, sf_dir)
+    return win.gap_sensitivity(
+        t, [HOUR_US, 2 * HOUR_US, SESSION_GAP_US, 8 * HOUR_US]
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over (source, lang, n_chars decile bucket)
     quasi-identifiers (dq.k_anonymity): one hash agg + tiny rollup; the
@@ -4483,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding,
         "session_window": q_session,
         "session_window_two_phase": q_session_two_phase,
+        "gap_sweep": q_gap_sweep,
         "concurrency_curve": q_concurrency,
         "session_window_sql": q_session_sql,
         "paired_turns": q_paired,
@@ -9415,6 +9427,49 @@ point AS (
   FROM v
 )
 SELECT n, b_reps, mean_milli, ci_lo_milli, ci_hi_milli FROM point, ci
+""",
+        "gap_sweep": f"""
+WITH {_TX},
+d AS (
+  SELECT conv_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+         ) AS diff
+  FROM transcripts
+),
+s AS (
+  SELECT count(*) AS rows_,
+         count(DISTINCT conv_id) AS convs,
+         sum(CASE WHEN diff > 3600000000 THEN 1 ELSE 0 END) AS b0,
+         sum(CASE WHEN diff > 7200000000 THEN 1 ELSE 0 END) AS b1,
+         sum(CASE WHEN diff > 14400000000 THEN 1 ELSE 0 END) AS b2,
+         sum(CASE WHEN diff > 28800000000 THEN 1 ELSE 0 END) AS b3,
+         1 AS _one
+  FROM d
+)
+SELECT CAST(3600000000 AS BIGINT) AS gap_us,
+       CAST(convs + COALESCE(b0, 0) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(b0, 0) AS BIGINT) AS n_boundaries,
+       CAST(rows_ * 1000000 // (convs + COALESCE(b0, 0)) AS BIGINT) AS avg_turns_per_session_ppm
+FROM s
+UNION ALL
+SELECT CAST(7200000000 AS BIGINT) AS gap_us,
+       CAST(convs + COALESCE(b1, 0) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(b1, 0) AS BIGINT) AS n_boundaries,
+       CAST(rows_ * 1000000 // (convs + COALESCE(b1, 0)) AS BIGINT) AS avg_turns_per_session_ppm
+FROM s
+UNION ALL
+SELECT CAST(14400000000 AS BIGINT) AS gap_us,
+       CAST(convs + COALESCE(b2, 0) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(b2, 0) AS BIGINT) AS n_boundaries,
+       CAST(rows_ * 1000000 // (convs + COALESCE(b2, 0)) AS BIGINT) AS avg_turns_per_session_ppm
+FROM s
+UNION ALL
+SELECT CAST(28800000000 AS BIGINT) AS gap_us,
+       CAST(convs + COALESCE(b3, 0) AS BIGINT) AS n_sessions,
+       CAST(COALESCE(b3, 0) AS BIGINT) AS n_boundaries,
+       CAST(rows_ * 1000000 // (convs + COALESCE(b3, 0)) AS BIGINT) AS avg_turns_per_session_ppm
+FROM s
 """,
         "pseudonymize": f"""
 WITH {_TX}

@@ -936,3 +936,68 @@ def quota_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def gap_sensitivity(
+    t: DataFrame,
+    gaps_us: list[int],
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak: str = "turn_idx",
+) -> DataFrame:
+    """Session-gap sensitivity sweep: how many gap-closed sessions (and
+    how big) EVERY candidate gap yields, in ONE pass — the tuning tool
+    for the session-window hyperparameter (a gap-closed sessionization's
+    entire output structure is determined by which inter-turn silences
+    exceed the gap, so all candidate gaps share one lag computation).
+
+    For each gap g: n_sessions(g) = n_conversations + #{consecutive-turn
+    silences > g} — exactly the session count ``sessionize``/
+    ``session_window`` would emit, without materializing any session.
+
+    Scale shape: one hash shuffle on the conversation key for the ordered
+    lag (the same exchange sessionization itself pays), then conditional
+    sums per gap inside ONE partial-aggregated pass and a |gaps|-row
+    stack. Adding candidate gaps is free; a naive sweep re-runs the whole
+    sessionization per gap.
+
+    Output: (gap_us, n_sessions, n_boundaries, avg_turns_per_session_ppm)
+    — one row per candidate gap, exact integer arithmetic.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    d = t.select(
+        F.col(key),
+        (us - F.lag(us).over(w)).alias("_diff"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_rows"),
+        F.count_distinct(F.col(key)).cast("long").alias("_convs"),
+    ] + [
+        F.sum((F.col("_diff") > F.lit(int(g))).cast("long")).alias(f"_b{i}")
+        for i, g in enumerate(gaps_us)
+    ]
+    one = d.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {cols}) as (gap_us, n_boundaries)".format(
+                n=len(gaps_us),
+                cols=", ".join(
+                    f"CAST({int(g)} AS BIGINT), coalesce(_b{i}, 0)"
+                    for i, g in enumerate(gaps_us)
+                ),
+            )
+        ),
+        "_rows",
+        "_convs",
+    )
+    return stacked.select(
+        "gap_us",
+        (F.col("_convs") + F.col("n_boundaries")).cast("long").alias(
+            "n_sessions"
+        ),
+        F.col("n_boundaries").cast("long").alias("n_boundaries"),
+        F.expr(
+            "_rows * 1000000 div (_convs + n_boundaries)"
+        ).cast("long").alias("avg_turns_per_session_ppm"),
+    )

@@ -510,3 +510,40 @@ class TestSkewJoin:
         left, right = self._data(spark)
         with pytest.raises(ValueError):
             win.skew_join(left, right, "k", 5, how="full")
+
+
+def test_gap_sensitivity_matches_sessionize_counts(spark):
+    """The sweep's n_sessions per gap must equal what the real gap-closed
+    sessionization emits for that gap — same boundaries, no sessions
+    materialized."""
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import windows as win
+
+    rows = [
+        # conv a: gaps of 30m, 3h -> 1 session at 4h, 2 at 2h, 2 at 1h
+        ("a", 0, "2024-01-01 00:00:00"),
+        ("a", 1, "2024-01-01 00:30:00"),
+        ("a", 2, "2024-01-01 03:30:00"),
+        # conv b: single turn -> always 1 session
+        ("b", 0, "2024-01-01 12:00:00"),
+        # conv c: gaps of 5h, 5h -> 3 sessions at 4h, 1 at 8h
+        ("c", 0, "2024-01-02 00:00:00"),
+        ("c", 1, "2024-01-02 05:00:00"),
+        ("c", 2, "2024-01-02 10:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hour = 3_600_000_000
+    out = {
+        r.gap_us: r
+        for r in win.gap_sensitivity(t, [hour, 2 * hour, 4 * hour, 8 * hour])
+        .collect()
+    }
+    assert out[hour].n_sessions == 2 + 1 + 3          # a:2 b:1 c:3
+    assert out[2 * hour].n_sessions == 2 + 1 + 3
+    assert out[4 * hour].n_sessions == 1 + 1 + 3
+    assert out[8 * hour].n_sessions == 1 + 1 + 1
+    assert out[8 * hour].n_boundaries == 0
+    assert out[hour].avg_turns_per_session_ppm == 7 * 1_000_000 // 6
