@@ -179,6 +179,7 @@ HEADLINE_EXTRA = [
     "heavy_hitters_exact",
     "t_closeness",
     "pseudonymize",
+    "gap_sweep",
 ]
 
 SCALE_GEN = dict(
