@@ -147,6 +147,33 @@ def main(argv: list[str] | None = None) -> None:
             zorder_by=_csv(params, "maintenance.zorder-by") or None,
         )
         report = {"partitions_rewritten": rewritten}
+        if "maintenance.retention" in params:
+            # event-time TTL from the standalone job: drop rows older than
+            # (table max event time - interval). Cutoff derives from the
+            # table's own data, not the wall clock, and the batch id
+            # derives from the cutoff — re-running against unchanged data
+            # replays as a no-op.
+            from pyspark.sql import functions as F
+
+            from .pipeline import _us_to_ts
+            from .windows import _interval_us
+
+            ret_col = params.get("maintenance.retention-col", "ts")
+            mx = (
+                table.read(spark)
+                .agg(F.max(F.unix_micros(F.col(ret_col).cast("timestamp"))))
+                .collect()[0][0]
+            )
+            if mx is not None:
+                cutoff = int(mx) - _interval_us(
+                    params["maintenance.retention"]
+                )
+                report["retention"] = table.delete_range(
+                    spark,
+                    ret_col,
+                    hi=_us_to_ts(cutoff),
+                    batch_id=f"retention:{cutoff}",
+                ) or "replayed no-op"
         if "maintenance.expire-keep" in params:
             report["expired"] = table.expire_snapshots(
                 keep_last=int(params["maintenance.expire-keep"])
@@ -342,6 +369,8 @@ def main(argv: list[str] | None = None) -> None:
             from_kafka=kafka_shaped,
         )
     elif spec.primary_keys:
+        from .windows import _interval_us
+
         maint = params.get("maintenance.every-batches")
         q = start_upsert_sink(
             parsed,
@@ -368,6 +397,14 @@ def main(argv: list[str] | None = None) -> None:
             # merge-on-read (O(batch) appends + equality-delete files);
             # maintenance then also materializes outstanding deletes
             strategy=params.get("upsert.strategy", "cow"),
+            # retention.interval="30 days": event-time TTL — rows older
+            # than (max batch event time - interval) age out at each
+            # maintenance tick via replay-guarded manifest surgery
+            retention_us=(
+                _interval_us(params["retention.interval"])
+                if "retention.interval" in params
+                else None
+            ),
         )
     else:
         q = start_append_sink(parsed, table, checkpoint, trigger=trigger)

@@ -235,6 +235,14 @@ def parsed_stream(
     return out
 
 
+def _us_to_ts(us: int):
+    """Epoch-microseconds → naive UTC datetime (the bound type
+    ``delete_range``'s stats comparator expects; session TZ is UTC)."""
+    import datetime as _dt
+
+    return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(us))
+
+
 def start_upsert_sink(
     parsed: DataFrame,
     table: IcebergLite,
@@ -247,6 +255,8 @@ def start_upsert_sink(
     compact_sort_by: list[str] | None = None,
     compact_target_files: int = 1,
     strategy: str = "cow",
+    retention_us: int | None = None,
+    retention_col: str = "ts",
 ):
     """K2 exactly-once upsert sink as a streaming query.
 
@@ -273,6 +283,17 @@ def start_upsert_sink(
     key ranges, so manifest-stats pruning works inside partitions). Both operations preserve the
     replay guard (compaction carries batch ids; expiration folds them into
     ``inherited_batch_ids``).
+
+    ``retention_us`` adds an EVENT-TIME TTL to the maintenance tick: rows
+    with ``retention_col <= max(batch event time) - retention_us`` are
+    dropped via the CoW ``delete_range`` (manifest surgery — a
+    date-partitioned table ages out whole days metadata-only, rewriting
+    at most the boundary file). The cutoff derives from the batch's own
+    max event time, NOT the wall clock, so a replayed batch computes the
+    identical cutoff and the `retention:<batch_id>` guard makes the
+    delete a no-op — retention stays inside the exactly-once contract.
+    Deleted rows remain time-travelable until the expiration step of the
+    same tick ages their snapshots out.
     """
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
@@ -288,6 +309,18 @@ def start_upsert_sink(
         else:
             table.commit_upsert(batch_df, str(batch_id), strategy=strategy)
         if maintenance_every and (int(batch_id) + 1) % maintenance_every == 0:
+            if retention_us:
+                mx = batch_df.agg(
+                    F.max(F.unix_micros(F.col(retention_col).cast("timestamp")))
+                ).collect()[0][0]
+                if mx is not None:
+                    cutoff = int(mx) - int(retention_us)
+                    table.delete_range(
+                        batch_df.sparkSession,
+                        retention_col,
+                        hi=_us_to_ts(cutoff),
+                        batch_id=f"retention:{batch_id}",
+                    )
             if strategy == "mor":
                 table.materialize_deletes(batch_df.sparkSession)
             table.compact(
