@@ -329,3 +329,25 @@ def test_heavy_hitters_exact_non_string_column(spark):
         ).collect()
     )
     assert got == [(7, 5), (8, 2)]
+
+
+def test_heavy_hitters_exact_randomized_cross_check(spark):
+    """Seeded randomized sweep: exact heavy hitters must equal the plain
+    groupBy answer for arbitrary Zipf-ish distributions, thresholds, and
+    partition layouts."""
+    import random
+
+    rng = random.Random(20260821)
+    for trial in range(6):
+        n_tokens = rng.randrange(20, 120)
+        reps = [rng.randrange(1, 120) for _ in range(n_tokens)]
+        toks = _zipf_tokens(spark, reps).repartition(rng.randrange(1, 9))
+        threshold = rng.randrange(2, 100)
+        got = {
+            (r.token, r.cnt)
+            for r in sk.heavy_hitters_exact(toks, threshold).collect()
+        }
+        want = {
+            (f"t{i}", r) for i, r in enumerate(reps) if r >= threshold
+        }
+        assert got == want, (trial, threshold, got ^ want)

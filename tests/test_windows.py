@@ -547,3 +547,33 @@ def test_gap_sensitivity_matches_sessionize_counts(spark):
     assert out[8 * hour].n_sessions == 1 + 1 + 1
     assert out[8 * hour].n_boundaries == 0
     assert out[hour].avg_turns_per_session_ppm == 7 * 1_000_000 // 6
+
+
+def test_gap_sensitivity_matches_sessionize_on_generator_data(spark):
+    """Randomized-ish cross-check on real generator transcripts: the
+    sweep's n_sessions must equal the actual gap-closed sessionization's
+    emitted session count for every candidate gap — including the
+    boundary rule (diff == gap shares a session; only STRICTLY longer
+    silences close one)."""
+    from pyspark.sql import functions as F
+
+    from kafka2iceberg_spark import gen, windows as win
+
+    cfg = gen.GenConfig(n_convs=12, turns_per_conv=9, mega_convs=1,
+                        mega_turns=40, seed=77)
+    t = spark.createDataFrame(gen.turns(cfg)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hour = 3_600_000_000
+    sweep = {
+        r.gap_us: r.n_sessions
+        for r in win.gap_sensitivity(t, [hour // 2, hour, 4 * hour])
+        .collect()
+    }
+    for gap_us, gap_str in [
+        (hour // 2, "30 minutes"),
+        (hour, "1 hour"),
+        (4 * hour, "4 hours"),
+    ]:
+        real = win.sessionize(t, gap_str).count()
+        assert sweep[gap_us] == real, (gap_str, sweep[gap_us], real)
