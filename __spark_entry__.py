@@ -4489,10 +4489,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver gate window (first 50): 3 always-on canary +
+        # 47 queries with no prior driver-issued CORRECTNESS row
+        # (rotated per round so every registry query earns one).
+        "envelope_roundtrip": q_envelope_roundtrip,
+        "dedup_upsert": q_dedup_upsert,
+        "session_window": q_session,
+        "temporal_enrich": q_temporal_enrich,
+        "rollup_ladder": q_rollup_ladder,
+        "join_view": q_join_view,
+        "snapshot_row_diff": q_snapshot_row_diff,
+        "forget_entity": q_forget_entity,
+        "scd2_history": q_scd2_history,
+        "scd2_pit": q_scd2_pit,
+        "capped_sessions": q_capped_sessions,
+        "quota_admit": q_quota_admit,
+        "neardup_index": q_neardup_index,
+        "cluster_canonical": q_cluster_canonical,
+        "dp_release": q_dp_release,
+        "dup_span_remove": q_dup_span_remove,
+        "split_leakage": q_split_leakage,
+        "struct_dups": q_struct_dups,
+        "minhash_calibration": q_minhash_calibration,
+        "ann_index_topk": q_ann_index,
+        "ann_pq_topk": q_ann_pq_topk,
+        "hard_negatives": q_hard_negatives,
+        "ann_recall": q_ann_recall,
+        "ann_ndcg": q_ann_ndcg,
+        "sq8_error": q_sq8_error,
+        "kmeans_clusters": q_kmeans,
+        "pagerank_topk": q_pagerank,
+        "kcore": q_kcore,
+        "sssp": q_sssp,
+        "lpa_communities": q_lpa_communities,
+        "bfs_hops": q_bfs_hops,
+        "triangle_counts": q_triangles,
+        "inverted_postings": q_inverted_postings,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_search": q_hybrid_search,
+        "bpe_train": q_bpe_train,
+        "classifier_prf": q_classifier_prf,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
+        "pseudonymize": q_pseudonymize,
+        "market_share": q_market_share,
+        "top_supplier_per_nation": q_top_supplier_per_nation,
+        "asof_attribution": q_asof_attribution,
+        "range_join_counts": q_range_join_counts,
+        "window_funnel": q_window_funnel,
+        "skew_join": q_skew_join,
+        "cube_role_tool": q_cube_role_tool,
+        "grouping_sets": q_grouping_sets,
+        "holt_winters": q_holt_winters,
+        # --- below the 50-row driver gate window ---
         "tumbling_window": q_tumbling,
         "tumbling_window_sql": q_tumbling_sql,
         "sliding_window": q_sliding,
-        "session_window": q_session,
         "session_window_two_phase": q_session_two_phase,
         "gap_sweep": q_gap_sweep,
         "concurrency_curve": q_concurrency,
@@ -4501,7 +4554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_document": q_conv_document,
         "corpus_clean_funnel": q_corpus_clean,
         "conversation_stats": q_conv_stats,
-        "dedup_upsert": q_dedup_upsert,
         "dedup_upsert_mor": q_dedup_upsert_mor,
         "salted_conv_counts": q_salted_counts,
         "cep_pattern": q_cep_pattern,
@@ -4513,7 +4565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_rollup": q_role_rollup,
         "enriched_turns": q_enriched_turns,
         "streaming_ingest_e2e": q_streaming_e2e,
-        "envelope_roundtrip": q_envelope_roundtrip,
         "pk_mismatch": q_pk_mismatch,
         "update_diffs": q_update_diffs,
         "text_quality": q_text_quality,
@@ -4540,22 +4591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash,
-        "neardup_index": q_neardup_index,
-        "join_view": q_join_view,
-        "dp_release": q_dp_release,
         "dedup_clusters": q_dedup_clusters,
-        "cluster_canonical": q_cluster_canonical,
         "contamination": q_contamination,
         "stream_sample": q_stream_sample,
         "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_topk": q_ann_brute,
-        "hard_negatives": q_hard_negatives,
         "ann_lsh_topk": q_ann_lsh,
-        "ann_index_topk": q_ann_index,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
         "blob_meta": q_blob_meta,
         "blob_features": q_blob_features,
         "latency_percentiles": q_latency_percentiles,
@@ -4571,7 +4615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume": q_brand_volume,
         "cumulative_spend": q_cumulative_spend,
         "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
         "product_profit": q_product_profit,
         "order_count_distribution": q_order_count_distribution,
         "promo_revenue_share": q_promo_revenue_share,
@@ -4581,14 +4624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
-        "top_supplier_per_nation": q_top_supplier_per_nation,
         "late_shipment_priority": q_late_shipment_priority,
-        "asof_attribution": q_asof_attribution,
-        "range_join_counts": q_range_join_counts,
-        "scd2_history": q_scd2_history,
         "role_day_pivot": q_role_day_pivot,
-        "cube_role_tool": q_cube_role_tool,
-        "grouping_sets": q_grouping_sets,
         "dq_constraints": q_dq_constraints,
         "table_profile": q_table_profile,
         "zorder_layout": q_zorder_layout,
@@ -4598,9 +4635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "anomaly_zscore": q_anomaly_zscore,
         "winsorize_values": q_winsorize,
-        "inverted_postings": q_inverted_postings,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_search": q_hybrid_search,
         "readability": q_readability,
         "conv_size_gini": q_conv_size_gini,
         "lang_agreement": q_lang_agreement,
@@ -4623,7 +4657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine_pairs": q_sparse_cosine,
         "cusum_drift": q_cusum_drift,
         "trend_lines": q_trend_lines,
-        "pagerank_topk": q_pagerank,
         "transition_counts": q_transition_counts,
         "hits_scores": q_hits_scores,
         "ewma_smooth": q_ewma_smooth,
@@ -4635,9 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "rank_correlation": q_rank_correlation,
         "butterfly_pairs": q_butterflies,
-        "triangle_counts": q_triangles,
         "dup_spans": q_dup_spans,
-        "kmeans_clusters": q_kmeans,
         "semdedup_flags": q_semdedup,
         "debounce_events": q_debounce,
         "source_entropy": q_source_entropy,
@@ -4646,7 +4677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_profile": q_dow_profile,
         "kmv_set_ops": q_kmv_set_ops,
         "adamic_adar": q_adamic_adar,
-        "kcore": q_kcore,
         "min_cost_supplier": q_min_cost_supplier,
         "important_parts": q_important_parts,
         "supplier_part_counts": q_supplier_part_counts,
@@ -4654,53 +4684,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "zipf_fit": q_zipf_fit,
         "vocab_overlap": q_vocab_overlap,
-        "bfs_hops": q_bfs_hops,
-        "window_funnel": q_window_funnel,
         "ams_f2": q_ams_f2,
         "source_divergence": q_source_divergence,
-        "sssp": q_sssp,
         "attribution_linear": q_attribution_linear,
         "cross_lm": q_cross_lm,
         "nb_classify": q_nb_classify,
-        "lpa_communities": q_lpa_communities,
-        "scd2_pit": q_scd2_pit,
         "quality_auc": q_quality_auc,
         "quality_calibration": q_quality_calibration,
         "len_quality_tau": q_len_quality_tau,
         "centroid_outliers": q_centroid_outliers,
-        "dup_span_remove": q_dup_span_remove,
         "quantile_normalize": q_quantile_normalize,
         "lang_source_chi2": q_lang_source_chi2,
         "interleaved_shards": q_interleaved_shards,
         "weighted_median_quality": q_weighted_median_quality,
         "turn_integrity": q_turn_integrity,
-        "bpe_train": q_bpe_train,
         "bpe_fertility": q_bpe_fertility,
         "field_drift": q_field_drift,
         "gram_matrix": q_gram_matrix,
         "pca_scores": q_pca_scores,
         "rfm_segments": q_rfm_segments,
         "bigram_pmi": q_bigram_pmi,
-        "k_anonymity": q_k_anonymity,
-        "pseudonymize": q_pseudonymize,
-        "t_closeness": q_t_closeness,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "transition_entropy": q_transition_entropy,
         "ngram_novelty": q_ngram_novelty,
-        "ann_recall": q_ann_recall,
-        "sq8_error": q_sq8_error,
         "bootstrap_ci": q_bootstrap_ci,
-        "l_diversity": q_l_diversity,
-        "classifier_prf": q_classifier_prf,
-        "ann_ndcg": q_ann_ndcg,
-        "minhash_calibration": q_minhash_calibration,
-        "capped_sessions": q_capped_sessions,
-        "quota_admit": q_quota_admit,
-        "temporal_enrich": q_temporal_enrich,
-        "rollup_ladder": q_rollup_ladder,
-        "snapshot_row_diff": q_snapshot_row_diff,
-        "forget_entity": q_forget_entity,
-        "holt_winters": q_holt_winters,
         "role_streaks": q_role_streaks,
         "distinctive_terms": q_distinctive_terms,
         "frame_samples": q_frame_samples,
@@ -4713,11 +4720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ooo_profile": q_ooo_profile,
         "key_skew": q_key_skew,
         "turn_echoes": q_turn_echoes,
-        "split_leakage": q_split_leakage,
         "role_unpivot": q_role_unpivot,
         "conv_truncation": q_conv_truncation,
-        "skew_join": q_skew_join,
-        "struct_dups": q_struct_dups,
     }
 
 
