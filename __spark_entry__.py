@@ -9500,12 +9500,14 @@ g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY 1),
 t AS (SELECT CAST(sum(gn) AS BIGINT) AS total FROM g),
 dom AS (SELECT lang, CAST(gn * 1000000 // t.total AS BIGINT) AS gp FROM g, t),
 ex AS (
+  -- null-safe cell join: NULL lang is a first-class domain value
+  -- (matches dq.t_closeness's eqNullSafe contract)
   SELECT cl.source, cl.len_bucket, cl.class_size,
          abs(COALESCE(cells.n, 0) * 1000000 // cl.class_size - dom.gp) AS d
   FROM cl CROSS JOIN dom
-  LEFT JOIN cells ON cells.source = cl.source
-                 AND cells.len_bucket = cl.len_bucket
-                 AND cells.lang = dom.lang
+  LEFT JOIN cells ON cells.source IS NOT DISTINCT FROM cl.source
+                 AND cells.len_bucket IS NOT DISTINCT FROM cl.len_bucket
+                 AND cells.lang IS NOT DISTINCT FROM dom.lang
 )
 SELECT source, len_bucket, class_size,
        CAST(sum(d) // 2 AS BIGINT) AS tvd_ppm,

@@ -152,18 +152,21 @@ def main(argv: list[str] | None = None) -> None:
             # (table max event time - interval). Cutoff derives from the
             # table's own data, not the wall clock, and the batch id
             # derives from the cutoff — re-running against unchanged data
-            # replays as a no-op.
-            from pyspark.sql import functions as F
-
-            from .pipeline import _us_to_ts
+            # replays as a no-op. The anchor is the poison-clamped
+            # robust_event_max (p99 + 1h bound), so one committed bad
+            # timestamp cannot age out the table; an empty/just-created
+            # table records a no-op instead of failing the read.
+            from .pipeline import _us_to_ts, robust_event_max
             from .windows import _interval_us
 
             ret_col = params.get("maintenance.retention-col", "ts")
-            mx = (
-                table.read(spark)
-                .agg(F.max(F.unix_micros(F.col(ret_col).cast("timestamp"))))
-                .collect()[0][0]
-            )
+            try:
+                mx = robust_event_max(
+                    table.read(spark), ret_col, 3_600_000_000
+                )
+            except FileNotFoundError:
+                mx = None
+                report["retention"] = "no-op (empty table)"
             if mx is not None:
                 cutoff = int(mx) - _interval_us(
                     params["maintenance.retention"]

@@ -289,6 +289,12 @@ def t_closeness(
     and the global one, in exact integer ppm (TVD is the canonical
     categorical instantiation of the paper's EMD).
 
+    Contract: a NULL sensitive value IS a domain value — "language
+    unknown" is itself an attribute an attacker can learn, so NULL gets
+    its own domain row and contributes to class_size, the global
+    distribution, and per-class TVD exactly like any other value (the
+    cell join is null-safe to make this hold).
+
     Scale shape: two hash aggregates over the (quasi, sensitive) cell
     relation (map-side combined — the only data-volume pass), a broadcast
     of the |sensitive-domain|-sized global distribution crossed onto the
@@ -317,9 +323,23 @@ def t_closeness(
         sensitive_col,
         F.expr("_gn * 1000000 div _total").cast("long").alias("_gp"),
     )
-    # every class x every domain value; absent cells contribute p_class=0
-    expanded = classes.crossJoin(F.broadcast(domain)).join(
-        cells, [*quasi_cols, sensitive_col], "left"
+    # every class x every domain value; absent cells contribute p_class=0.
+    # NULL is a first-class domain value: GROUP BY already buckets NULL
+    # sensitive values into their own cell/domain row, so the cell join
+    # must be null-safe (eqNullSafe) or those rows would inflate
+    # class_size and the global total while never matching — distorting
+    # TVD for any class containing NULLs.
+    cells_j = cells.select(
+        *[F.col(c).alias(f"_cj_{c}") for c in quasi_cols],
+        F.col(sensitive_col).alias("_cj_s"),
+        "_n",
+    )
+    cond = F.col(sensitive_col).eqNullSafe(F.col("_cj_s"))
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_cj_{c}"))
+    expanded = (
+        classes.crossJoin(F.broadcast(domain))
+        .join(cells_j, cond, "left")
     )
     per_value = expanded.select(
         *quasi_cols,

@@ -243,6 +243,33 @@ def _us_to_ts(us: int):
     return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(us))
 
 
+def robust_event_max(df: DataFrame, col: str, clamp_us: int | None) -> int | None:
+    """Poison-robust max event time of ``df[col]``, in epoch microseconds.
+
+    A retention cutoff anchored on the raw batch max is one bad producer
+    clock away from dropping most of a table: a single year-3000 timestamp
+    advances the cutoff by centuries and ``delete_range`` ages everything
+    out at the next tick. Anchor instead on
+    ``min(max, p99 + clamp_us)`` — the exact 99th percentile plus a slack
+    bound — so under 1% of poisoned rows cannot advance the anchor by more
+    than ``clamp_us`` beyond the bulk of the batch. Both statistics derive
+    from the data alone (no wall clock), so a replayed batch computes the
+    identical anchor and replay guards stay sound. ``clamp_us=None``
+    restores the raw max (the pre-clamp behavior).
+    """
+    mx, p99 = df.agg(
+        F.max(F.unix_micros(F.col(col).cast("timestamp"))),
+        F.expr(
+            f"percentile(unix_micros(cast({col} as timestamp)), 0.99)"
+        ),
+    ).collect()[0]
+    if mx is None:
+        return None
+    if clamp_us is None or p99 is None:
+        return int(mx)
+    return min(int(mx), int(p99) + int(clamp_us))
+
+
 def start_upsert_sink(
     parsed: DataFrame,
     table: IcebergLite,
@@ -257,6 +284,7 @@ def start_upsert_sink(
     strategy: str = "cow",
     retention_us: int | None = None,
     retention_col: str = "ts",
+    retention_clamp_us: int | None = 3_600_000_000,
 ):
     """K2 exactly-once upsert sink as a streaming query.
 
@@ -289,9 +317,14 @@ def start_upsert_sink(
     dropped via the CoW ``delete_range`` (manifest surgery — a
     date-partitioned table ages out whole days metadata-only, rewriting
     at most the boundary file). The cutoff derives from the batch's own
-    max event time, NOT the wall clock, so a replayed batch computes the
+    event times, NOT the wall clock, so a replayed batch computes the
     identical cutoff and the `retention:<batch_id>` guard makes the
     delete a no-op — retention stays inside the exactly-once contract.
+    The anchor is the poison-clamped :func:`robust_event_max` (raw max
+    bounded to p99 + ``retention_clamp_us``, default 1h), so one bad
+    producer clock cannot advance the cutoff and silently age out the
+    table; ≥1% poisoned rows can still move p99 itself — if producers
+    are that untrustworthy, gate the stream through the DLQ first.
     Deleted rows remain time-travelable until the expiration step of the
     same tick ages their snapshots out.
     """
@@ -310,9 +343,9 @@ def start_upsert_sink(
             table.commit_upsert(batch_df, str(batch_id), strategy=strategy)
         if maintenance_every and (int(batch_id) + 1) % maintenance_every == 0:
             if retention_us:
-                mx = batch_df.agg(
-                    F.max(F.unix_micros(F.col(retention_col).cast("timestamp")))
-                ).collect()[0][0]
+                mx = robust_event_max(
+                    batch_df, retention_col, retention_clamp_us
+                )
                 if mx is not None:
                     cutoff = int(mx) - int(retention_us)
                     table.delete_range(

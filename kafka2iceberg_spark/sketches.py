@@ -1256,8 +1256,13 @@ def misra_gries_candidates(
     (capacity+1)-th largest counter from all counters removes at least
     ``len - capacity`` of them, and each unit of subtraction hits
     >= capacity+1 counters at once, which is exactly the classic bound.
-    Memory is O(capacity) per partition forever; NOTHING shuffles — the
-    output is the tiny survivor list per partition.
+    Memory is O(capacity + distinct values per Arrow batch) per
+    partition — the counter dict is trimmed back to <= capacity between
+    batches, but while merging one batch it (and the batch's own
+    value_counts) holds that batch's distinct values, bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch, not by capacity.
+    NOTHING shuffles — the output is the tiny survivor list per
+    partition.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")

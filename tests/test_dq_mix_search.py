@@ -363,3 +363,29 @@ def test_t_closeness_flags_skewed_classes(spark):
     assert out["q2"].tvd_ppm == 500_000 and out["q2"].at_risk
     assert out["q3"].tvd_ppm == 500_000 and out["q3"].at_risk
     assert all(r.class_size == 4 for r in out.values())
+
+
+def test_t_closeness_null_sensitive_is_domain_value(spark):
+    """NULL sensitive values are first-class domain values: they count in
+    class_size, the global distribution, AND match their own domain row
+    through the null-safe cell join (a null-unsafe join would leave every
+    NULL-containing class with a phantom deficit and inflated TVD)."""
+    from kafka2iceberg_spark import dq as dqm
+
+    # global: en 2/8 (250000 ppm), NULL 6/8 (750000 ppm).
+    # q1 = 50/50 en/NULL: tvd = (|500000-250000| + |500000-750000|)/2
+    #    = 250000 — requires q1's NULL cell to MATCH its domain row; a
+    #    null-unsafe join would read |0-750000| there and report 500000.
+    # q2 = all-NULL: tvd = (|0-250000| + |1000000-750000|)/2 = 250000
+    #    for the same reason (500000 if the NULL cell went unmatched).
+    rows = (
+        [("q1", "en")] * 2 + [("q1", None)] * 2
+        + [("q2", None)] * 4
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in dqm.t_closeness(
+        df, ["qi"], "s", t_ppm=200_000
+    ).collect()}
+    assert out["q1"].class_size == 4 and out["q2"].class_size == 4
+    assert out["q1"].tvd_ppm == 250_000 and out["q1"].at_risk
+    assert out["q2"].tvd_ppm == 250_000 and out["q2"].at_risk
