@@ -3946,14 +3946,30 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 of the Naive Bayes source
     classifier on its held-out fifth (rankstats.classifier_prf over
-    textops.nb_classify): the confusion-matrix rollup — one tiny pair
-    agg + broadcast label joins, all-integer ppm metrics."""
+    textops.nb_train/nb_predict): the confusion-matrix rollup — one
+    tiny pair agg + broadcast label joins, all-integer ppm metrics.
+
+    The NB model (per-class priors + token-class counts) is trained
+    once and COMMITTED to tables, then prediction reads the model back
+    — the production shape when one model scores many batches, and it
+    keeps this eval's plan O(predict) instead of re-deriving the model
+    inside every downstream join (the r3 plan audit flagged the inlined
+    composition at 166 exchanges)."""
+    import tempfile
+
     from kafka2iceberg_spark import rankstats as rs
+    from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     d = _read(spark, sf_dir, "documents")
-    preds = tx.nb_classify(
-        d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0)
+    model_cls, ctc = tx.nb_train(d.where(F.col("doc_id") % 5 != 0))
+    work = tempfile.mkdtemp(prefix="nb_model_")
+    t_cls = IcebergLite(f"{work}/model_cls", pk=[], partition_field=None)
+    t_ctc = IcebergLite(f"{work}/ctc", pk=[], partition_field=None)
+    t_cls.commit_append(model_cls, "0")
+    t_ctc.commit_append(ctc, "0")
+    preds = tx.nb_predict(
+        d.where(F.col("doc_id") % 5 == 0), t_cls.read(spark), t_ctc.read(spark)
     )
     return rs.classifier_prf(preds, "true_source", "pred_source")
 
@@ -3978,8 +3994,27 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 20% corpus slice as the other near-dup evals:
     calibration is a sampled eval by design (the estimator statistics
     are slice-invariant), and the exact-Jaccard side is quadratic in
-    the candidate set."""
-    return dd.minhash_calibration(_docs_aug_near(spark, sf_dir, subset=True))
+    the candidate set.
+
+    The LSH candidate stage is computed once and COMMITTED to a table;
+    the calibration plan's three references to it (id restriction,
+    exact side, final join) read the committed relation instead of
+    re-running the full LSH pipeline each time (the r3 plan audit
+    flagged the inlined composition at 274 exchanges)."""
+    import tempfile
+
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    docs = _docs_aug_near(spark, sf_dir, subset=True)
+    cand = dd.minhash_lsh_pairs(docs, threshold=0.0).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_ppm"),
+    )
+    work = tempfile.mkdtemp(prefix="minhash_cand_")
+    t = IcebergLite(f"{work}/candidates", pk=[], partition_field=None)
+    t.commit_append(cand, "0")
+    return dd.minhash_calibration(docs, candidates=t.read(spark))
 
 
 def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -982,6 +982,7 @@ def minhash_calibration(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_ppm: int = 100_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash estimator calibration: for every LSH candidate pair,
     compare the signature-based Jaccard ESTIMATE against the exact
@@ -1003,12 +1004,24 @@ def minhash_calibration(
 
     Output: (bucket, n_pairs, mae_ppm, mean_est_ppm, mean_true_ppm),
     bucket = true_ppm div bucket_ppm.
+
+    ``candidates`` is the materialization seam: pass a pre-computed (and
+    ideally table-committed) LSH candidate relation ``(doc_a, doc_b,
+    est_ppm)`` and the calibration plan references it three times (ids,
+    exact-side restriction, final join) WITHOUT re-running the LSH
+    pipeline per reference — at 100× the candidate stage runs once, not
+    three times. Default (None) derives it inline.
     """
-    est = minhash_lsh_pairs(docs, threshold=0.0, id_col=id_col, text_col=text_col).select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_ppm"),
-    )
+    if candidates is None:
+        est = minhash_lsh_pairs(
+            docs, threshold=0.0, id_col=id_col, text_col=text_col
+        ).select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_ppm"),
+        )
+    else:
+        est = candidates.select("doc_a", "doc_b", "est_ppm")
     ids = est.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()

@@ -1018,36 +1018,27 @@ def cross_lm_scores(
     )
 
 
-def nb_classify(
+def nb_train(
     train_docs: "DataFrame",
-    test_docs: "DataFrame",
     text_col: str = "text",
     label_col: str = "source",
-    id_col: str = "doc_id",
-) -> "DataFrame":
-    """Multinomial Naive Bayes document classification — the classic
-    supervised baseline for source/domain/quality routing in training-data
-    pipelines (fastText's ancestor), expressed as pure aggregation + joins:
+) -> tuple["DataFrame", "DataFrame"]:
+    """Train the multinomial NB model of :func:`nb_classify` and return
+    it as two relations — the materialization seam for pipelines that
+    score many batches against one model (commit both to tables once;
+    every predict run then reads the model instead of re-deriving it
+    from the full training corpus):
 
-        score(d, c) = ln prior(c)
-                      + sum over tokens t of cnt_d(t) * ln P(t | c)
-        P(t | c)    = (count(t in c) + 1) / (tokens_in_c + V)
+      * ``model_cls`` — |classes| rows ``(_cls, _prior_nano, _n_c, _v)``
+        (broadcast side),
+      * ``ctc`` — vocabulary×classes rows ``(_cls, _t, _c)`` (token-
+        keyed join side).
 
-    (add-one smoothing; V = train vocabulary size, so out-of-vocabulary
-    tokens degrade smoothly via the 1/(n_c + V) floor — same discipline as
-    :func:`cross_lm_scores`). Per-token log-likelihoods quantize to
-    integer nano-lns BEFORE the per-document sum, so scores are exact
-    BIGINTs: order-free, partition-invariant, engine-identical.
-
-    Scale shape (100 TB): the model is two count relations — per-class
-    priors/totals (|classes| rows, broadcast) and per-(token, class)
-    counts (vocabulary-sized, shuffle-hash-joined on token). The scored
-    corpus pays ONE token-keyed join and one (doc, class) aggregation;
-    the |classes| fan-out is a constant factor, never a data-sized blowup.
-    Zero-token documents still classify (prior-only argmax).
-
-    Output: one row per test document — (id, true label, predicted label,
-    winning score in nano-lns). Prediction ties break on smallest label.
+    The training corpus is tokenized ONCE: per-class token totals
+    (``_n_c``) and vocabulary size (``_v``) are derived from ``ctc``
+    rather than re-scanning the token stream, so training costs one
+    row-level agg over ``train_docs`` plus one token-exploded agg, not
+    three token-exploded passes.
     """
     tok = tokens(F.col(text_col))
 
@@ -1056,21 +1047,17 @@ def nb_classify(
         .agg(F.count(F.lit(1)).alias("_docs"))
     )
     total = train_docs.agg(F.count(F.lit(1)).alias("_total"))
-    train_tok = train_docs.select(
-        F.col(label_col).alias("_cls"), F.explode(tok).alias("_t")
+    ctc = (
+        train_docs.select(
+            F.col(label_col).alias("_cls"), F.explode(tok).alias("_t")
+        )
+        .groupBy("_cls", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    ctc = train_tok.groupBy("_cls", "_t").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    per_cls = train_tok.groupBy("_cls").agg(
-        F.count(F.lit(1)).alias("_n_c")
-    )
-    vocab = train_tok.select("_t").distinct().agg(
-        F.count(F.lit(1)).alias("_v")
-    )
-    # model side: |classes| rows with prior + denominator, all broadcast
+    per_cls = ctc.groupBy("_cls").agg(F.sum("_c").alias("_n_c"))
+    vocab = ctc.select("_t").distinct().agg(F.count(F.lit(1)).alias("_v"))
     model_cls = (
-        cls.join(per_cls, "_cls")
+        cls.join(per_cls, "_cls", "left")
         .crossJoin(total)
         .crossJoin(vocab)
         .select(
@@ -1081,11 +1068,26 @@ def nb_classify(
             )
             .cast("long")
             .alias("_prior_nano"),
-            "_n_c",
-            "_v",
+            F.coalesce(F.col("_n_c"), F.lit(0)).cast("long").alias("_n_c"),
+            F.col("_v").cast("long").alias("_v"),
         )
     )
+    return model_cls, ctc
 
+
+def nb_predict(
+    test_docs: "DataFrame",
+    model_cls: "DataFrame",
+    ctc: "DataFrame",
+    text_col: str = "text",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Score documents against a trained NB model (see :func:`nb_train`
+    for the model relations' contract). Same output as
+    :func:`nb_classify`: (id, true label, predicted label, score in
+    nano-lns), ties on smallest label."""
+    tok = tokens(F.col(text_col))
     test_cnt = (
         test_docs.select(F.col(id_col).alias("_id"), F.explode(tok).alias("_t"))
         .groupBy("_id", "_t")
@@ -1129,6 +1131,41 @@ def nb_classify(
             F.col("_score").alias("score_nano"),
         )
     )
+
+
+def nb_classify(
+    train_docs: "DataFrame",
+    test_docs: "DataFrame",
+    text_col: str = "text",
+    label_col: str = "source",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Multinomial Naive Bayes document classification — the classic
+    supervised baseline for source/domain/quality routing in training-data
+    pipelines (fastText's ancestor), expressed as pure aggregation + joins:
+
+        score(d, c) = ln prior(c)
+                      + sum over tokens t of cnt_d(t) * ln P(t | c)
+        P(t | c)    = (count(t in c) + 1) / (tokens_in_c + V)
+
+    (add-one smoothing; V = train vocabulary size, so out-of-vocabulary
+    tokens degrade smoothly via the 1/(n_c + V) floor — same discipline as
+    :func:`cross_lm_scores`). Per-token log-likelihoods quantize to
+    integer nano-lns BEFORE the per-document sum, so scores are exact
+    BIGINTs: order-free, partition-invariant, engine-identical.
+
+    Scale shape (100 TB): the model is two count relations — per-class
+    priors/totals (|classes| rows, broadcast) and per-(token, class)
+    counts (vocabulary-sized, shuffle-hash-joined on token). The scored
+    corpus pays ONE token-keyed join and one (doc, class) aggregation;
+    the |classes| fan-out is a constant factor, never a data-sized blowup.
+    Zero-token documents still classify (prior-only argmax).
+
+    Output: one row per test document — (id, true label, predicted label,
+    winning score in nano-lns). Prediction ties break on smallest label.
+    """
+    model_cls, ctc = nb_train(train_docs, text_col, label_col)
+    return nb_predict(test_docs, model_cls, ctc, text_col, label_col, id_col)
 
 
 def readability(
