@@ -533,20 +533,114 @@ def parse_add_columns(sql: str) -> list[tuple[str, str]]:
     return cols
 
 
-def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
-    """Apply a supported ADD COLUMN statement to the task spec.
+_MODIFY_HEAD_RE = None
+_MODIFY_CLAUSE_RE = None
 
-    Returns a NEW spec with the column appended (nullable, next seq) —
-    or the spec unchanged when the statement is unsupported or the
-    column already exists (idempotent, so journal replay and duplicate
-    DDL delivery are no-ops). The reference leaves this branch a TODO
-    (DeserializedSchema.java:114-116) and silently drops the new field
-    until the job's field config is redeployed; applying the DDL closes
-    that window without a restart.
+
+def parse_modify_columns(sql: str) -> list[tuple[str, str]]:
+    """``ALTER TABLE … MODIFY [COLUMN] <name> <type> …`` → [(name,
+    spec_type)].
+
+    The type-change twin of :func:`parse_add_columns`, same MySQL noise
+    tolerance (optional COLUMN keyword, backticks, length args, trailing
+    NULL/COMMENT/AFTER) and the same ALL-OR-NOTHING rule: any clause
+    that is not a supported MODIFY (a CHANGE rename, a drop, an exotic
+    type, an ADD mixed in) poisons the whole statement to [] — it stays
+    a recognized, surfaced side event, never half-applied. Whether the
+    type change is actually a legal WIDENING is decided downstream by
+    :func:`evolve_spec` against the sink's promotion lattice; this
+    function only parses.
+    """
+    import re
+
+    global _MODIFY_HEAD_RE, _MODIFY_CLAUSE_RE
+    if _MODIFY_HEAD_RE is None:
+        _MODIFY_HEAD_RE = re.compile(
+            r"alter\s+table\s+[`\w.]+\s+", re.IGNORECASE
+        )
+        _MODIFY_CLAUSE_RE = re.compile(
+            r"modify\s+(?:column\s+)?"
+            r"`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\s*\(\s*[\d,\s]*\s*\))?"
+            r"(?:\s|$)",
+            re.IGNORECASE,
+        )
+    stmt = (sql or "").strip().rstrip(";")
+    m = _MODIFY_HEAD_RE.match(stmt)
+    if not m:
+        return []
+    cols: list[tuple[str, str]] = []
+    for clause in _split_clauses(stmt[m.end():]):
+        cm = _MODIFY_CLAUSE_RE.match(clause)
+        if not cm:
+            return []
+        spec_type = MYSQL_TYPE_MAP.get(cm.group("type").lower())
+        if spec_type is None:
+            return []
+        cols.append((cm.group("col"), spec_type))
+    return cols
+
+
+def _is_widening(old_spec_type: str, new_spec_type: str) -> bool:
+    """True iff new is a strict widening of old in the sink's promotion
+    lattice (int→bigint, float→double, small-int→double, …) — the exact
+    same rule the table applies to data schemas, so a spec evolved here
+    can never ask the sink for an illegal promotion."""
+    from .schema import spark_type
+    from .sink import SchemaEvolutionError, _widen_type
+
+    old_t, new_t = spark_type(old_spec_type), spark_type(new_spec_type)
+    if old_t == new_t:
+        return False
+    try:
+        return _widen_type(old_t, new_t, "ddl") == new_t
+    except SchemaEvolutionError:
+        return False
+
+
+def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
+    """Apply a supported ADD COLUMN or type-widening MODIFY COLUMN
+    statement to the task spec.
+
+    Returns a NEW spec with the column appended (nullable, next seq) or
+    its type widened — or the spec unchanged when the statement is
+    unsupported, the column already exists (ADD), or the type change is
+    not a widening / is already applied (MODIFY): idempotent, so
+    journal replay and duplicate DDL delivery are no-ops. Narrowings
+    and renames are never applied — they surface in the DDL side table
+    like any other unsupported statement. The reference leaves this
+    branch a TODO (DeserializedSchema.java:114-116) and silently drops
+    schema changes until the job's field config is redeployed; applying
+    the DDL closes that window without a restart.
     """
     from dataclasses import replace
 
     from .config import FieldSpec
+
+    mods = parse_modify_columns(ddl_sql)
+    if mods:
+        by_name = {f.name: f for f in spec.fields}
+        # all-or-nothing: every clause must name a known column and be a
+        # widening (or an already-applied no-op)
+        changed = False
+        for name, new_type in mods:
+            f = by_name.get(name)
+            if f is None:
+                return spec
+            if f.type == new_type:
+                continue  # already applied (replay / duplicate delivery)
+            if not _is_widening(f.type, new_type):
+                return spec
+            changed = True
+        if not changed:
+            return spec
+        to_widen = dict(mods)
+        new_fields = [
+            replace(f, type=to_widen[f.name])
+            if f.name in to_widen and f.type != to_widen[f.name]
+            else f
+            for f in spec.fields
+        ]
+        return replace(spec, fields=new_fields)
 
     cols = parse_add_columns(ddl_sql)
     if not cols:

@@ -208,3 +208,90 @@ def test_parse_add_columns_multi_clause_all_or_nothing():
     assert ingest.parse_add_columns(
         "alter table t add a int, add b sometype"
     ) == []
+
+
+def test_parse_modify_columns_shapes():
+    assert ingest.parse_modify_columns(
+        "alter table test.t modify turn_idx bigint"
+    ) == [("turn_idx", "bigint")]
+    assert ingest.parse_modify_columns(
+        "ALTER TABLE t MODIFY COLUMN `n` DOUBLE NULL COMMENT 'x'"
+    ) == [("n", "double")]
+    assert ingest.parse_modify_columns(
+        "alter table t modify a bigint, modify column b double"
+    ) == [("a", "bigint"), ("b", "double")]
+    # CHANGE renames, drops, mixed ADDs: poisoned whole statements
+    assert ingest.parse_modify_columns(
+        "alter table t change a a2 bigint"
+    ) == []
+    assert ingest.parse_modify_columns(
+        "alter table t modify a bigint, drop column b"
+    ) == []
+    assert ingest.parse_modify_columns(
+        "alter table t add a int"
+    ) == []
+    assert ingest.parse_modify_columns("") == []
+
+
+def test_evolve_spec_modify_widening_rules():
+    s0 = _spec()
+    # int -> bigint: widened in place, seq/name/pk untouched
+    s1 = ingest.evolve_spec(s0, "alter table t modify turn_idx bigint")
+    f = {x.name: x for x in s1.fields}["turn_idx"]
+    assert f.type == "bigint" and f.seq == 2 and f.is_primary_key
+    # replay / duplicate delivery: no-op
+    assert ingest.evolve_spec(
+        s1, "alter table t modify turn_idx bigint"
+    ) is s1
+    # narrowing: never applied
+    assert ingest.evolve_spec(
+        s1, "alter table t modify turn_idx int"
+    ) is s1
+    # non-lattice change (string -> int): never applied
+    assert ingest.evolve_spec(
+        s0, "alter table t modify text int"
+    ) is s0
+    # unknown column poisons the whole statement (all-or-nothing)
+    assert ingest.evolve_spec(
+        s0, "alter table t modify turn_idx bigint, modify nope bigint"
+    ) is s0
+
+
+def test_mid_stream_modify_widens_type_without_restart(spark, tmp_path):
+    """VERDICT r3 task 5: an upstream MODIFY COLUMN int->bigint arriving
+    mid-stream widens the live spec; a value beyond int32 in the very
+    next envelopes parses losslessly and the sink widens the committed
+    table schema — no restart, history intact."""
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    big = 5_000_000_000  # > 2^31
+    _write(broker, "b0.jsonl",
+           [_data_env(i, f"2024-09-01 10:0{i}:00", offset=i)
+            for i in range(3)], 1_000_000)
+    _write(broker, "b1.jsonl",
+           [_ddl_env("alter table chat.transcripts modify turn_idx bigint",
+                     offset=3),
+            _data_env(big, "2024-09-01 10:09:00", offset=4)], 1_000_100)
+    table = IcebergLite(str(tmp_path / "tbl"), pk=["conv_id", "turn_idx"])
+    raw = pipeline.file_broker_stream(spark, broker, max_files_per_trigger=1)
+    q = pipeline.start_dynamic_sink(
+        raw, _spec(), table, str(tmp_path / "ck"),
+        str(tmp_path / "spec_journal.jsonl"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    out = table.read(spark)
+    assert dict(out.dtypes)["turn_idx"] == "bigint"
+    vals = {r.turn_idx for r in out.collect()}
+    assert vals == {0, 1, 2, big}  # history intact, wide value lossless
+    # restart from the ORIGINAL (int) spec: journal replays the widening
+    _write(broker, "b2.jsonl",
+           [_data_env(big + 1, "2024-09-01 10:10:00", offset=5)], 1_000_200)
+    raw2 = pipeline.file_broker_stream(spark, broker, max_files_per_trigger=1)
+    q2 = pipeline.start_dynamic_sink(
+        raw2, _spec(), table, str(tmp_path / "ck"),
+        str(tmp_path / "spec_journal.jsonl"),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+    assert big + 1 in {r.turn_idx for r in table.read(spark).collect()}
