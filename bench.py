@@ -268,6 +268,41 @@ def time_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
     return out, detail
 
 
+def sweep_remaining(spark) -> dict:
+    """Coverage floor: ONE steal-annotated timed run for every registry
+    query not in HEADLINE/HEADLINE_EXTRA, at sf0.01 (r3 verdict: 110
+    registry queries had plan-audit rows but no wall-clock anywhere, and
+    the exclusion rule was unstated — 'no silent caps'). Single-run at
+    the smaller SF by design: this tier is a did-it-regress-10x canary
+    and a completeness proof, not a comparable benchmark — the
+    steal-gated tiers above carry the comparable numbers. Queries whose
+    run fails record the error instead of silently dropping out."""
+    import __spark_entry__ as entry
+
+    sweep_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sweep_dir):
+        return {"skipped": f"no {sweep_dir}"}
+    qs = entry.queries()
+    done = set(HEADLINE + HEADLINE_EXTRA)
+    out: dict = {}
+    for name, fn in qs.items():
+        if name in done:
+            continue
+        s0, c0 = _cpu_times()
+        t0 = time.monotonic()
+        try:
+            _force(fn(spark, sweep_dir))
+            wall = round(time.monotonic() - t0, 3)
+            s1, c1 = _cpu_times()
+            out[name] = {
+                "sec": wall,
+                "steal": round((s1 - s0) / max(c1 - c0, 1), 4),
+            }
+        except Exception as exc:  # noqa: BLE001 — recorded, not silent
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+    return {"sf": 0.01, "runs": 1, "queries": out}
+
+
 def gen_broker(root: str) -> int:
     from kafka2iceberg_spark.gen import GenConfig, write_stream_files
 
@@ -480,9 +515,13 @@ spark = (
 )
 bench.ingest_scale_job(spark, rows)  # warm JIT/codegen
 bench.ingest_scale_job(spark, rows)
+s0, c0 = bench._cpu_times()
 t0 = time.monotonic()
 bench.ingest_scale_job(spark, rows)
-print(json.dumps({"wall": time.monotonic() - t0}), flush=True)
+wall = time.monotonic() - t0
+s1, c1 = bench._cpu_times()
+print(json.dumps({"wall": wall,
+                  "steal": (s1 - s0) / max(c1 - c0, 1)}), flush=True)
 spark.stop()
 """
 
@@ -501,11 +540,15 @@ def _ing_child(cores: int, rows: int, tag: str):
     )
 
 
-def _ing_wall(proc) -> float:
+def _ing_wall(proc) -> tuple[float, float]:
+    """(wall, steal) measured INSIDE the child around its timed run —
+    much tighter than sampling around the whole pass (which dilutes a
+    steal burst across JVM startup + two warm runs)."""
     out, _ = proc.communicate()
     for line in out.splitlines():
         if line.startswith("{"):
-            return json.loads(line)["wall"]
+            d = json.loads(line)
+            return d["wall"], d.get("steal", 0.0)
     raise RuntimeError("ingest scale child produced no wall")
 
 
@@ -528,15 +571,49 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
     the way YARN/K8s executor launchers avoid (measured: default-G1
     stragglers 3.7-5.0 s vs 2.9 s pinned-ParallelGC at 500k rows/child,
     turning a real ~0.85 efficiency into a recorded 0.51)."""
-    walls_n, walls_4n = [], []
-    for p in range(passes):
-        walls_n.append(_ing_wall(_ing_child(lo, rows, f"n-{p}")))
+    def _level(run_pass, min_repeats: int, max_repeats: int,
+               tol: float = 0.03) -> list[tuple[float, float]]:
+        """Converged steal-gated passes — the SAME criterion the flagship
+        scale_level uses (r3 lesson: the recorded artifact landed one
+        dirty 4N wall under a fixed 3-pass protocol and read 0.648 raw
+        while session artifacts read 0.799): repeat until the two
+        fastest steal-CLEAN walls agree within ``tol`` AND the overall
+        minimum is at least 2 passes old (a floor set on the last pass
+        was never reproduced). Steal is measured inside each child
+        around its timed run; a 4N pass carries the steal of its
+        straggler (the child that defines the wall)."""
+        runs: list[tuple[float, float]] = []
+        best_age = 0
+        while len(runs) < max_repeats:
+            runs.append(run_pass(len(runs)))
+            wall = runs[-1][0]
+            best_age = (
+                0 if wall <= min(w for w, _ in runs) else best_age + 1
+            )
+            clean = sorted(w for w, s in runs if s < STEAL_GATE)
+            if (
+                len(runs) >= min_repeats
+                and len(clean) >= 2
+                and best_age >= 2
+                and (clean[1] - clean[0]) / clean[0] < tol
+            ):
+                break
+        return runs
+
+    def _pass_n(p: int) -> tuple[float, float]:
+        return _ing_wall(_ing_child(lo, rows, f"n-{p}"))
+
+    def _pass_4n(p: int) -> tuple[float, float]:
         procs = [
             _ing_child(lo, rows // n_jvms, f"m{i}-{p}")
             for i in range(n_jvms)
         ]
-        walls_4n.append(max(_ing_wall(pr) for pr in procs))
-    w_n, w_4n = min(walls_n), min(walls_4n)
+        return max(_ing_wall(pr) for pr in procs)
+
+    runs_n = _level(_pass_n, min_repeats=passes, max_repeats=3 * passes)
+    runs_4n = _level(_pass_4n, min_repeats=passes, max_repeats=3 * passes)
+    w_n = min(w for w, _ in runs_n)
+    w_4n = min(w for w, _ in runs_4n)
     eff = (w_n / w_4n) / n_jvms
     return {
         "job": f"Canal-JSON parse pipeline over {rows} envelopes,"
@@ -546,12 +623,176 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
         "jvms_4n": n_jvms,
         "wall_n_sec": round(w_n, 2),
         "wall_4n_sec": round(w_4n, 2),
-        "walls_n_all": [round(w, 2) for w in walls_n],
-        "walls_4n_all": [round(w, 2) for w in walls_4n],
+        "walls_n_all": [round(w, 2) for w, _ in runs_n],
+        "walls_4n_all": [round(w, 2) for w, _ in runs_4n],
+        "dirty_n": len([r for r in runs_n if r[1] >= STEAL_GATE]),
+        "dirty_4n": len([r for r in runs_4n if r[1] >= STEAL_GATE]),
         "rows_per_sec_n": round(rows / w_n, 0),
         "rows_per_sec_4n": round(rows / w_4n, 0),
         "efficiency_raw": round(eff, 3),
     }
+
+
+def trigger_sizing(spark) -> dict:
+    """Backpressure/trigger-sizing evidence for the three maintained-table
+    ops (r3 verdict task 6): each pays a FIXED multi-table exactly-once
+    commit cost per micro-batch, so per-row cost must amortize as the
+    trigger batches grow. Same sf0.1 input folded as 12 / 3 / 1 batches;
+    reported rows/sec per shape is the SCALE.md §2 claim, measured. A
+    larger trigger always wins on throughput; the artifact quantifies
+    what a tighter latency SLO costs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kafka2iceberg_spark.matview import IncrementalJoinView
+    from kafka2iceberg_spark.scd import TemporalEnrich
+    from kafka2iceberg_spark.sink import IcebergLite
+    from kafka2iceberg_spark.timeseries import RollupLadder
+    from kafka2iceberg_spark.transactions import CatalogLite
+
+    HOUR_US = 3_600_000_000
+    DAY_US = 24 * HOUR_US
+    out: dict = {}
+
+    ev = entry._read(spark, SF_DIR, "events")
+    n_ev = ev.count()
+
+    def run_rollup(n_batches: int) -> float:
+        data = ev.select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.col("value") * 1e6, 0).cast("long").alias("v"),
+            "event_id",
+        )
+        work = tempfile.mkdtemp(prefix="trig_rollup_")
+        cat = CatalogLite(f"{work}/cat")
+        for name in ("hour", "day"):
+            cat.register(name, IcebergLite(
+                f"{work}/{name}", pk=["bucket_us"], partition_field=None))
+        cat.register("rollup_meta", IcebergLite(
+            f"{work}/meta", pk=["tier"], partition_field=None))
+        rl = RollupLadder(cat, [("hour", HOUR_US), ("day", DAY_US)])
+        wm = 1_706_745_600_000_000
+        t0 = time.monotonic()
+        for b in range(n_batches):
+            rl.apply_batch(
+                data.where(F.col("event_id") % n_batches == b)
+                .drop("event_id"),
+                str(b), wm_us=wm,
+            )
+        return time.monotonic() - t0
+
+    orders = entry._read(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    lines = entry._read(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("revenue"),
+    )
+    n_jv = lines.count()
+
+    def run_join_view(n_batches: int) -> float:
+        work = tempfile.mkdtemp(prefix="trig_jv_")
+        cat = CatalogLite(work)
+        cat.register("orders", IcebergLite(f"{work}/orders", pk=["orderkey"]))
+        cat.register("lines", IcebergLite(
+            f"{work}/lines", pk=["orderkey", "l_linenumber"]))
+        cat.register("v", IcebergLite(
+            f"{work}/v", pk=["orderkey", "l_linenumber"]))
+        jv = IncrementalJoinView(
+            cat, "orders", "lines", "v", on=["orderkey"],
+            left_cols=["o_orderpriority"],
+            right_cols=["l_linenumber", "revenue"],
+            filter_left="o_orderpriority = '1-URGENT'",
+        )
+        t0 = time.monotonic()
+        for b in range(n_batches):
+            jv.apply_batch(
+                orders.where(F.col("orderkey") % n_batches == b),
+                lines.where(
+                    (F.col("orderkey") + F.col("l_linenumber"))
+                    % n_batches == b
+                ),
+                str(b),
+            )
+        return time.monotonic() - t0
+
+    ev_ts = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window as W
+
+    one = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    dim = (
+        ev_ts.select(
+            "user_id", "ts", "event_id", "event_type",
+            (F.col("event_type") == "error").alias("is_del"),
+        )
+        .withColumn("_rn", F.row_number().over(one))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
+    facts = ev_ts.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"), "user_id", "ts"
+    )
+    n_te = facts.count() + dim.count()
+
+    def run_temporal(n_batches: int) -> float:
+        work = tempfile.mkdtemp(prefix="trig_te_")
+        cat = CatalogLite(f"{work}/cat")
+        cat.register("facts", IcebergLite(
+            f"{work}/facts", pk=[], partition_field=None))
+        cat.register("out", IcebergLite(
+            f"{work}/out", pk=[], partition_field=None))
+        cat.register("meta", IcebergLite(
+            f"{work}/meta", pk=["k"], partition_field=None))
+        hist = IcebergLite(
+            f"{work}/hist", pk=["user_id", "valid_from_us"],
+            partition_field=None)
+        te = TemporalEnrich(
+            cat, hist, key=["user_id"], tracked=["event_type"],
+            dim_order=["ts", "event_id"], dim_delete="is_del",
+        )
+        # dim arrives in watermark order (time slices, like the gated
+        # query); facts arrive out of order (id mod) and are held back /
+        # released by the advancing watermark — the op's real shape.
+        lo_us, hi_us = 1_704_067_200_000_000, 1_707_955_200_000_000
+        step = (hi_us - lo_us) // n_batches
+        cuts = [lo_us + step * (i + 1) for i in range(n_batches - 1)]
+        cuts.append(hi_us)  # final cut past everything: all facts release
+        us = F.unix_micros(F.col("ts"))
+        t0 = time.monotonic()
+        lo = None
+        for b, hi in enumerate(cuts):
+            dim_b = dim.where(
+                (us <= F.lit(hi)) & ((us > F.lit(lo)) if lo else F.lit(True))
+            )
+            te.apply_batch(
+                dim_b,
+                facts.where(F.col("fact_id") % n_batches == b),
+                str(b), wm_us=hi,
+            )
+            lo = hi
+        return time.monotonic() - t0
+
+    for label, fn, rows in (
+        ("rollup_ladder", run_rollup, n_ev),
+        ("join_view", run_join_view, n_jv),
+        ("temporal_enrich", run_temporal, n_te),
+    ):
+        shapes = {}
+        for n_batches in (12, 3, 1):
+            wall = fn(n_batches)
+            shapes[f"{n_batches}_batches"] = {
+                "wall_sec": round(wall, 2),
+                "sec_per_batch": round(wall / n_batches, 2),
+                "rows_per_sec": round(rows / wall, 0),
+            }
+        shapes["amortization_12_to_1"] = round(
+            shapes["12_batches"]["wall_sec"] / shapes["1_batches"]["wall_sec"],
+            2,
+        )
+        out[label] = {"input_rows": rows, **shapes}
+    return out
 
 
 def cpu_ref_job(spark, n_rows: int) -> None:
@@ -753,6 +994,8 @@ def main() -> None:
 
         spark = session(CPUS)
         queries, query_detail = time_queries(spark)
+        sweep = sweep_remaining(spark)
+        trigger = trigger_sizing(spark)
         crossover = ann_crossover(spark)
 
         def _gated_e2e(run, label, extra=(), repeats=3):
@@ -809,6 +1052,8 @@ def main() -> None:
             ),
             "queries": queries,
             "query_detail": query_detail,
+            "sweep": sweep,
+            "trigger_sizing": trigger,
             "ann_crossover": crossover,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "ingest": {
