@@ -3260,13 +3260,25 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-order projection (graph.supplier_coorder_edges, min_shared=30):
     degree-ordered wedge enumeration (Schank-Wagner) so wedge work is
     bounded by Σ outdeg² = O(m·√m), not hub-degree². Oracle = independent
-    SQL a<b<c closed-wedge join credited to all three corners."""
+    SQL a<b<c closed-wedge join credited to all three corners.
+
+    The co-order edge list (aggregation-shrunk: supplier pairs sharing
+    ≥30 orders) is COMMITTED to a table first — triangle_counts
+    references its input three times (both wedge sides + closure), and
+    materializing the projection keeps those as three cheap table scans
+    instead of three runs of the lineitem self-join pipeline (was the
+    suite's heaviest plan at 174 exchanges)."""
+    import tempfile
+
     from kafka2iceberg_spark import graph as gr
+    from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    edges = gr.supplier_coorder_edges(li, min_shared=30)
-    return gr.triangle_counts(edges).orderBy("node")
+    work = tempfile.mkdtemp(prefix="tri_edges_")
+    t = IcebergLite(f"{work}/edges", pk=[], partition_field=None)
+    t.commit_append(gr.supplier_coorder_edges(li, min_shared=30), "0")
+    return gr.triangle_counts(t.read(spark)).orderBy("node")
 
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
