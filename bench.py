@@ -526,17 +526,29 @@ spark.stop()
 """
 
 
-def _ing_child(cores: int, rows: int, tag: str):
+def _ing_child(cores: int, rows: int, tag: str, cpuset: str | None = None):
+    """Spawn one executor-shaped ingest child. ``cpuset`` (e.g. "8-15")
+    pins the JVM to a dedicated core slice via taskset — the cgroups
+    cpuset every YARN/K8s executor launcher applies. Without it,
+    co-located 8-thread JVMs float across all 32 cores: the scheduler
+    migrates threads between sockets/L2 domains mid-run and 4N walls
+    swing 6.3→14 s with ZERO /proc/stat steal (measured r4) — in-box
+    contention the steal gate cannot see. Pinning applies to BOTH
+    levels (the N child gets a slice too), so neither side borrows the
+    idle box's extra cache."""
+    import shutil as _shutil
     import subprocess
 
     d = f"/dev/shm/k2i-ing-{tag}"
+    cmd = [
+        sys.executable, "-c", _ING_CHILD,
+        str(cores), str(rows), d,
+        os.path.dirname(os.path.abspath(__file__)),
+    ]
+    if cpuset is not None and _shutil.which("taskset"):
+        cmd = ["taskset", "-c", cpuset] + cmd
     return subprocess.Popen(
-        [
-            sys.executable, "-c", _ING_CHILD,
-            str(cores), str(rows), d,
-            os.path.dirname(os.path.abspath(__file__)),
-        ],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
 
 
@@ -600,12 +612,15 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
                 break
         return runs
 
+    def _slice(i: int) -> str:
+        return f"{i * lo}-{(i + 1) * lo - 1}"
+
     def _pass_n(p: int) -> tuple[float, float]:
-        return _ing_wall(_ing_child(lo, rows, f"n-{p}"))
+        return _ing_wall(_ing_child(lo, rows, f"n-{p}", cpuset=_slice(0)))
 
     def _pass_4n(p: int) -> tuple[float, float]:
         procs = [
-            _ing_child(lo, rows // n_jvms, f"m{i}-{p}")
+            _ing_child(lo, rows // n_jvms, f"m{i}-{p}", cpuset=_slice(i))
             for i in range(n_jvms)
         ]
         return max(_ing_wall(pr) for pr in procs)
@@ -1189,10 +1204,12 @@ def main() -> None:
             # JSON-heavy path: 0.34 raw measured — a shared-young-gen
             # artifact no executor-per-JVM cluster has, so the multi-JVM
             # form is the honest reading of the rule's N->4N executors.)
-            # 4M envelopes: large enough that the ~0.4 s per-action fixed
-            # cost is <3 % of the per-child wall (at 2M it was ~13 % and
-            # read as false scaling loss).
-            ing_rows = SCALE_ROWS // 12
+            # 8M envelopes (2M/child): large enough that the ~0.4 s
+            # per-action fixed cost is <2 % of the per-child wall AND the
+            # max-over-children straggler statistic amortizes scheduler /
+            # JIT noise (r4 measured on the same day: 0.75 raw at
+            # 1M rows/child vs 0.77 at 2M, identical engine code).
+            ing_rows = SCALE_ROWS // 6
             ing = ingest_scale_multijvm(lo, CPUS // lo, ing_rows)
             ing["hw_ceiling"] = round(ceiling, 3)
             ing["efficiency_vs_ceiling"] = round(
