@@ -3319,13 +3319,24 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.adamic_adar_topk) over the supplier co-order projection:
     top-20 non-adjacent distance-2 pairs by Σ 1/ln(deg(z)) over common
     neighbours z. Integer micro-unit weight sums (order-insensitive) —
-    the DuckDB oracle replays the identical quantization."""
+    the DuckDB oracle replays the identical quantization.
+
+    Like q_triangles, the co-order edge list is committed to a table
+    first: adamic_adar_topk references its input five times (both adj
+    directions for degrees and both wedge sides, plus the anti probe),
+    and materializing keeps those as cheap table scans instead of five
+    runs of the lineitem self-join pipeline (78 exchanges inlined)."""
+    import tempfile
+
     from kafka2iceberg_spark import graph as gr
+    from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    edges = gr.supplier_coorder_edges(li, min_shared=30)
-    return gr.adamic_adar_topk(edges, k=20)
+    work = tempfile.mkdtemp(prefix="aa_edges_")
+    t = IcebergLite(f"{work}/edges", pk=[], partition_field=None)
+    t.commit_append(gr.supplier_coorder_edges(li, min_shared=30), "0")
+    return gr.adamic_adar_topk(t.read(spark), k=20)
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
