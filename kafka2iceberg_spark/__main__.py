@@ -347,10 +347,11 @@ def main(argv: list[str] | None = None) -> None:
             from_kafka=kafka_shaped,
         )
     elif apply_ddl:
-        # ddl.apply=true: upstream ADD COLUMN statements evolve the task
-        # spec mid-stream (P5 fully closed); the spec journal replays
-        # applied DDL on restart. Unsupported DDL lands in ddl.location
-        # (if given) instead of being half-applied.
+        # ddl.apply=true: upstream ADD COLUMN and type-widening MODIFY
+        # COLUMN statements evolve the task spec mid-stream (P5 fully
+        # closed); the spec journal replays applied DDL on restart.
+        # Unsupported DDL (narrowings, renames, mixed statements) lands
+        # in ddl.location (if given) instead of being half-applied.
         from .pipeline import start_dynamic_sink
 
         if not spec.primary_keys:
