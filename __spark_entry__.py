@@ -47,6 +47,23 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _workdir(prefix: str) -> str:
+    """tempfile.mkdtemp + atexit rmtree: the queries that materialize
+    substrate tables (triangles/adamic_adar edge projections, the NB
+    model split, minhash candidates, MOR/E2E scratch …) run on every
+    bench sweep and gate pass — without registered cleanup they leak
+    committed table data into TMPDIR indefinitely. Cleanup is deferred
+    to process exit because the returned DataFrames are lazy: the
+    driver collects them after the query function returns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts with event-time as TIMESTAMP (UTC-pinned, value-exact)."""
     _utc(spark)
@@ -301,7 +318,6 @@ def q_dedup_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the answer. Reference parity: Kafka2IcebergApp.java:95-113
     upsert semantics under Iceberg v2 row-level deletes."""
     import shutil
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
 
@@ -335,7 +351,7 @@ def q_dedup_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev(t.where(F.col("turn_idx") % 13 == 0), F.col("text"),
            F.col("uid") * 1_000_000 + 900_000 + F.col("turn_idx"), True)
     )
-    work = tempfile.mkdtemp(prefix="morq-")
+    work = _workdir("morq-")
     try:
         table = IcebergLite(
             f"{work}/t", pk=["conv_id", "turn_idx"], partition_field=None
@@ -525,7 +541,6 @@ def q_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full streaming path: gen → file broker → parse → exactly-once sink →
     read-back. Non-SQL-expressible (stateful streaming); rows-only check."""
-    import tempfile
 
     from kafka2iceberg_spark.gen import GenConfig, write_stream_files
     from kafka2iceberg_spark.pipeline import run_ingest_once
@@ -534,7 +549,7 @@ def q_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     cfg = GenConfig(n_convs=10, turns_per_conv=10, mega_convs=1, mega_turns=40)
-    root = tempfile.mkdtemp(prefix="k2i_e2e_")
+    root = _workdir("k2i_e2e_")
     write_stream_files(cfg, f"{root}/broker", files=4)
     table = IcebergLite(f"{root}/table", pk=["conv_id", "turn_idx"])
     spec = transcript_task()
@@ -1086,13 +1101,12 @@ def q_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity, tests/test_streaming_neardup.py), so the oracle is the SAME
     SQL as ``dedup_minhash_lsh`` — the driver gate proves the incremental
     path lands exactly the batch answer."""
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     docs = _docs_aug_near(spark, sf_dir, subset=False)
-    work = tempfile.mkdtemp(prefix="neardup_idx_")
+    work = _workdir("neardup_idx_")
     nd = dd.NearDupIndex(
         IcebergLite(f"{work}/index", pk=["doc_id"], partition_field=None),
         IcebergLite(
@@ -1153,7 +1167,6 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view definition (filter pushed into the deltas). The DuckDB oracle
     is the from-scratch join — the gate proves the incremental path
     lands exactly the batch answer."""
-    import tempfile
 
     from kafka2iceberg_spark.matview import IncrementalJoinView
     from kafka2iceberg_spark.sink import IcebergLite
@@ -1170,7 +1183,7 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
-    work = tempfile.mkdtemp(prefix="join_view_")
+    work = _workdir("join_view_")
     cat = CatalogLite(work)
     cat.register("orders", IcebergLite(f"{work}/orders", pk=["orderkey"]))
     cat.register(
@@ -1245,7 +1258,6 @@ def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k sketch, k rows of state forever at any stream size. The
     pinned draw makes the maintained table equal the one-shot batch
     bottom-k, so the DuckDB oracle is just ORDER BY md5 LIMIT k."""
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
     from kafka2iceberg_spark.sketches import StreamingSample
@@ -1253,7 +1265,7 @@ def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", "n_chars"
     )
-    work = tempfile.mkdtemp(prefix="stream_sample_")
+    work = _workdir("stream_sample_")
     ss = StreamingSample(
         IcebergLite(f"{work}/sample", pk=["doc_id"], partition_field=None),
         k=100,
@@ -1356,13 +1368,12 @@ def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidate-join the stored buckets. Index answers == batch
     ``lsh_topk`` for the same corpus (shared rerank, deterministic
     buckets), so the oracle is the SAME SQL as ``ann_lsh_topk``."""
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     emb = _read(spark, sf_dir, "embeddings", spread=True)
-    work = tempfile.mkdtemp(prefix="ann_idx_")
+    work = _workdir("ann_idx_")
     idx = sim.AnnIndex(
         IcebergLite(f"{work}/index", pk=["vec_id"], partition_field=None),
         dim=64,
@@ -3268,14 +3279,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing the projection keeps those as three cheap table scans
     instead of three runs of the lineitem self-join pipeline (was the
     suite's heaviest plan at 174 exchanges)."""
-    import tempfile
 
     from kafka2iceberg_spark import graph as gr
     from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    work = tempfile.mkdtemp(prefix="tri_edges_")
+    work = _workdir("tri_edges_")
     t = IcebergLite(f"{work}/edges", pk=[], partition_field=None)
     t.commit_append(gr.supplier_coorder_edges(li, min_shared=30), "0")
     return gr.triangle_counts(t.read(spark)).orderBy("node")
@@ -3326,14 +3336,13 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions for degrees and both wedge sides, plus the anti probe),
     and materializing keeps those as cheap table scans instead of five
     runs of the lineitem self-join pipeline (78 exchanges inlined)."""
-    import tempfile
 
     from kafka2iceberg_spark import graph as gr
     from kafka2iceberg_spark.sink import IcebergLite
 
     _utc(spark)
     li = _read(spark, sf_dir, "lineitem")
-    work = tempfile.mkdtemp(prefix="aa_edges_")
+    work = _workdir("aa_edges_")
     t = IcebergLite(f"{work}/edges", pk=[], partition_field=None)
     t.commit_append(gr.supplier_coorder_edges(li, min_shared=30), "0")
     return gr.adamic_adar_topk(t.read(spark), k=20)
@@ -3978,7 +3987,6 @@ def q_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps this eval's plan O(predict) instead of re-deriving the model
     inside every downstream join (the r3 plan audit flagged the inlined
     composition at 166 exchanges)."""
-    import tempfile
 
     from kafka2iceberg_spark import rankstats as rs
     from kafka2iceberg_spark.sink import IcebergLite
@@ -3986,7 +3994,7 @@ def q_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     d = _read(spark, sf_dir, "documents")
     model_cls, ctc = tx.nb_train(d.where(F.col("doc_id") % 5 != 0))
-    work = tempfile.mkdtemp(prefix="nb_model_")
+    work = _workdir("nb_model_")
     t_cls = IcebergLite(f"{work}/model_cls", pk=[], partition_field=None)
     t_ctc = IcebergLite(f"{work}/ctc", pk=[], partition_field=None)
     t_cls.commit_append(model_cls, "0")
@@ -4024,7 +4032,6 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side, final join) read the committed relation instead of
     re-running the full LSH pipeline each time (the r3 plan audit
     flagged the inlined composition at 274 exchanges)."""
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
 
@@ -4034,7 +4041,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.round(F.col("est_jaccard") * 1e6).cast("long").alias("est_ppm"),
     )
-    work = tempfile.mkdtemp(prefix="minhash_cand_")
+    work = _workdir("minhash_cand_")
     t = IcebergLite(f"{work}/candidates", pk=[], partition_field=None)
     t.commit_append(cand, "0")
     return dd.minhash_calibration(docs, candidates=t.read(spark))
@@ -4063,7 +4070,6 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle is the from-scratch SCD2 + interval join over the
     full logs — the gate proves the held-back incremental path lands
     exactly the batch answer."""
-    import tempfile
 
     from kafka2iceberg_spark.scd import TemporalEnrich
     from kafka2iceberg_spark.sink import IcebergLite
@@ -4089,7 +4095,7 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = 1_704_931_200_000_000  # 2024-01-11
     t2 = 1_705_795_200_000_000  # 2024-01-21
     t3 = 1_707_955_200_000_000  # 2024-02-15 (past everything)
-    work = tempfile.mkdtemp(prefix="temporal_enrich_")
+    work = _workdir("temporal_enrich_")
     cat = CatalogLite(f"{work}/cat")
     cat.register(
         "facts", IcebergLite(f"{work}/facts", pk=[], partition_field=None)
@@ -4134,7 +4140,6 @@ def q_forget_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-event-type survivor counts. The DuckDB oracle simply excludes
     the erased users — the gate proves the file-surgery delete path drops
     exactly the requested entities and nothing else."""
-    import tempfile
 
     from kafka2iceberg_spark.privacy import forget_entity
     from kafka2iceberg_spark.sink import IcebergLite
@@ -4144,7 +4149,7 @@ def q_forget_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     t = IcebergLite(
-        tempfile.mkdtemp(prefix="forget_") + "/t",
+        _workdir("forget_") + "/t",
         pk=[],
         partition_field=None,
     )
@@ -4167,7 +4172,6 @@ def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     One full-outer PK hash join of two time-travel reads, non-PK attrs
     compared as one canonical struct (NULL-safe). The DuckDB oracle
     replays both snapshot definitions and the set algebra directly."""
-    import tempfile
 
     from kafka2iceberg_spark import metadata_tables as mt
     from kafka2iceberg_spark.sink import IcebergLite
@@ -4203,7 +4207,7 @@ def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "error").alias("is_cdc_delete"),
         )
     )
-    work = tempfile.mkdtemp(prefix="rowdiff_")
+    work = _workdir("rowdiff_")
     t = IcebergLite(f"{work}/t", pk=["user_id"], partition_field=None)
     t.commit_upsert(b0, "0")
     v0 = t.current_version()
@@ -4220,7 +4224,6 @@ def q_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     day tier is bit-identical to the from-scratch daily aggregate the
     DuckDB oracle computes — regardless of batching or arrival order.
     Values ride as exact micro-unit BIGINTs."""
-    import tempfile
 
     from kafka2iceberg_spark.sink import IcebergLite
     from kafka2iceberg_spark.timeseries import RollupLadder
@@ -4232,7 +4235,7 @@ def q_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1e6, 0).cast("long").alias("v"),
         "event_id",
     )
-    work = tempfile.mkdtemp(prefix="rollup_")
+    work = _workdir("rollup_")
     cat = CatalogLite(f"{work}/cat")
     for name in ("hour", "day"):
         cat.register(

@@ -300,7 +300,72 @@ def sweep_remaining(spark) -> dict:
             }
         except Exception as exc:  # noqa: BLE001 — recorded, not silent
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
-    return {"sf": 0.01, "runs": 1, "queries": out}
+
+    # regression gate (r4 verdict task: the sweep was informational only,
+    # so a per-query regression outside the gated tiers could hide).
+    # Diff each wall against the prior round's recorded sweep; a >1.5×
+    # drift earns up to 2 retries (single-run walls carry weather), and
+    # only a drift that survives its retry floor is recorded.
+    prior = _prior_sweep_walls()
+    regressions: dict = {}
+    for name, rec in out.items():
+        if "sec" not in rec or name not in prior:
+            continue
+        prev = prior[name]
+        if prev <= 0 or rec["sec"] / prev <= 1.5:
+            continue
+        floor = rec["sec"]
+        for _ in range(2):
+            t0 = time.monotonic()
+            try:
+                _force(qs[name](spark, sweep_dir))
+            except Exception:  # noqa: BLE001
+                break
+            floor = min(floor, round(time.monotonic() - t0, 3))
+            if floor / prev <= 1.5:
+                break
+        rec["sec"] = floor
+        if floor / prev > 1.5:
+            regressions[name] = {
+                "prev_sec": prev,
+                "now_sec": floor,
+                "ratio": round(floor / prev, 2),
+            }
+    return {
+        "sf": 0.01,
+        "runs": 1,
+        "queries": out,
+        "regressions": regressions,
+        "regression_baseline": _prior_bench_name(),
+    }
+
+
+def _prior_bench_name() -> str | None:
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
+    return os.path.basename(benches[-1]) if benches else None
+
+
+def _prior_sweep_walls() -> dict[str, float]:
+    """Per-query sweep walls from the latest recorded round artifact."""
+    name = _prior_bench_name()
+    if name is None:
+        return {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        prior = json.load(open(os.path.join(here, name)))
+    except (OSError, ValueError):
+        return {}
+    # driver artifacts wrap the bench JSON line under "parsed"
+    prior = prior.get("parsed", prior)
+    qs = prior.get("sweep", {}).get("queries", {})
+    return {
+        n: rec["sec"]
+        for n, rec in qs.items()
+        if isinstance(rec, dict) and isinstance(rec.get("sec"), (int, float))
+    }
 
 
 def gen_broker(root: str) -> int:
@@ -596,6 +661,7 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
         straggler (the child that defines the wall)."""
         runs: list[tuple[float, float]] = []
         best_age = 0
+        converged = False
         while len(runs) < max_repeats:
             runs.append(run_pass(len(runs)))
             wall = runs[-1][0]
@@ -609,8 +675,9 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
                 and best_age >= 2
                 and (clean[1] - clean[0]) / clean[0] < tol
             ):
+                converged = True
                 break
-        return runs
+        return runs, converged
 
     def _slice(i: int) -> str:
         return f"{i * lo}-{(i + 1) * lo - 1}"
@@ -625,10 +692,25 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
         ]
         return max(_ing_wall(pr) for pr in procs)
 
-    runs_n = _level(_pass_n, min_repeats=passes, max_repeats=3 * passes)
-    runs_4n = _level(_pass_4n, min_repeats=passes, max_repeats=3 * passes)
-    w_n = min(w for w, _ in runs_n)
-    w_4n = min(w for w, _ in runs_4n)
+    runs_n, conv_n = _level(
+        _pass_n, min_repeats=passes, max_repeats=3 * passes
+    )
+    runs_4n, conv_4n = _level(
+        _pass_4n, min_repeats=passes, max_repeats=3 * passes
+    )
+
+    def _floor(runs: list[tuple[float, float]]) -> tuple[float, bool]:
+        """min over steal-CLEAN walls when any exist — a steal-inflated
+        wall must never define the headline efficiency just because
+        convergence ran out of repeats; fall back to the dirty min (and
+        flag it) only when every pass was dirty."""
+        clean = [w for w, s in runs if s < STEAL_GATE]
+        if clean:
+            return min(clean), False
+        return min(w for w, _ in runs), True
+
+    w_n, dirty_min_n = _floor(runs_n)
+    w_4n, dirty_min_4n = _floor(runs_4n)
     eff = (w_n / w_4n) / n_jvms
     return {
         "job": f"Canal-JSON parse pipeline over {rows} envelopes,"
@@ -642,6 +724,10 @@ def ingest_scale_multijvm(lo: int, n_jvms: int, rows: int, passes: int = 3) -> d
         "walls_4n_all": [round(w, 2) for w, _ in runs_4n],
         "dirty_n": len([r for r in runs_n if r[1] >= STEAL_GATE]),
         "dirty_4n": len([r for r in runs_4n if r[1] >= STEAL_GATE]),
+        "converged_n": conv_n,
+        "converged_4n": conv_4n,
+        "dirty_min_n": dirty_min_n,
+        "dirty_min_4n": dirty_min_4n,
         "rows_per_sec_n": round(rows / w_n, 0),
         "rows_per_sec_4n": round(rows / w_4n, 0),
         "efficiency_raw": round(eff, 3),
@@ -1013,46 +1099,74 @@ def main() -> None:
         trigger = trigger_sizing(spark)
         crossover = ann_crossover(spark)
 
-        def _gated_e2e(run, label, extra=(), repeats=3):
-            """Min over fresh-checkpoint runs (each needs its own tag — a
-            repeated tag would replay as a no-op); min over all attempts
-            (steal only inflates), steal of the winning run reported."""
-            best = None
-            walls = []
-            for i in range(repeats):
+        def _gated_e2e(run, label, extra=(), repeats=3, tol=0.03):
+            """Converged steal-gated min over fresh-checkpoint runs (each
+            needs its own tag — a repeated tag would replay as a no-op).
+            Same convergence criterion as the two scaling jobs (the r4
+            lesson: the engine didn't change but the shipped warm-ingest
+            artifact read 51.6k vs the 68.4k measured in-session — a
+            fixed-repeat min records whatever weather those 3 runs saw):
+            repeat until the two fastest steal-CLEAN walls agree within
+            ``tol`` AND the floor is ≥2 runs old, up to 3×repeats; the
+            winner is the fastest steal-clean wall when any exists."""
+            walls: list[float] = []
+            samples: list[tuple[float, float, object]] = []
+            best_age = 0
+            converged = False
+            while len(samples) < 3 * repeats:
                 s0, c0 = _cpu_times()
-                out = run(spark, root, f"timed-{label}-{i}", *extra)
+                out = run(spark, root, f"timed-{label}-{len(samples)}", *extra)
                 s1, c1 = _cpu_times()
                 steal = (s1 - s0) / max(c1 - c0, 1)
                 wall = out[0] if isinstance(out, tuple) else out
                 walls.append(round(wall, 2))
-                if best is None or wall < best[0]:
-                    best = (wall, steal, out)
-            return best[2], round(best[1], 4), walls
+                samples.append((wall, steal, out))
+                best_age = (
+                    0
+                    if wall <= min(w for w, _, _ in samples)
+                    else best_age + 1
+                )
+                clean = sorted(w for w, s, _ in samples if s < STEAL_GATE)
+                if (
+                    len(samples) >= repeats
+                    and len(clean) >= 2
+                    and best_age >= 2
+                    and (clean[1] - clean[0]) / clean[0] < tol
+                ):
+                    converged = True
+                    break
+            pool = [t for t in samples if t[1] < STEAL_GATE] or samples
+            w_best, s_best, out_best = min(pool, key=lambda t: t[0])
+            return out_best, round(s_best, 4), walls, converged
 
         ingest_run(spark, root, "warm")  # steady-state warmup
-        wall_ing, steal_ing, walls_ing = _gated_e2e(ingest_run, "ing")
+        wall_ing, steal_ing, walls_ing, conv_ing = _gated_e2e(
+            ingest_run, "ing"
+        )
         ingest_multibatch_run(spark, root, "warm", "cow")
-        wall_mbc, steal_mbc, walls_mbc = _gated_e2e(
+        wall_mbc, steal_mbc, walls_mbc, conv_mbc = _gated_e2e(
             ingest_multibatch_run, "mb-cow", extra=("cow",)
         )
-        wall_mbm, steal_mbm, walls_mbm = _gated_e2e(
+        wall_mbm, steal_mbm, walls_mbm, conv_mbm = _gated_e2e(
             ingest_multibatch_run, "mb-mor", extra=("mor",)
         )
         session_e2e_run(spark, root, "warm")
-        res_sess, steal_sess, walls_sess = _gated_e2e(
+        res_sess, steal_sess, walls_sess, conv_sess = _gated_e2e(
             session_e2e_run, "sess"
         )
         wall_sess, n_sessions = res_sess
         pairs_e2e_run(spark, root, "warm", impl="state")
-        res_pairs, steal_pairs, walls_pairs = _gated_e2e(
+        res_pairs, steal_pairs, walls_pairs, conv_pairs = _gated_e2e(
             pairs_e2e_run, "pairs", extra=("state",), repeats=4
         )
         wall_pairs, n_pairs = res_pairs
         pairs_e2e_run(spark, root, "warm", impl="join")
-        # single timed run: this is the documented-slower alternative impl;
-        # the flagship (state) gets the gated treatment above
-        wall_pj, n_pj = pairs_e2e_run(spark, root, "timed", impl="join")
+        # documented-slower alternative impl: now also convergence-gated
+        # (r4 recorded a 22.6→31.2 s weather drift off a single run)
+        res_pj, steal_pj, walls_pj, conv_pj = _gated_e2e(
+            pairs_e2e_run, "pj", extra=("join",), repeats=2
+        )
+        wall_pj, n_pj = res_pj
         spark.stop()
 
         result: dict = {
@@ -1078,6 +1192,7 @@ def main() -> None:
                 "cores": CPUS,
                 "steal": steal_ing,
                 "walls_all": walls_ing,
+                "converged": conv_ing,
             },
             "ingest_multibatch": {
                 "shape": "8 micro-batches against the accumulating table",
@@ -1086,12 +1201,14 @@ def main() -> None:
                     "turns_per_sec": round(n_env / wall_mbc, 1),
                     "steal": steal_mbc,
                     "walls_all": walls_mbc,
+                    "converged": conv_mbc,
                 },
                 "mor": {
                     "wall_sec": round(wall_mbm, 2),
                     "turns_per_sec": round(n_env / wall_mbm, 1),
                     "steal": steal_mbm,
                     "walls_all": walls_mbm,
+                    "converged": conv_mbm,
                 },
                 "mor_speedup_vs_cow": round(wall_mbc / wall_mbm, 2),
             },
@@ -1101,6 +1218,7 @@ def main() -> None:
                 "turns_per_sec": round(n_env / wall_sess, 1),
                 "steal": steal_sess,
                 "walls_all": walls_sess,
+                "converged": conv_sess,
             },
             "pairs_e2e": {
                 "impl": "applyInPandasWithState",
@@ -1109,12 +1227,16 @@ def main() -> None:
                 "turns_per_sec": round(n_env / wall_pairs, 1),
                 "steal": steal_pairs,
                 "walls_all": walls_pairs,
+                "converged": conv_pairs,
             },
             "pairs_e2e_join": {
                 "impl": "dedup + JVM stream-stream join",
                 "wall_sec": round(wall_pj, 2),
                 "pairs_emitted": n_pj,
                 "turns_per_sec": round(n_env / wall_pj, 1),
+                "steal": steal_pj,
+                "walls_all": walls_pj,
+                "converged": conv_pj,
             },
         }
 

@@ -619,6 +619,13 @@ def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
     mods = parse_modify_columns(ddl_sql)
     if mods:
         by_name = {f.name: f for f in spec.fields}
+        # a column named by more than one MODIFY clause is ambiguous
+        # (which clause wins depends on dict-collapse order, and a
+        # widening could be silently shadowed by a later no-op) —
+        # reject the whole statement, preserving all-or-nothing + the
+        # identity contract (evolve_spec(out, sql) is out)
+        if len({name for name, _ in mods}) != len(mods):
+            return spec
         # all-or-nothing: every clause must name a known column and be a
         # widening (or an already-applied no-op)
         changed = False
@@ -651,7 +658,8 @@ def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
     changed = False
     for name, spec_type in cols:
         if name in existing:
-            continue
+            continue  # also dedups repeated ADD clauses in one statement
+        existing.add(name)
         next_seq += 1
         new_fields.append(FieldSpec(name, next_seq, spec_type))
         changed = True

@@ -256,18 +256,77 @@ def robust_event_max(df: DataFrame, col: str, clamp_us: int | None) -> int | Non
     from the data alone (no wall clock), so a replayed batch computes the
     identical anchor and replay guards stay sound. ``clamp_us=None``
     restores the raw max (the pre-clamp behavior).
+
+    Exactness contract: with the non-null event times sorted ascending and
+    0-indexed, ``k, r = divmod(99 * (n - 1), 100)``; the anchor percentile
+    is ``p99 = s[k] + (s[min(k+1, n-1)] - s[k]) * r // 100`` — the FLOOR
+    of the exact rational linear interpolation at rank ``0.99*(n-1)``,
+    computed entirely in BIGINT. No double-precision leg anywhere (SQL
+    ``percentile()`` interpolates in doubles, whose ~0.06µs ulp at
+    ~4e14µs rounds the last microsecond differently from an exact
+    replica), so any independent integer re-computation of the anchor is
+    bit-identical — the same order-free integer-exact discipline the rest
+    of the engine uses.
+
+    Scale contract: the two order statistics are selected two-phase —
+    per-second bucket counts, a cumulative window over the BUCKET domain
+    (bounded by distinct seconds, never the row domain) to find the ≤2
+    candidate buckets, then per-distinct-value counts within only those
+    buckets (≤~2M values). Peak state is the bucket histogram, not SQL
+    ``percentile()``'s value→count map over every distinct microsecond —
+    the full-table maintenance path (``__main__.py`` maintenance.retention)
+    calls this over the ENTIRE table, where near-all-distinct µs
+    timestamps would otherwise buffer O(rows) on one executor.
     """
-    mx, p99 = df.agg(
-        F.max(F.unix_micros(F.col(col).cast("timestamp"))),
-        F.expr(
-            f"percentile(unix_micros(cast({col} as timestamp)), 0.99)"
-        ),
-    ).collect()[0]
-    if mx is None:
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.unix_micros(F.col(col).cast("timestamp")).alias("_us")
+    ).where(F.col("_us").isNotNull())
+    n, mx = base.agg(F.count("_us"), F.max("_us")).collect()[0]
+    if not n:
         return None
-    if clamp_us is None or p99 is None:
-        return int(mx)
-    return min(int(mx), int(p99) + int(clamp_us))
+    mx = int(mx)
+    if clamp_us is None:
+        return mx
+    k, r = divmod(99 * (int(n) - 1), 100)
+    k2 = min(k + 1, int(n) - 1)
+    # Phase 1: per-second bucket counts; cumulative over the bucket domain
+    # ("div" truncates toward zero — monotone for a positive divisor, so
+    # buckets partition the sorted order; bucket 0 spans ±1s, still
+    # bounded). Find the ≤2 buckets holding global ranks k and k2.
+    bw = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bc = (
+        base.groupBy(F.expr("_us div 1000000").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_end", F.sum("_c").over(bw))
+        .withColumn("_start", F.col("_end") - F.col("_c"))
+    )
+    targets = bc.where(
+        (F.col("_start") <= k2) & (F.col("_end") > k)
+    ).collect()
+    offset = min(int(t["_start"]) for t in targets)
+    buckets = [int(t["_b"]) for t in targets]
+    # Phase 2: distinct-value cumulative counts inside the candidate
+    # buckets only; rank k / k2 select lo / hi as exact BIGINTs.
+    vw = Window.orderBy("_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lo, hi = (
+        base.where(F.expr("_us div 1000000").isin(buckets))
+        .groupBy("_us")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_end", F.lit(offset) + F.sum("_c").over(vw))
+        .agg(
+            F.min(F.when(F.col("_end") > k, F.col("_us"))).alias("lo"),
+            F.min(F.when(F.col("_end") > k2, F.col("_us"))).alias("hi"),
+        )
+        .collect()[0]
+    )
+    p99 = int(lo) + (int(hi) - int(lo)) * r // 100
+    return min(mx, p99 + int(clamp_us))
 
 
 def start_upsert_sink(

@@ -1097,11 +1097,17 @@ def nb_predict(
         test_cnt.crossJoin(F.broadcast(model_cls.select("_cls", "_n_c", "_v")))
         .join(ctc.hint("shuffle_hash"), ["_cls", "_t"], "left")
         .withColumn(
+            # greatest(..., 1): a degenerate model (empty training
+            # vocabulary, _n_c = _v = 0) scores every token at
+            # log(1/1) = 0 — prior-only ranking — instead of casting
+            # log(1/0) = +Inf to a garbage Long.MAX-scale score
             "_lp_nano",
             F.round(
                 F.log(
                     (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("_n_c") + F.col("_v")).cast("double")
+                    / F.greatest(
+                        F.col("_n_c") + F.col("_v"), F.lit(1)
+                    ).cast("double")
                 )
                 * 1e9
             ).cast("long"),

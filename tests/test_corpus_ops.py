@@ -682,6 +682,21 @@ class TestNBClassify:
         exp = round(math.log(1 / 2) * 1e9) + round(math.log(1 / 4) * 1e9)
         assert got[10][1] == exp
 
+    def test_empty_training_vocabulary_scores_prior_only(self, spark):
+        import math
+
+        # training docs normalize to zero tokens (_v = _n_c = 0); test
+        # docs DO have tokens. The greatest(denominator, 1) guard pins
+        # every token contribution to ln(1/1) = 0 — prior-only argmax,
+        # finite scores, never an Inf->long overflow.
+        got = self._fit(
+            spark,
+            [(1, "???", "big"), (2, "!!!", "big"), (3, "...", "small")],
+            [(10, "qq rr qq", "big")],
+        )
+        assert got[10][0] == "big"
+        assert got[10][1] == round(math.log(2 / 3) * 1e9)
+
 
 def test_containment_asymmetric_subset(spark):
     docs = spark.createDataFrame(

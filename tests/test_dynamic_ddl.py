@@ -255,6 +255,26 @@ def test_evolve_spec_modify_widening_rules():
     assert ingest.evolve_spec(
         s0, "alter table t modify turn_idx bigint, modify nope bigint"
     ) is s0
+    # a column named by >1 MODIFY clause is ambiguous (a widening could
+    # be shadowed by a later no-op under dict collapse): rejected whole,
+    # identity preserved
+    assert ingest.evolve_spec(
+        s0, "alter table t modify turn_idx bigint, modify turn_idx int"
+    ) is s0
+    assert ingest.evolve_spec(
+        s0, "alter table t modify turn_idx bigint, modify turn_idx bigint"
+    ) is s0
+
+
+def test_evolve_spec_duplicate_add_clauses_add_once():
+    s0 = _spec()
+    out = ingest.evolve_spec(
+        s0, "alter table t add a int, add a bigint"
+    )
+    assert [f.name for f in out.fields].count("a") == 1
+    # first clause wins; seq assigned once
+    f = {x.name: x for x in out.fields}["a"]
+    assert f.type == "int"
 
 
 def test_mid_stream_modify_widens_type_without_restart(spark, tmp_path):

@@ -65,8 +65,9 @@ class TestNbTrainPredictSplit:
         test_rows = [r for r in rows if r[0] % 3 == 0]
         if not train_rows or not test_rows:
             return
-        if not any(t[2].strip() for t in train_rows):
-            return  # empty vocabulary: nothing to model
+        # NOTE: the empty-training-vocabulary case is NOT skipped — the
+        # engine's greatest(denominator, 1) guard pins it to prior-only
+        # scoring, and the Python reference below models the same guard.
         model_cls, ctc = textops.nb_train(
             df.where(F.col("doc_id") % 3 != 0)
         )
@@ -102,7 +103,8 @@ class TestNbTrainPredictSplit:
                 for t, cnt in Counter(text.split()).items():
                     lp = _rnd(
                         math.log(
-                            (ctc_py.get((c, t), 0) + 1) / (ncls[c] + V)
+                            (ctc_py.get((c, t), 0) + 1)
+                            / max(ncls[c] + V, 1)
                         )
                         * 1e9
                     )
@@ -232,8 +234,11 @@ class TestRobustEventMax:
     @SETTINGS
     @given(us=micros_lists)
     def test_matches_python_reference(self, spark, us):
-        """anchor == min(max, floor(exact-p99-interpolated) + clamp) for
-        any multiset of event times; never above the raw max; None clamp
+        """anchor == min(max, p99 + clamp) for any multiset of event
+        times, where p99 is the BIGINT-exact floored linear interpolation
+        from the function's documented contract (k,r = divmod(99*(n-1),
+        100)) — bit-identical to this all-integer Python replica, with no
+        double-precision seam; never above the raw max; None clamp
         restores the raw max."""
         rows = [
             (datetime(1970, 1, 1) + timedelta(microseconds=u),) for u in us
@@ -241,12 +246,13 @@ class TestRobustEventMax:
         df = spark.createDataFrame(rows, "ts timestamp")
         anchor = robust_event_max(df, "ts", HOUR_US)
         s = sorted(us)
-        # exact percentile with linear interpolation (Spark's definition)
-        rank = 0.99 * (len(s) - 1)
-        lo = s[int(rank)]
-        hi = s[min(int(rank) + 1, len(s) - 1)]
-        p99 = lo + (hi - lo) * (rank - int(rank))
-        expect = min(max(us), int(p99) + HOUR_US)
+        # integer-exact percentile: floor of the exact rational
+        # interpolation at rank 0.99*(n-1) — the function's contract
+        k, r = divmod(99 * (len(s) - 1), 100)
+        lo = s[k]
+        hi = s[min(k + 1, len(s) - 1)]
+        p99 = lo + (hi - lo) * r // 100
+        expect = min(max(us), p99 + HOUR_US)
         assert anchor == expect
         assert anchor <= max(us)
         assert robust_event_max(df, "ts", None) == max(us)
