@@ -104,3 +104,88 @@ def test_maintenance_retention_on_empty_table_is_noop(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "maintenance:" in out
+
+
+def test_poisoned_clock_mid_stream_does_not_age_out_live_data(
+    spark, tmp_path
+):
+    """End-to-end through start_upsert_sink: a far-future bad-clock row
+    arrives MID-STREAM (inside an otherwise-sane broker file) with the
+    event-time TTL enabled; every maintenance tick anchors its cutoff on
+    the poison-clamped robust_event_max, so the survivor set of sane
+    rows is identical to an unpoisoned twin run. Pre-clamp, the poisoned
+    batch's raw-max anchor (year 2052 − 365d retention) would have aged
+    out every sane 2024 row at that tick."""
+    import json as _json
+    import os as _os
+
+    from kafka2iceberg_spark.gen import GenConfig, write_stream_files
+    from kafka2iceberg_spark.pipeline import (
+        file_broker_stream,
+        parsed_stream,
+        start_upsert_sink,
+    )
+    from kafka2iceberg_spark.schema import transcript_task
+    from kafka2iceberg_spark.sink import IcebergLite
+
+    # 480 sane rows over 6 files -> ~160 sane rows in the poisoned
+    # micro-batch (2 files/trigger): 1 poisoned row is ~0.6% of the
+    # batch, inside the clamp's <1% contract (at 33 rows/batch the
+    # poison IS the p99 interpolation endpoint and the clamp cannot
+    # help — that regime is the DLQ's job, not retention's)
+    cfg = GenConfig(
+        n_convs=12, turns_per_conv=40, mega_convs=0, mega_turns=0,
+        ooo_fraction=0, late_fraction=0, dup_fraction=0,
+        delete_fraction=0,
+    )
+
+    def _broker(name: str, poisoned: bool) -> str:
+        d = str(tmp_path / name)
+        paths = write_stream_files(cfg, d, files=6)
+        if poisoned:
+            # one bad-clock INSERT appended inside file 3 — it shares a
+            # micro-batch with sane rows (a lone poisoned row in its own
+            # batch is that batch's p99 by definition; the clamp guards
+            # the <1%-poisoned case, per the robust_event_max contract)
+            env = {
+                "data": [{
+                    "conv_id": "poison", "turn_idx": "0", "role": "user",
+                    "text": "bad clock", "tool": "null",
+                    "ts": "2052-01-01 00:00:00",
+                }],
+                "database": "chat", "table": "transcripts",
+                "type": "INSERT", "isDdl": False,
+                "ts": 2587680000000, "es": 2587680000000, "old": None,
+                "pkNames": ["conv_id", "turn_idx"], "sql": "",
+                "_offset": 10_000_000, "_partition": 0,
+            }
+            with open(paths[3], "a") as fh:
+                fh.write(_json.dumps(env, separators=(",", ":")) + "\n")
+        for i, p in enumerate(paths):
+            _os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        return d
+
+    spec = transcript_task()
+
+    def run(tag: str, poisoned: bool) -> set:
+        broker = _broker(f"broker-{tag}", poisoned)
+        t = IcebergLite(str(tmp_path / f"tbl-{tag}"), pk=spec.primary_keys)
+        q = start_upsert_sink(
+            parsed_stream(file_broker_stream(spark, broker, 2), spec),
+            t,
+            str(tmp_path / f"ck-{tag}"),
+            trigger={"availableNow": True},
+            maintenance_every=1,  # retention tick on EVERY micro-batch
+            retention_us=365 * 24 * 3_600_000_000,
+        )
+        q.awaitTermination()
+        return {
+            (r.conv_id, r.turn_idx)
+            for r in t.read(spark).collect()
+            if r.conv_id != "poison"
+        }
+
+    survivors_twin = run("twin", poisoned=False)
+    survivors_poisoned = run("poisoned", poisoned=True)
+    assert len(survivors_twin) == 12 * 40  # nothing sane aged out at all
+    assert survivors_poisoned == survivors_twin
