@@ -189,3 +189,18 @@ def test_poisoned_clock_mid_stream_does_not_age_out_live_data(
     survivors_poisoned = run("poisoned", poisoned=True)
     assert len(survivors_twin) == 12 * 40  # nothing sane aged out at all
     assert survivors_poisoned == survivors_twin
+
+
+def test_pre_epoch_timestamps_integer_exact(spark):
+    """Negative epoch-microseconds (pre-1970 event times) through the
+    two-phase order-statistic selection: `div` truncates toward zero,
+    which is still monotone for a positive divisor, so bucket 0 spans
+    ±1s and the selection stays exact."""
+    us = [-5_000_000, -1, 0, 1, 999_999, 40 * HOUR_US]
+    df = _ts_df(spark, us)
+    s = sorted(us)
+    k, r = divmod(99 * (len(s) - 1), 100)
+    lo, hi = s[k], s[min(k + 1, len(s) - 1)]
+    expect = min(max(us), lo + (hi - lo) * r // 100 + HOUR_US)
+    assert robust_event_max(df, "ts", HOUR_US) == expect
+    assert robust_event_max(df, "ts", None) == max(us)
