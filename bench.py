@@ -265,7 +265,46 @@ def time_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
             "walls": r["walls_all"],
             "dirty": r["dirty_runs"],
         }
+    # drift re-time: a k=2 min can land entirely inside an in-box
+    # contention burst that /proc/stat steal never sees (r5 session:
+    # stream_sample recorded 5.79 s under bench, 1.97 s warm minutes
+    # later). Any wall >1.3x its prior-round recording gets a deeper
+    # second window; the floor over both windows is recorded, and the
+    # retry walls are appended so the artifact shows the burst.
+    prior = _prior_gated_walls()
+    for name in out:
+        prev = prior.get(name)
+        if not prev or out[name] / prev <= 1.3:
+            continue
+        fn = qs[name]
+        r2 = best_of(lambda: _force(fn(spark, SF_DIR)), k=3, max_tries=6)
+        detail[name]["walls"] = detail[name]["walls"] + r2["walls_all"]
+        detail[name]["retimed"] = True
+        if r2["wall"] < out[name]:
+            out[name] = round(r2["wall"], 3)
+            detail[name]["steal"] = r2["steal"]
     return out, detail
+
+
+def _prior_gated_walls() -> dict[str, float]:
+    """Per-query gated-tier walls from the latest recorded round
+    artifact (same source as the sweep regression baseline)."""
+    name = _prior_bench_name()
+    if name is None:
+        return {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        prior = json.load(open(os.path.join(here, name)))
+    except (OSError, ValueError):
+        return {}
+    prior = prior.get("parsed", prior)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(prior.get("sf")) != sf:
+        return {}  # different scale factor: ratios are meaningless
+    qs = prior.get("queries", {})
+    return {
+        n: w for n, w in qs.items() if isinstance(w, (int, float)) and w > 0
+    }
 
 
 def sweep_remaining(spark) -> dict:
