@@ -268,15 +268,20 @@ def robust_event_max(df: DataFrame, col: str, clamp_us: int | None) -> int | Non
     bit-identical — the same order-free integer-exact discipline the rest
     of the engine uses.
 
-    Scale contract: the two order statistics are selected two-phase —
-    per-second bucket counts, a cumulative window over the BUCKET domain
-    (bounded by distinct seconds, never the row domain) to find the ≤2
-    candidate buckets, then per-distinct-value counts within only those
-    buckets (≤~2M values). Peak state is the bucket histogram, not SQL
-    ``percentile()``'s value→count map over every distinct microsecond —
-    the full-table maintenance path (``__main__.py`` maintenance.retention)
-    calls this over the ENTIRE table, where near-all-distinct µs
-    timestamps would otherwise buffer O(rows) on one executor.
+    Scale contract: the two order statistics are selected by hierarchical
+    bucket narrowing — per-DAY counts over the whole input (cumulative
+    window over the day domain: ≤ tens of thousands of rows for decades
+    of data), then per-SECOND counts inside the ≤2 candidate days
+    (≤ ~173k rows), then per-distinct-VALUE counts inside the ≤2
+    candidate seconds (≤ ~2M rows). Every unpartitioned cumulative
+    window therefore runs over a domain that is small by construction,
+    and peak state is a bounded histogram — never SQL ``percentile()``'s
+    value→count map over every distinct microsecond. This matters
+    because the full-table maintenance path (``__main__.py``
+    maintenance.retention) calls this over the ENTIRE table, where
+    near-all-distinct µs timestamps would otherwise buffer O(rows) on
+    one executor (and even a flat per-second histogram would push tens
+    of millions of rows through one window partition per year of data).
     """
     from pyspark.sql.window import Window
 
@@ -291,31 +296,37 @@ def robust_event_max(df: DataFrame, col: str, clamp_us: int | None) -> int | Non
         return mx
     k, r = divmod(99 * (int(n) - 1), 100)
     k2 = min(k + 1, int(n) - 1)
-    # Phase 1: per-second bucket counts; cumulative over the bucket domain
-    # ("div" truncates toward zero — monotone for a positive divisor, so
-    # buckets partition the sorted order; bucket 0 spans ±1s, still
-    # bounded). Find the ≤2 buckets holding global ranks k and k2.
-    bw = Window.orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    bc = (
-        base.groupBy(F.expr("_us div 1000000").alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("_end", F.sum("_c").over(bw))
-        .withColumn("_start", F.col("_end") - F.col("_c"))
-    )
-    targets = bc.where(
-        (F.col("_start") <= k2) & (F.col("_end") > k)
-    ).collect()
-    offset = min(int(t["_start"]) for t in targets)
-    buckets = [int(t["_b"]) for t in targets]
-    # Phase 2: distinct-value cumulative counts inside the candidate
-    # buckets only; rank k / k2 select lo / hi as exact BIGINTs.
+    # Narrowing phases: bucket by day then by second ("div" truncates
+    # toward zero — monotone for a positive divisor, so buckets
+    # partition the sorted order; bucket 0 spans ±1 unit, still
+    # bounded). Each phase finds the ≤2 buckets holding global ranks
+    # k/k2 (adjacent ranks → buckets adjacent in cumulative order) and
+    # carries the global rank offset of the first one into the next.
+    offset, cond = 0, None
+    for div in (86_400_000_000, 1_000_000):
+        bw = Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        g = base.where(cond) if cond is not None else base
+        targets = (
+            g.groupBy(F.expr(f"_us div {div}").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_end", F.lit(offset) + F.sum("_c").over(bw))
+            .withColumn("_start", F.col("_end") - F.col("_c"))
+            .where((F.col("_start") <= k2) & (F.col("_end") > k))
+            .collect()
+        )
+        offset = min(int(t["_start"]) for t in targets)
+        cond = F.expr(f"_us div {div}").isin(
+            [int(t["_b"]) for t in targets]
+        )
+    # Final phase: distinct-value cumulative counts inside the ≤2
+    # candidate seconds; rank k / k2 select lo / hi as exact BIGINTs.
     vw = Window.orderBy("_us").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     lo, hi = (
-        base.where(F.expr("_us div 1000000").isin(buckets))
+        base.where(cond)
         .groupBy("_us")
         .agg(F.count(F.lit(1)).alias("_c"))
         .withColumn("_end", F.lit(offset) + F.sum("_c").over(vw))
