@@ -1299,18 +1299,22 @@ def main() -> None:
             scaling_passes = 1
             while scaling_passes < 3:
                 _eff = (r_lo["wall"] / r_hi["wall"]) / (CPUS / lo)
-                if 0.75 <= _eff <= 1.0:
+                if 0.8 <= _eff <= 1.0:
                     break
                 # the two levels were measured minutes apart; a ratio
                 # outside the box's plausible band in EITHER direction
                 # means asymmetric host weather (bandwidth contention
-                # /proc/stat steal can't see) — below 0.75 the hi level
-                # was slowed, above 1.0 (superlinear on one box) the lo
-                # level was. Re-measure BOTH levels back-to-back (up to
-                # two extra passes, with a cool-down so a transient noise
-                # window can pass) and take each level's floor over all
-                # passes — every wall from every pass stays in the
-                # artifact.
+                # /proc/stat steal can't see) — below 0.8 the hi level
+                # was likely slowed (this job's established band on this
+                # box is 0.84-0.88 across r3-r5 quiet sessions, so a
+                # sub-bar reading is weather-suspect, not engine-
+                # suspect; r5 session 2 recorded 0.765 off one 4N burst
+                # the old 0.75 floor let through), above 1.0
+                # (superlinear on one box) the lo level was. Re-measure
+                # BOTH levels back-to-back (up to two extra passes, with
+                # a cool-down so a transient noise window can pass) and
+                # take each level's floor over all passes — every wall
+                # from every pass stays in the artifact.
                 time.sleep(20 * scaling_passes)
                 scaling_passes += 1
                 r_lo = _merge_levels(r_lo, scale_level(lo, SCALE_ROWS))
