@@ -652,14 +652,18 @@ def evolve_spec(spec: TaskSpec, ddl_sql: str) -> TaskSpec:
     cols = parse_add_columns(ddl_sql)
     if not cols:
         return spec
+    # same ambiguity rule as MODIFY above: a column named by more than
+    # one ADD clause is rejected whole (first-wins would silently shadow
+    # a conflicting later type, e.g. 'add a smallint, add a bigint')
+    if len({name for name, _ in cols}) != len(cols):
+        return spec
     existing = {f.name for f in spec.fields}
     new_fields = list(spec.fields)
     next_seq = max((f.seq for f in spec.fields), default=0)
     changed = False
     for name, spec_type in cols:
         if name in existing:
-            continue  # also dedups repeated ADD clauses in one statement
-        existing.add(name)
+            continue
         next_seq += 1
         new_fields.append(FieldSpec(name, next_seq, spec_type))
         changed = True

@@ -998,13 +998,18 @@ def cross_lm_scores(
         .join(uni.hint("shuffle_hash"), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
+            # greatest(..., 1): same degenerate-model guard as
+            # nb_predict — an empty reference vocabulary (v = 0, every
+            # c1 null) scores bigrams at log(1/1) = 0 instead of
+            # casting log(1/0) = +Inf to a garbage Long-scale value
             "lp_nano",
             F.round(
                 F.log(
                     (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
-                        "double"
-                    )
+                    / F.greatest(
+                        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"),
+                        F.lit(1),
+                    ).cast("double")
                 )
                 * 1e9
             ).cast("long"),

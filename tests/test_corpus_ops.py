@@ -604,6 +604,22 @@ def test_cross_lm_in_domain_scores_higher(spark):
     assert got[10] > got[11]
 
 
+def test_cross_lm_empty_reference_vocab_scores_zero(spark):
+    """Reference docs that normalize to zero tokens (v = 0, every c1
+    null): the greatest(denominator, 1) guard scores every bigram at
+    ln(1/1) = 0 — finite, never an Inf->long overflow (same degenerate-
+    model contract as nb_predict)."""
+    train = spark.createDataFrame(
+        [(1, "??? !!!"), (2, "...")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "qq rr ss")], "doc_id long, text string"
+    )
+    got = tx.cross_lm_scores(score, train).collect()[0]
+    assert got["lm_score"] == 0.0
+    assert got["n_bigrams"] == 2
+
+
 def test_cross_lm_oov_gets_floor_probability(spark):
     import math
 

@@ -266,15 +266,20 @@ def test_evolve_spec_modify_widening_rules():
     ) is s0
 
 
-def test_evolve_spec_duplicate_add_clauses_add_once():
+def test_evolve_spec_duplicate_add_clauses_rejected():
     s0 = _spec()
-    out = ingest.evolve_spec(
+    # same ambiguity rule as MODIFY: 'add a smallint, add a bigint'
+    # under first-wins would silently shadow the wider later type —
+    # rejected whole, identity preserved
+    assert ingest.evolve_spec(
         s0, "alter table t add a int, add a bigint"
-    )
-    assert [f.name for f in out.fields].count("a") == 1
-    # first clause wins; seq assigned once
-    f = {x.name: x for x in out.fields}["a"]
-    assert f.type == "int"
+    ) is s0
+    assert ingest.evolve_spec(
+        s0, "alter table t add a int, add a int"
+    ) is s0
+    # distinct new columns still apply in one statement
+    out = ingest.evolve_spec(s0, "alter table t add a int, add b bigint")
+    assert {f.name for f in out.fields} >= {"a", "b"}
 
 
 def test_mid_stream_modify_widens_type_without_restart(spark, tmp_path):

@@ -254,6 +254,11 @@ class TestRobustEventMax:
         p99 = lo + (hi - lo) * r // 100
         expect = min(max(us), p99 + HOUR_US)
         assert anchor == expect
+        # hierarchical narrowing path (production takes it above 2M
+        # rows) must agree bit-for-bit with the short-circuit
+        assert (
+            robust_event_max(df, "ts", HOUR_US, narrow_above=0) == expect
+        )
         assert anchor <= max(us)
         assert robust_event_max(df, "ts", None) == max(us)
 

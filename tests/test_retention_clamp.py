@@ -203,13 +203,17 @@ def test_pre_epoch_timestamps_integer_exact(spark):
     lo, hi = s[k], s[min(k + 1, len(s) - 1)]
     expect = min(max(us), lo + (hi - lo) * r // 100 + HOUR_US)
     assert robust_event_max(df, "ts", HOUR_US) == expect
+    assert robust_event_max(df, "ts", HOUR_US, narrow_above=0) == expect
     assert robust_event_max(df, "ts", None) == max(us)
 
 
 def test_rank_straddles_day_boundary(spark):
     """The two order statistics land in DIFFERENT day buckets (and
     different second buckets): the narrowing carries the rank offset
-    across two candidate buckets per phase."""
+    across two candidate buckets per phase. Asserted on BOTH paths —
+    narrow_above=0 forces the hierarchical day->second narrowing that
+    production only takes above 2M rows, and the default short-circuit
+    must agree."""
     day = 86_400_000_000
     # n=200 -> k=197: s[197], s[198] are 1µs either side of a day edge
     us = list(range(1_000_000, 1_000_000 + 197)) + [
@@ -221,12 +225,13 @@ def test_rank_straddles_day_boundary(spark):
     lo, hi = s[k], s[k + 1]
     assert (lo // day, hi // day) == (9, 10)  # genuinely straddles
     expect = min(max(us), lo + (hi - lo) * r // 100 + HOUR_US)
+    assert robust_event_max(df, "ts", HOUR_US, narrow_above=0) == expect
     assert robust_event_max(df, "ts", HOUR_US) == expect
 
 
 def test_heavy_duplicates_at_rank(spark):
     """Duplicate event times around the p99 rank: per-value counts, not
-    distinct values, drive the cumulative rank."""
+    distinct values, drive the cumulative rank (both selection paths)."""
     us = [5_000_000] * 150 + [6_000_000] * 49 + [7_000_000]
     df = _ts_df(spark, us)
     s = sorted(us)
@@ -234,4 +239,5 @@ def test_heavy_duplicates_at_rank(spark):
     expect = min(
         max(us), s[k] + (s[k + 1] - s[k]) * r // 100 + HOUR_US
     )
+    assert robust_event_max(df, "ts", HOUR_US, narrow_above=0) == expect
     assert robust_event_max(df, "ts", HOUR_US) == expect
